@@ -1,0 +1,91 @@
+"""Query registry — the single source of truth for the engine's surface.
+
+Every operator the engine claims is registered here exactly once as a
+``QuerySpec``: a named Spark function ``(spark, sf_dir) -> DataFrame``
+plus (when SQL-expressible) an ANSI-SQL oracle string that DuckDB runs on
+the same parquet tables.  ``__spark_entry__.py``, ``tests/`` and
+``bench.py`` all iterate this registry, so coverage, correctness checks,
+and benchmarks can never drift apart.
+
+Float determinism note: the driver compares an order-insensitive value
+hash, so floating-point aggregates must be *bit-identical* between Spark
+and DuckDB.  Summing doubles is order-dependent; summing decimals is not.
+``dec_sum_sql``/``dec_sum`` therefore cast to DECIMAL(25,6) before SUM and
+back to DOUBLE after — both engines then produce the same IEEE double.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    """Decorator registering a query implementation under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    return {name: spec for name, spec in REGISTRY.items() if spec.bench}
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact float aggregation helpers (shared Spark/SQL conventions)
+# ---------------------------------------------------------------------------
+
+def dec_sum(col: Column | str) -> Column:
+    """Order-independent SUM over doubles: decimal-sum, then back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(25,6)")).cast("double")
+
+
+def dec_avg(col: Column | str) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(c)
+
+
+def dec_sum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def dec_avg_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
