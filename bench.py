@@ -1,0 +1,58 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the no-op sink so the measured time is
+scan+compute+shuffle, not result transfer to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from oracle_parquet_dumper_spark import plans
+    from oracle_parquet_dumper_spark.session import get_spark
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers outside the timed region.
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    specs = plans.bench_queries()
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""CLI mirroring the reference's flag surface (main.py:317-463), with
+env-var defaults like its dotenv setup (main.py:28) and password
+redaction in logs (main.py:291-292).
+
+Oracle-specific connection flags select the JDBC catalog; ``--source-path``
+selects the parquet-directory catalog (the reference's pipeline applied
+to re-export/compaction, and the testable path in this container).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    env = os.environ.get
+    p = argparse.ArgumentParser(
+        prog="oracle-parquet-dumper-spark",
+        description="Spark-native bulk export to size-rolled, compressed Parquet.",
+    )
+    p.add_argument("--version", action="store_true", help="Show version and exit.")
+    # connection (reference main.py:320-368)
+    p.add_argument("--hostname", default=env("DATABASE_HOSTNAME"))
+    p.add_argument("--port", type=int, default=int(env("DATABASE_PORT", "1521")))
+    p.add_argument("--service-name", default=env("DATABASE_SERVICE_NAME"))
+    p.add_argument("--username", default=env("DATABASE_USERNAME"))
+    p.add_argument("--password", default=env("DATABASE_PASSWORD"))
+    # parquet-directory source (Spark-native alternative)
+    p.add_argument("--source-path", default=env("SOURCE_PATH"))
+    # export surface (reference main.py:369-463)
+    p.add_argument("--schemas", nargs="*", default=None)
+    p.add_argument("--table-name-include-pattern", default=env("TABLE_NAME_INCLUDE_PATTERN", ".*"))
+    p.add_argument("--table-name-exclude-pattern", default=env("TABLE_NAME_EXCLUDE_PATTERN"))
+    p.add_argument("--output-path", default=env("OUTPUT_PATH", "output"))
+    p.add_argument(
+        "--compression-method",
+        default=env("COMPRESSION_METHOD", "zstd"),
+        choices=["none", "snappy", "gzip", "zstd"],
+    )
+    p.add_argument("--overwrite", action="store_true", default=env("OVERWRITE", "").lower() == "true")
+    p.add_argument("--row-limit", type=int, default=int(env("ROW_LIMIT", "-1")))
+    p.add_argument("--batch-size", type=int, default=int(env("BATCH_SIZE", "10000")))
+    p.add_argument(
+        "--parquet-max-file-size", type=int, default=int(env("PARQUET_MAX_FILE_SIZE", "200000000"))
+    )
+    p.add_argument(
+        "--isolation-level",
+        default=env("ISOLATION_LEVEL", "SERIALIZABLE"),
+        choices=["SERIALIZABLE", "READ COMMITTED"],
+    )
+    p.add_argument(
+        "--lowercase-object-names",
+        action="store_true",
+        default=env("LOWERCASE_OBJECT_NAMES", "").lower() == "true",
+    )
+    p.add_argument("--max-concurrent-tables", type=int, default=int(env("MAX_CONCURRENT_TABLES", "1")))
+    p.add_argument("--log-level", default=env("LOG_LEVEL", "INFO"))
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        from oracle_parquet_dumper_spark import __version__
+
+        print(__version__)
+        return 0
+
+    logging.basicConfig(level=args.log_level)
+    logger = logging.getLogger("oracle_parquet_dumper_spark.cli")
+    shown = {k: ("(redacted)" if k == "password" and v else v) for k, v in vars(args).items()}
+    logger.info("Run arguments: %s", shown)
+
+    from oracle_parquet_dumper_spark.session import get_spark
+
+    spark = get_spark("oracle_parquet_dumper_spark.export")
+
+    if args.source_path:
+        from oracle_parquet_dumper_spark.catalog import ParquetDirectoryCatalog
+
+        catalog = ParquetDirectoryCatalog(spark, args.source_path)
+    elif args.hostname and args.service_name:
+        from oracle_parquet_dumper_spark.catalog import JdbcCatalog, OracleConnectionInfo
+
+        catalog = JdbcCatalog(
+            spark,
+            OracleConnectionInfo(
+                hostname=args.hostname,
+                port=args.port,
+                service_name=args.service_name,
+                username=args.username or "",
+                password=args.password or "",
+            ),
+            isolation_init=f"ALTER SESSION SET ISOLATION_LEVEL = {args.isolation_level}",
+            fetchsize=args.batch_size,
+        )
+    else:
+        print("error: provide --source-path or --hostname/--service-name", file=sys.stderr)
+        return 2
+
+    from oracle_parquet_dumper_spark.exporter import SparkParquetExporter
+
+    results = SparkParquetExporter(
+        spark=spark,
+        catalog=catalog,
+        output_path=args.output_path,
+        schemas=args.schemas or [],
+        table_name_include_pattern=args.table_name_include_pattern,
+        table_name_exclude_pattern=args.table_name_exclude_pattern,
+        compression_method=args.compression_method,
+        overwrite=args.overwrite,
+        row_limit=args.row_limit,
+        lowercase_object_names=args.lowercase_object_names,
+        parquet_max_file_size=args.parquet_max_file_size,
+        max_concurrent_tables=args.max_concurrent_tables,
+    ).export_tables()
+    skipped = [r for r in results if r.skipped]
+    logger.info("Exported %d tables (%d skipped)", len(results) - len(skipped), len(skipped))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,211 @@
+"""Export-parity core: the reference's OracleParquetExporter surface
+(main.py:31-263) re-expressed on Spark.
+
+Parity map (SURVEY.md §2 Part A):
+
+- A1-A3  catalog enumeration + regex include/exclude  -> ``catalog.py``
+- A4-A5  type-pruned projection + lowercase rename    -> ``_project``
+- A6/A9  table scan, batched fetch                    -> Spark scan (JDBC
+         fetchsize / parquet vectorized reader), partitioned = parallel
+- A7     row limit                                    -> ``df.limit``
+- A11    compression (none/snappy/gzip/zstd, default zstd)
+- A12    byte-targeted file rolling                   -> ``maxRecordsPerFile``
+         derived from a sampled average row width (the reference itself
+         documents its size as approximate, main.py:453-454)
+- A13    overwrite / error-if-exists                  -> directory guard
+- A14    snapshot isolation                           -> sessionInitStatement
+         + AS OF SCN (see catalog.JdbcCatalog.read_table)
+- A15    ``<out>/<schema>/<table>/<table>_<n>.parquet`` layout
+- A16    schema x table driver loop with wall-clock metrics
+- A17    zero-eligible-column skip (warn)
+- empty-table semantics (SURVEY.md §1.2): reference writes NO file for an
+  empty table (lazy writer, main.py:165-170) — reproduced with an
+  ``isEmpty`` guard.
+
+Unlike the reference (strictly serial: one connection, sequential tables,
+sequential 10k-row batches), every table export here is a distributed
+Spark job, and independent tables can export concurrently via a thread
+pool (Spark schedules the jobs FAIR across executors).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oracle_parquet_dumper_spark.catalog import ParquetDirectoryCatalog, eligible_fields
+
+logger = logging.getLogger(__name__)
+
+# Reference defaults (main.py:20-21, main.py:408,417)
+DEFAULT_ROW_LIMIT = -1
+DEFAULT_MAX_FILE_SIZE = 200_000_000
+DEFAULT_COMPRESSION = "zstd"
+DEFAULT_BATCH_SIZE = 10_000
+COMPRESSION_CHOICES = ("none", "snappy", "gzip", "zstd")
+SIZE_SAMPLE_ROWS = 2_000
+
+
+@dataclass
+class ExportResult:
+    schema: str
+    table: str
+    rows: int
+    files: list[str]
+    seconds: float
+    skipped: str | None = None
+
+
+@dataclass
+class SparkParquetExporter:
+    """Constructor parameters mirror the reference's (main.py:32-50);
+    connection parameters are replaced by a ``catalog`` (parquet-dir or
+    JDBC), keeping the export pipeline identical for both."""
+
+    spark: SparkSession
+    catalog: object  # ParquetDirectoryCatalog | JdbcCatalog
+    output_path: str
+    schemas: list[str] = field(default_factory=list)
+    table_name_include_pattern: str = ".*"
+    table_name_exclude_pattern: str | None = None
+    compression_method: str = DEFAULT_COMPRESSION
+    overwrite: bool = False
+    row_limit: int = DEFAULT_ROW_LIMIT
+    lowercase_object_names: bool = False
+    parquet_max_file_size: int = DEFAULT_MAX_FILE_SIZE
+    reference_file_naming: bool = True
+    max_concurrent_tables: int = 1
+
+    def __post_init__(self):
+        if self.compression_method not in COMPRESSION_CHOICES:
+            raise ValueError(
+                f"compression_method must be one of {COMPRESSION_CHOICES}, got {self.compression_method!r}"
+            )
+
+    # -- projection (A4/A5) -------------------------------------------------
+    def _project(self, df: DataFrame) -> DataFrame | None:
+        cols = eligible_fields(df.schema)
+        if not cols:
+            return None
+        df = df.select(*cols)
+        if self.lowercase_object_names:
+            df = df.toDF(*[c.lower() for c in cols])
+        return df
+
+    # -- byte-targeted rolling (A12) ----------------------------------------
+    def _rows_per_file(self, df: DataFrame) -> int:
+        """maxRecordsPerFile ~= target_bytes / avg_in_memory_row_bytes,
+        measured on a bounded sample via Arrow — the same 'uncompressed
+        buffer size' the reference rolls on (main.py:174-181)."""
+        sample = df.limit(SIZE_SAMPLE_ROWS)
+        try:
+            tbl = sample.toArrow()
+            n, nbytes = tbl.num_rows, tbl.nbytes
+        except Exception:
+            pdf = sample.toPandas()
+            n, nbytes = len(pdf), int(pdf.memory_usage(deep=True).sum())
+        if n == 0 or nbytes == 0:
+            return 1_000_000
+        return max(1, int(self.parquet_max_file_size / (nbytes / n)))
+
+    # -- single table (reference export_table, main.py:129-187) -------------
+    def export_table(self, schema: str, table: str) -> ExportResult:
+        t0 = time.perf_counter()
+        out_schema = schema.lower() if self.lowercase_object_names else schema
+        out_table = table.lower() if self.lowercase_object_names else table
+        target = os.path.join(self.output_path, out_schema, out_table)
+
+        df = self.catalog.read_table(schema, table)
+        projected = self._project(df)
+        if projected is None:
+            logger.warning("Table %s.%s has no eligible columns - skipping", schema, table)
+            return ExportResult(schema, table, 0, [], time.perf_counter() - t0, "no_eligible_columns")
+        if self.row_limit != DEFAULT_ROW_LIMIT:
+            projected = projected.limit(self.row_limit)
+        if projected.isEmpty():
+            # Reference semantics: empty table -> no file at all (the
+            # ParquetWriter is created lazily on the first batch,
+            # main.py:165-170, so zero batches -> zero files).
+            logger.warning("Table %s.%s is empty - no file written", schema, table)
+            return ExportResult(schema, table, 0, [], time.perf_counter() - t0, "empty")
+
+        (
+            projected.write.mode("overwrite")
+            .option("compression", self.compression_method)
+            .option("maxRecordsPerFile", str(self._rows_per_file(projected)))
+            .parquet(target)
+        )
+        files = self._finalize_layout(target, out_table)
+        rows = self.spark.read.parquet(target).count() if not files else -1
+        elapsed = time.perf_counter() - t0
+        logger.info("Exported %s.%s in %.4f s", schema, table, elapsed)
+        return ExportResult(schema, table, rows, files, elapsed)
+
+    def _finalize_layout(self, target: str, table: str) -> list[str]:
+        """Rename Spark's part-files to the reference layout
+        ``<table>_<n>.parquet`` (main.py:166,245-253) and drop job markers.
+        Pure metadata renames — O(#files), not O(bytes)."""
+        if not self.reference_file_naming:
+            return []
+        parts = sorted(
+            f for f in os.listdir(target) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        out = []
+        for i, fname in enumerate(parts):
+            new = f"{table}_{i}.parquet"
+            os.rename(os.path.join(target, fname), os.path.join(target, new))
+            out.append(new)
+        for entry in os.listdir(target):
+            if entry == "_SUCCESS" or entry.startswith(".") or entry.endswith(".crc"):
+                os.remove(os.path.join(target, entry))
+        return out
+
+    # -- driver loop (reference export_tables, main.py:219-263) -------------
+    def export_tables(self) -> list[ExportResult]:
+        t_all = time.perf_counter()
+        if os.path.exists(self.output_path):
+            if not self.overwrite:
+                raise RuntimeError(
+                    f"Output path: {self.output_path} exists and overwrite is not allowed."
+                )
+            shutil.rmtree(self.output_path)
+        os.makedirs(self.output_path, exist_ok=True)
+
+        results: list[ExportResult] = []
+        schemas = self.schemas or self.catalog.list_schemas()
+        for schema in schemas:
+            t_schema = time.perf_counter()
+            tables = self.catalog.list_tables(
+                schema, self.table_name_include_pattern, self.table_name_exclude_pattern
+            )
+            if self.max_concurrent_tables > 1:
+                with ThreadPoolExecutor(max_workers=self.max_concurrent_tables) as pool:
+                    results.extend(pool.map(lambda t: self.export_table(schema, t), tables))
+            else:
+                for table in tables:
+                    results.append(self.export_table(schema, table))
+            logger.info(
+                "Exported schema: %s in %.4f s", schema, time.perf_counter() - t_schema
+            )
+        logger.info("Exported all schemas in %.4f s", time.perf_counter() - t_all)
+        return results
+
+
+def exporter(
+    spark: SparkSession,
+    source_path: str,
+    output_path: str,
+    **kwargs,
+) -> list[ExportResult]:
+    """Programmatic one-call surface, analog of reference ``exporter()``
+    (main.py:266-314) with the parquet-directory catalog."""
+    cat = ParquetDirectoryCatalog(spark, source_path)
+    return SparkParquetExporter(
+        spark=spark, catalog=cat, output_path=output_path, **kwargs
+    ).export_tables()

@@ -71,3 +71,410 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Joins — every flavor; Catalyst picks broadcast/sort-merge, we hint dims
+# ---------------------------------------------------------------------------
+@query(
+    "join_inner_broadcast",
+    oracle=f"""
+    SELECT n_name,
+           {dec_sum_sql('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact->dim star join: orders joins customer, then the 25-row nation
+    dim is explicitly broadcast — zero shuffle for the dim side at any
+    scale (SURVEY.md §2 Part B joins row)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dec_sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders (COUNT of the
+    null-extended side is 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 10 = 0
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .where(c.c_custkey % 10 == 0)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+         big_accts AS (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal > 5000)
+    SELECT COALESCE(b.k, a.k) AS custkey, n_orders, c_acctbal
+    FROM buyers b
+    FULL JOIN big_accts a ON b.k = a.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived sides; COALESCE merges the key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n_orders"))
+    big = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"), "c_acctbal")
+    return buyers.join(big, buyers.k == big.k, "full").select(
+        F.coalesce(buyers.k, big.k).alias("custkey"), "n_orders", "c_acctbal"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+    """,
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join: no row multiplication, right side only
+    shuffles its join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two broadcast-sized dims (5 x 25)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_range_theta",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_close,
+           {dec_sum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+      AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+    GROUP BY p_brand
+    """,
+    tags=("join", "range"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: the equi key carries the shuffle, the
+    range predicate is evaluated post-match — so this stays a hash/SMJ
+    join, never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 2)
+        & (li.l_quantity <= p.p_size + 2)
+    )
+    return (
+        li.join(p, cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_close"), dec_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "agg_basic_stats",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {dec_sum_sql('o_totalprice')} AS sum_price,
+           {dec_avg_sql('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/count-distinct/min/max/sum/avg per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        dec_avg("o_totalprice").alias("avg_price"),
+    )
+
+
+@query(
+    "agg_var_stddev",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(c_acctbal) AS n,
+           (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+            - CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+              * CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal))
+           / (COUNT(c_acctbal) - 1) AS var_samp,
+           sqrt((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+            - CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+              * CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal))
+           / (COUNT(c_acctbal) - 1)) AS stddev_samp
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def agg_var_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact decimal sums (sum-of-squares form)
+    so the result is order-independent and bit-identical to the oracle;
+    native stddev over doubles is order-dependent in the last ulp."""
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    n = F.count(x)
+    sx = F.sum(x.cast("decimal(25,6)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(25,6)")).cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return c.groupBy("c_mktsegment").agg(
+        n.alias("n"), var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n, {dec_sum_sql('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100 AND SUM(l_quantity) > 1000
+    """,
+    tags=("agg", "filter"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("l_quantity").alias("total_qty"))
+        .where((F.col("n") > 100) & (F.col("total_qty") > 1000))
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "array"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set, sorted then string-joined: collection aggs have no
+    inherent order, and array-typed output columns compare differently
+    across pandas bridges (numpy array repr vs list repr) — a scalar
+    string is representation-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {dec_sum_sql('l_quantity')} AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with GROUPING() disambiguating the
+    all-rows NULL from data NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           {dec_sum_sql('o_totalprice')} AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "orders")
+    return li.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_suppkey,
+           COUNT(*) AS n,
+           {dec_sum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (the DataFrame API exposes only
+    rollup/cube; Catalyst expands both to the same Expand node)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_suppkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dec_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit values avoid the extra
+    distinct-scan Spark needs to discover them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).agg(dec_sum("l_quantity"))
+    return piv.select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
+
+
+@query("agg_approx", tags=("agg", "approx"))
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + percentile_approx — sketch
+    algorithms differ from DuckDB's, so this is a rows-only check; the
+    exact counterparts are covered by agg_basic_stats/window tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_disc(l_quantity, 0.9) AS p90_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles: continuous (interpolated) + discrete."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("p90_qty_disc"),
+    )

@@ -1,0 +1,369 @@
+"""Scalar function surface: string / date / math / conditional / array /
+JSON families, plus projection, compound filters, and null handling.
+
+The reference's only scalar-level behavior is identity projection with
+optional lowercase rename (main.py:110-127) and regex matching over
+*metadata* (main.py:200,205-207); here the same predicate machinery
+(like/rlike) is applied to data, plus the full function families a user
+of the exported parquet needs (SURVEY.md §2 Part B "Scalar fns").
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen; no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.plans.registry import dec_sum, dec_sum_sql, query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter
+# ---------------------------------------------------------------------------
+@query(
+    "proj_select_cast_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           o_orderstatus || '-' || o_orderpriority AS status_prio,
+           date_trunc('day', o_orderdate) AS order_day
+    FROM orders
+    """,
+    tags=("projection",),
+)
+def proj_select_cast_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with rename + cast (reference A5, main.py:110-127, as a
+    data-level operation). Column-pruned scan: only 4 columns read."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.date_trunc("day", "o_orderdate").alias("order_day"),
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE (l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05)
+       OR (l_returnflag IN ('A', 'R') AND NOT l_linestatus = 'O')
+    """,
+    tags=("filter",),
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: AND/OR/NOT/IN/BETWEEN, pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity").between(10, 20) & (F.col("l_discount") > 0.05))
+        | (F.col("l_returnflag").isin("A", "R") & ~(F.col("l_linestatus") == "O"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "filter_like_rlike",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment LIKE '%BUILD%'
+       OR regexp_matches(c_name, '[0-9]{2}$')
+    """,
+    tags=("filter", "regex"),
+)
+def filter_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + regex predicates over data — the reference applies these only
+    to table names (REGEXP_LIKE include/exclude, main.py:200,205-207)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(
+        F.col("c_mktsegment").like("%BUILD%") | F.col("c_name").rlike("[0-9]{2}$")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_discount, 0.0) AS disc_or_null,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_coalesced,
+           NULLIF(l_discount, 0.0) IS NULL AS is_zero_disc,
+           CASE WHEN NULLIF(l_tax, 0.0) IS NOT NULL THEN 'taxed' ELSE 'untaxed' END AS tax_flag
+    FROM lineitem
+    WHERE l_quantity < 5
+    """,
+    tags=("null",),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nullif/coalesce/isNull/nvl-style handling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.where(F.col("l_quantity") < 5).select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_null.alias("disc_or_null"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_coalesced"),
+        disc_null.isNull().alias("is_zero_disc"),
+        F.when(F.nullif(F.col("l_tax"), F.lit(0.0)).isNotNull(), "taxed")
+        .otherwise("untaxed")
+        .alias("tax_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions
+# ---------------------------------------------------------------------------
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           upper(c_mktsegment) AS seg_upper,
+           trim(c_name) AS name_trim,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           replace(c_mktsegment, 'A', '_') AS seg_replaced
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (lower/upper/trim/substr/concat/length/
+    regexp_extract/regexp_replace/lpad/replace)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim("c_name").alias("name_trim"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("name_masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("seg_replaced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions
+# ---------------------------------------------------------------------------
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_dom,
+           CAST(hour(o_orderdate) AS BIGINT) AS order_hour,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract parts, truncate, diff, offset, format."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_dom"),
+        F.hour("o_orderdate").cast("long").alias("order_hour"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp_ntz").alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math functions
+# ---------------------------------------------------------------------------
+@query(
+    "fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS price_round,
+           abs(o_totalprice - 100000.0) AS price_dev,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           sqrt(o_totalprice) AS price_sqrt,
+           round(ln(o_totalprice), 6) AS price_ln,
+           round(log10(o_totalprice), 6) AS price_log10,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(sign(o_totalprice - 100000.0) AS DOUBLE) AS price_sign,
+           power(CAST(o_orderkey % 5 AS DOUBLE), 2) AS key_sq
+    FROM orders
+    """,
+    tags=("scalar", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-correctly-rounded (bit-exact across
+    engines); transcendentals (ln/log10) are rounded to 6 decimals because
+    libm implementations may differ in the last ulp."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(price, 2).alias("price_round"),
+        F.abs(price - 100000.0).alias("price_dev"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.sqrt(price).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
+        F.signum(price - 100000.0).alias("price_sign"),
+        F.pow((F.col("o_orderkey") % 5).cast("double"), 2).alias("key_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional functions
+# ---------------------------------------------------------------------------
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           CASE l_returnflag WHEN 'A' THEN 1 WHEN 'R' THEN 2 ELSE 0 END AS flag_code
+    FROM lineitem
+    """,
+    tags=("scalar", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise chains, simple CASE, greatest/least."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.when(F.col("l_returnflag") == "A", 1)
+        .when(F.col("l_returnflag") == "R", 2)
+        .otherwise(0)
+        .alias("flag_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array functions (embeddings + split text)
+# ---------------------------------------------------------------------------
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_elem,
+           embedding[64] AS last_elem,
+           list_contains(embedding, 0.0) AS has_zero
+    FROM embeddings
+    """,
+    tags=("scalar", "array", "multimodal"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column (ArrayType(FloatType))."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", 64).alias("last_elem"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@query(
+    "fn_explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE length(text) > 0)
+    WHERE length(token) > 0
+    GROUP BY token
+    """,
+    tags=("scalar", "array", "text"),
+)
+def fn_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(text)) -> token histogram; generator + agg in one
+    stage, partial-aggregated map-side before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON functions (events.props)
+# ---------------------------------------------------------------------------
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column
+    (get_json_object + typed from_json), SURVEY.md §1.3 extension row."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@query(
+    "fn_json_struct_agg",
+    oracle=f"""
+    SELECT event_type,
+           {dec_sum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "agg"),
+)
+def fn_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, then aggregate over the extracted
+    field — the schema-on-read pattern for semi-structured columns."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        ev.withColumn("p", F.from_json("props", schema))
+        .groupBy("event_type")
+        .agg(dec_sum(F.col("p.k")).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )

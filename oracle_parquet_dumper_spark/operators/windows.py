@@ -1,0 +1,232 @@
+"""Window-function surface + as-of join.
+
+Absent from the reference (SURVEY.md §2 "What the reference does NOT
+implement"); required by the Part B extension.  All frames are built-in
+``Window`` specs — ranking, offsets, running/moving aggregates — and the
+as-of join is the scalable union-sort formulation (one sort-merge pass,
+no row-multiplying pre-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+    bench=True,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number + filter. Unique tiebreak
+    (o_orderkey) keeps the result deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+    tags=("window",),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           LAG(value, 2, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2_or_default
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset functions over per-user event time-lines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/count with an explicit rows frame (decimal-summed
+    for order-independent exactness)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (bounded rows frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov_avg3"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over the full-partition frame (the default
+    frame would make last_value = current row — classic trap)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT t.event_id, t.user_id, t.ts_us AS trade_ts, t.value AS trade_value,
+           q.value AS last_view_value
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts_us, value
+          FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, value
+          FROM events WHERE event_type = 'view') q
+    ON t.user_id = q.user_id AND q.ts_us <= t.ts_us
+    """,
+    tags=("join", "asof", "events"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior-or-equal view
+    by the same user.
+
+    Spark has no ASOF JOIN; the scalable formulation is union-the-streams
+    + one window pass (last non-null carried value), which costs a single
+    sort-merge by (user_id, ts) instead of an O(pairs) inequality join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    trades = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_trade")
+    )
+    quotes = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        "value",
+        F.lit(0).alias("is_trade"),
+    )
+    merged = trades.unionByName(quotes)
+    # Quotes sort before trades at equal ts (is_trade asc) => inclusive <=.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_trade")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_view_value",
+        F.last(F.when(F.col("is_trade") == 0, F.col("value")), ignorenulls=True).over(w),
+    )
+    return carried.where(F.col("is_trade") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("trade_ts"),
+        F.col("value").alias("trade_value"),
+        "last_view_value",
+    )

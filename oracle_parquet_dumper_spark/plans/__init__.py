@@ -11,6 +11,11 @@ from oracle_parquet_dumper_spark.plans.registry import (  # noqa: F401
 )
 
 # Operator modules register queries at import time.
-from oracle_parquet_dumper_spark.operators import relational  # noqa: F401,E402
+from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
+    relational,
+    scalars,
+    setops,
+    windows,
+)
 
-OPERATOR_MODULES = [relational]
+OPERATOR_MODULES = [relational, scalars, setops, windows]

@@ -39,7 +39,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Keep this the single scan entry point so a
-    future switch to a catalog/Delta/iceberg source is one-line."""
+    future switch to a catalog/Delta/iceberg source is one-line.
+
+    ``events.ts`` is a nanosecond parquet timestamp, which Spark's parquet
+    reader rejects outright (PARQUET_TYPE_ILLEGAL); we read it as raw
+    nanos (``nanosAsLong``) and truncate to microseconds — exactly what
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` does — yielding TIMESTAMP_NTZ like
+    every other fixture timestamp."""
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

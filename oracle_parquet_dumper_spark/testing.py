@@ -48,17 +48,21 @@ def normalize_frame(pdf) -> tuple[list[str], list[tuple]]:
 
 
 def _cells_equal(a, b) -> bool:
+    """Strict: values must agree AND be the same representation category
+    (int vs float vs bool vs datetime) — a bigint on one side and a
+    double on the other hash differently in the driver even when
+    numerically equal."""
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     if isinstance(a, bool) or isinstance(b, bool):
-        return a == b
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        return float(a) == float(b)
+        return type(a) is type(b) and a == b and str(a) == str(b)
     if isinstance(a, (datetime, date)) and isinstance(b, (datetime, date)):
-        return a == b
-    return a == b
+        return type(a) is type(b) and a == b
+    return type(a) is type(b) and a == b
 
 
 @dataclass

@@ -1,0 +1,184 @@
+"""Export-parity tests, modeled on the reference's e2e smoke
+(tests/basic_test.py:34-40: layout + naming + rows>0) plus the semantics
+SURVEY.md §1-2 calls out: regex include/exclude, type pruning, lowercase
+renames, overwrite guard, row limit, empty-table skip, size rolling."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from oracle_parquet_dumper_spark.catalog import (
+    JdbcCatalog,
+    ParquetDirectoryCatalog,
+    eligible_fields,
+    matches,
+)
+from oracle_parquet_dumper_spark.exporter import SparkParquetExporter, exporter
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    """A miniature database directory: two real tables + one empty table
+    + one table whose only data column is binary."""
+    src = tmp_path_factory.mktemp("src")
+    region = pq.read_table("/root/testdata/sf0.001/region.parquet")
+    nation = pq.read_table("/root/testdata/sf0.001/nation.parquet")
+    pq.write_table(region, src / "REGION.parquet")
+    pq.write_table(nation, src / "NATION.parquet")
+    pq.write_table(region.slice(0, 0), src / "EMPTYTAB.parquet")
+    pq.write_table(
+        pa.table({"payload": pa.array([b"a", b"b"], type=pa.binary())}),
+        src / "BINONLY.parquet",
+    )
+    return str(src)
+
+
+def test_layout_and_naming(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    results = exporter(spark, source_dir, out, table_name_include_pattern="REGION")
+    assert [r.table for r in results] == ["REGION"]
+    # reference layout: <out>/<schema>/<table>/<table>_0.parquet (basic_test.py:35)
+    path = os.path.join(out, "main", "REGION", "REGION_0.parquet")
+    assert os.path.exists(path)
+    assert pq.read_table(path).num_rows > 0
+    assert not os.path.exists(os.path.join(out, "main", "REGION", "_SUCCESS"))
+
+
+def test_include_exclude_patterns(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    results = exporter(
+        spark,
+        source_dir,
+        out,
+        table_name_include_pattern="N|REGION",
+        table_name_exclude_pattern="EMPTY",
+    )
+    names = sorted(r.table for r in results)
+    # substring regex semantics (REGEXP_LIKE): BINONLY matches 'N'
+    assert names == ["BINONLY", "NATION", "REGION"]
+
+
+def test_lowercase_object_names(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    exporter(
+        spark,
+        source_dir,
+        out,
+        table_name_include_pattern="NATION",
+        lowercase_object_names=True,
+    )
+    path = os.path.join(out, "main", "nation", "nation_0.parquet")
+    assert os.path.exists(path)
+    cols = pq.read_schema(path).names
+    assert cols == [c.lower() for c in cols]
+
+
+def test_overwrite_guard(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    exporter(spark, source_dir, out, table_name_include_pattern="REGION")
+    with pytest.raises(RuntimeError, match="exists and overwrite is not allowed"):
+        exporter(spark, source_dir, out, table_name_include_pattern="REGION")
+    exporter(spark, source_dir, out, table_name_include_pattern="NATION", overwrite=True)
+    # rmtree semantics: previous contents are gone (main.py:225-232)
+    assert not os.path.exists(os.path.join(out, "main", "REGION"))
+    assert os.path.exists(os.path.join(out, "main", "NATION"))
+
+
+def test_row_limit(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    exporter(spark, source_dir, out, table_name_include_pattern="NATION", row_limit=7)
+    path = os.path.join(out, "main", "NATION", "NATION_0.parquet")
+    assert pq.read_table(path).num_rows == 7
+
+
+def test_empty_table_writes_no_file(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    results = exporter(spark, source_dir, out, table_name_include_pattern="EMPTYTAB")
+    assert results[0].skipped == "empty"
+    assert not os.path.exists(os.path.join(out, "main", "EMPTYTAB"))
+
+
+def test_binary_only_table_skipped(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    results = exporter(spark, source_dir, out, table_name_include_pattern="BINONLY")
+    assert results[0].skipped == "no_eligible_columns"
+
+
+def test_binary_column_pruned_not_whole_table(spark):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("iv", T.DayTimeIntervalType()),
+        ]
+    )
+    assert eligible_fields(schema) == ["id"]
+
+
+def test_size_rolling_multiple_files(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    # ~3KB target over a 6k-row table forces several rolled files
+    exporter(
+        spark,
+        source_dir,
+        out,
+        table_name_include_pattern="NATION",
+        parquet_max_file_size=300,
+    )
+    files = os.listdir(os.path.join(out, "main", "NATION"))
+    assert len(files) > 1
+    assert sorted(files)[0] == "NATION_0.parquet"
+    total = sum(
+        pq.read_table(os.path.join(out, "main", "NATION", f)).num_rows for f in files
+    )
+    assert total == 25
+
+
+def test_compression_methods(spark, source_dir, tmp_path):
+    for method in ("none", "snappy", "gzip", "zstd"):
+        out = str(tmp_path / f"out_{method}")
+        exporter(
+            spark, source_dir, out, table_name_include_pattern="REGION", compression_method=method
+        )
+        path = os.path.join(out, "main", "REGION", "REGION_0.parquet")
+        meta = pq.ParquetFile(path).metadata.row_group(0).column(0)
+        expect = "UNCOMPRESSED" if method == "none" else method.upper()
+        assert meta.compression == expect
+    with pytest.raises(ValueError):
+        exporter(spark, source_dir, str(tmp_path / "bad"), compression_method="lz99")
+
+
+def test_regex_matcher_semantics():
+    # Oracle REGEXP_LIKE is substring-match, not anchored
+    assert matches("LINEITEM", "ITEM", None)
+    assert not matches("LINEITEM", "^ITEM", None)
+    assert not matches("LINEITEM", ".*", "LINE")
+
+
+def test_jdbc_sql_generation():
+    """The dictionary SQL the JDBC catalog pushes down mirrors the
+    reference's generated SQL (main.py:92-99, 195-207)."""
+    sql = JdbcCatalog.tables_sql("SYSTEM", "HELP", None)
+    assert "REGEXP_LIKE(table_name, 'HELP')" in sql
+    assert "NOT REGEXP_LIKE" not in sql
+    assert sql.endswith("ORDER BY table_name ASC")
+    sql2 = JdbcCatalog.tables_sql("S", ".*", "TMP_")
+    assert "AND NOT REGEXP_LIKE(table_name, 'TMP_')" in sql2
+    csql = JdbcCatalog.columns_sql("S", "T")
+    for t in ("BLOB", "BFILE", "CLOB", "UNDEFINED", "UROWID", "LONG", "RAW"):
+        assert f"'{t}'" in csql
+    assert "NOT LIKE 'INTERVAL %'" in csql
+    assert csql.endswith("ORDER BY column_id ASC")
+
+
+def test_catalog_listing(spark, source_dir):
+    cat = ParquetDirectoryCatalog(spark, source_dir)
+    assert cat.list_schemas() == ["main"]
+    assert cat.list_tables("main") == ["BINONLY", "EMPTYTAB", "NATION", "REGION"]
+    assert cat.read_table("main", "REGION").count() == 5
