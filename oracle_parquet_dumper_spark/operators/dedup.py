@@ -1,0 +1,279 @@
+"""Deduplication operators over ``documents`` / ``embeddings``:
+exact (hash group-by), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+North-star extension (SURVEY.md §2 Part B "Dedup").  Design for 100 TB:
+
+- exact dedup shuffles a 16-byte digest, never the document body;
+- MinHash/LSH turns the O(n^2) pair problem into a band-bucket
+  shuffle (candidates only collide within a band bucket);
+- SimHash reduces each doc to one 64-bit signature;
+- pairwise-exact variants are *blocked* (same lang / sampled ids) —
+  the only honest way to run exact pair scoring at scale.
+
+All hashing is Spark built-in (xxhash64/md5) — deterministic, seeded,
+JVM-side.  MinHash/SimHash internals can't be replayed in DuckDB
+(different hash functions), so those are rows-only checks; their
+correctness is pinned by unit tests on planted near-duplicates
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.functions.vectors import cosine_rounded, cosine_rounded_sql
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows/band -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: group on md5(text), keep the
+    smallest doc_id.  Only the 16-byte digest shuffles; document bodies
+    stay in place — the difference between shuffling 100 TB and 2 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_multicol",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT (lang, source, text)) AS n_distinct
+    FROM documents
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact dedup cardinality (dropDuplicates semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang", "source", "text").alias("n_distinct"),
+    )
+
+
+def shingles(col, k: int = 3):
+    """Word k-gram shingles as strings, joined with unit-separator \\x1f
+    (cannot occur inside whitespace-split tokens, so 'ab'+'c' != 'a'+'bc').
+    Documents shorter than k words contribute one whole-text shingle."""
+    toks = F.filter(F.split(F.lower(col), " "), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws("\x1f", *[F.element_at(toks, i + j) for j in range(k)])
+    )
+    return F.when(n >= k, gram).otherwise(F.array(F.concat_ws("\x1f", toks)))
+
+
+def _seeded_min_hash(shingle_col, seed: int):
+    # NB: the lambda must take exactly one arg — a second arg would be
+    # interpreted by transform() as the array index, not a closure var.
+    return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(F.lit(seed), s)))
+
+
+def minhash_signature(shingle_col):
+    """N_MINHASH independent min-hashes as one array expression.
+
+    WARNING: only for small inputs/tests — Catalyst does NOT common-
+    subexpression-eliminate the shingle array across the N array_min
+    branches, so the shingle computation runs N times per row.  The
+    scalable path is ``minhash_signatures_df`` (explode + min-agg)."""
+    return F.array(*[_seeded_min_hash(shingle_col, i) for i in range(N_MINHASH)])
+
+
+def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalable MinHash: explode shingles once, then N_MINHASH min()
+    aggregates (each over xxhash64(seed, shingle)).  One generator + one
+    partial-aggregated shuffle keyed by doc_id; the shingle array is
+    computed exactly once per document."""
+    sh = docs.select("doc_id", F.explode(shingles(F.col(text_col))).alias("shingle"))
+    agg = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}") for i in range(N_MINHASH)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("sig")
+    )
+
+
+@query("dedup_minhash_lsh", tags=("dedup", "lsh"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs.
+
+    shingle(3-gram) -> 16 minhashes -> 4 bands x 4 rows; docs colliding
+    on any band's hash become candidates; candidates are verified with
+    the exact signature-estimated Jaccard (fraction of agreeing
+    minhashes).  The shuffle key is (band_id, band_hash) — at 100 TB no
+    all-pairs comparison ever materializes; cost is bounded by bucket
+    occupancy (salt or re-band if a bucket explodes).
+
+    Rows-only driver check (xxhash64 is Spark-specific); semantics are
+    unit-tested on planted near-duplicates.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    sig = minhash_signatures_df(d)
+
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(N_MINHASH))
+    return (
+        pairs.select("a", "b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+        .orderBy("a", "b")
+    )
+
+
+@query("dedup_simhash", tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures: per token-hash, each bit votes +1/-1;
+    the signature sign-thresholds the 64 vote sums.  Computed as one
+    aggregate over the token-hash array (no explode, no shuffle until the
+    final output).  Near-dups = small Hamming distance; rows-only check,
+    unit-tested on permuted/edited texts."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    # Explode formulation: the token-hash stream is computed ONCE, then
+    # 64 partial-aggregated vote sums (Catalyst would otherwise duplicate
+    # the tokenization into each of the 64 fold branches).
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    one = F.lit(1).cast("long")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(one) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        v = F.col(f"b{i}")
+        if i < 63:
+            term = F.when(v > 0, F.lit(2**i).cast("long")).otherwise(0).cast("long")
+        else:  # sign bit: set => Long.MIN_VALUE contribution
+            term = F.when(v > 0, F.lit(-(2**63)).cast("long")).otherwise(0).cast("long")
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH s AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+               WHERE doc_id % 5 = 0 AND length(text) > 0)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(jaccard(a.t, b.t), 6) AS char_jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE jaccard(a.t, b.t) >= 0.9
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-set Jaccard similarity join, blocked by language and a
+    doc_id sample (exact pairwise scoring is only viable inside blocks).
+    Matches DuckDB's ``jaccard()`` definition: distinct-character sets."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.where((F.col("doc_id") % 5 == 0) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), ""), lambda c: F.length(c) > 0)
+            ).alias("chars"),
+        )
+    )
+    a = s.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"), F.col("chars").alias("ca"))
+    b = s.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"), F.col("chars").alias("cb"))
+    inter = F.size(F.array_intersect("ca", "cb")).cast("double")
+    union = F.size(F.array_union("ca", "cb")).cast("double")
+    jac = inter / union
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("a") < F.col("b")))
+        .where(jac >= 0.9)
+        .select("a", "b", F.round(jac, 6).alias("char_jaccard"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
+             {cosine_rounded_sql('a.embedding', 'b.embedding')} AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, COUNT(*) AS n_near, MAX(cos) AS max_cos
+    FROM p WHERE cos >= 0.3
+    GROUP BY label
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, blocked by label (the
+    centroid/cluster id at scale): pairs above threshold, aggregated per
+    block.  The join shuffles on label only; per-block pair scoring is
+    the standard post-clustering dedup pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("label").alias("label"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb"))
+    cos = cosine_rounded("va", "vb")
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
+        .select("label", cos.alias("cos"))
+        .where(F.col("cos") >= 0.3)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_near"), F.max("cos").alias("max_cos"))
+    )

@@ -1,0 +1,192 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+North-star extension (SURVEY.md §2 Part B "Multimodal columns").  The
+container has no image/audio codecs, so the decode kernels are
+deterministic fakes behind ``_decode_stub`` (clearly marked); everything
+Spark-side — schema, binary handling, batch iteration, UDF signatures,
+partitioning — is real and tested.  Swapping the stub for PIL/ffmpeg is
+a one-function change that touches no plan.
+
+The reference *excludes* LOB/RAW columns outright (main.py:96-97); this
+module is the opposite design point: binary payloads are first-class,
+processed where they sit (no collect), with metadata extracted into
+columns so downstream filters stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+# The pandas kernels below are shipped to Python workers by cloudpickle.
+# By default module-level functions pickle BY REFERENCE (workers would
+# need this package importable); register the module for by-value
+# pickling so the kernel code travels inside the serialized task and the
+# engine works no matter where the driver process runs from.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def with_payload(df: DataFrame) -> DataFrame:
+    """Synthesize a binary 'media payload' column from text (fixtures
+    carry no real blobs): payload = utf-8 bytes, mime from source."""
+    return df.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(F.lit("fake/"), "source").alias("mime"),
+        F.struct(
+            F.col("lang").alias("lang"), F.length("text").cast("long").alias("declared_len")
+        ).alias("meta"),
+    )
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           'fake/' || source AS mime
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: byte length + content digest + mime,
+    all JVM-side — the filter/shard stage that runs *before* any
+    expensive decode at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    p = with_payload(d)
+    return p.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_hash"),
+        "mime",
+    )
+
+
+# --- decode stubs (the only not-real part; see module docstring) -----------
+def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB image decode: deterministic fake dims + 4-dim feature from
+    the payload bytes.  Replace with a real codec (PIL etc.) in prod —
+    signature and batch shape stay identical."""
+    h = 0
+    for by in payload[:64]:
+        h = (h * 31 + by) % 1_000_003
+    width = 64 + (h % 192)
+    height = 64 + ((h // 192) % 192)
+    feat = [
+        round(((h >> (8 * i)) & 0xFF) / 255.0, 6) if i < 4 else 0.0 for i in range(4)
+    ]
+    return width, height, feat
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("aspect", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_and_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batch in -> Arrow batch out.  Runs once
+    per input batch on the executor; memory is O(batch), and batch size
+    is governed by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "aspect": [], "feature": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, feat = _decode_stub(bytes(payload))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["aspect"].append(round(w / h, 6))
+            out["feature"].append(feat)
+        yield pd.DataFrame(out)
+
+
+@query("mm_image_features", tags=("multimodal", "pandas_udf"))
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract pipeline over binary payloads via
+    mapInPandas (stubbed codec, real plumbing).  Rows-only check."""
+    d = load_table(spark, sf_dir, "documents")
+    p = with_payload(d).select("doc_id", "payload")
+    return p.mapInPandas(decode_and_featurize, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB video frame sampler: emits ceil(n_bytes/128) 'frames' per
+    payload (1:N fan-out through mapInPandas, the UDTF shape)."""
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = max(1, (len(b) + 127) // 128)
+            for i in range(n_frames):
+                chunk = b[i * 128 : (i + 1) * 128]
+                h = 0
+                for by in chunk:
+                    h = (h * 131 + by) % 1_000_000_007
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["frame_hash"].append(h)
+        yield pd.DataFrame(rows)
+
+
+@query("mm_frame_sample", tags=("multimodal", "pandas_udf"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (one payload -> N frame rows) via
+    mapInPandas; the 1:N generator shape used for video/audio chunking.
+    Rows-only check."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    p = with_payload(d).select("doc_id", "payload")
+    return p.mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+@query(
+    "mm_grouped_embed_agg",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(embedding[1] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("multimodal", "embedding"),
+)
+def mm_grouped_embed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid component over the embedding array column —
+    the typed-array aggregation pattern (first dim only, decimal-exact)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.element_at("embedding", 1).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_d1"),
+    )

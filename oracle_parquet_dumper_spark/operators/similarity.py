@@ -1,0 +1,160 @@
+"""Similarity search over the ``embeddings`` table: exact brute-force
+top-k (the baseline) and LSH/IVF bucketed variants (the scale path).
+
+North-star extension (SURVEY.md §2 Part B "Similarity search").  The
+brute-force pass broadcasts the query vector and scans once — at 100 TB
+that is one map-side pass plus a TakeOrderedAndProject (per-partition
+top-k heaps, driver merges k*partitions rows, no global sort).  The LSH
+variant prunes the scan to matching buckets; buckets are precomputable
+and bucketable/bucket-joinable at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.functions.vectors import (
+    cosine_rounded,
+    cosine_rounded_sql,
+    dot,
+)
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+# Deterministic hyperplanes for sign-LSH (seed fixed; SURVEY.md §7 hard
+# part 5: seeded randomness only).
+_rng = np.random.default_rng(42)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.standard_normal(64)] for x in range(8)
+]
+
+
+def _query_vector(spark: SparkSession, sf_dir: str):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, {cosine_rounded_sql('embedding', 'qvec')} AS cos
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity",),
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector: broadcast the vector,
+    one scan, per-partition heap top-k (TakeOrderedAndProject)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_rounded("embedding", "qvec").alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "sim_threshold_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 4 = 0)
+    SELECT a.label, COUNT(*) AS n_pairs,
+           MAX({cosine_rounded_sql('a.embedding', 'b.embedding')}) AS max_cos,
+           MIN({cosine_rounded_sql('a.embedding', 'b.embedding')}) AS min_cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_rounded_sql('a.embedding', 'b.embedding')} >= 0.2
+    GROUP BY a.label
+    """,
+    tags=("similarity", "join"),
+)
+def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise similarity join with threshold, blocked by label —
+    the aggregate per block keeps output bounded."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb")
+    )
+    cos = cosine_rounded("va", "vb")
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
+        .select("label", cos.alias("cos"))
+        .where(F.col("cos") >= 0.2)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("cos").alias("max_cos"),
+            F.min("cos").alias("min_cos"),
+        )
+    )
+
+
+def _bucket_expr(vec_col):
+    """Sign-LSH bucket id: concat of sign bits of <vec, plane_i>."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
+        for plane in HYPERPLANES
+    ]
+    return F.concat(*bits)
+
+
+@query("sim_ann_lsh", tags=("similarity", "lsh"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-LSH: 8 fixed hyperplanes -> 8-bit bucket;
+    search = exact cosine re-rank *within the query's bucket only*.
+
+    At scale the bucket id is a precomputed partition/bucket column, so a
+    query touches 1/256th of the data; recall is tuned by plane count
+    and multi-probe.  Rows-only check (sign boundaries are not robust
+    to cross-engine fp differences); recall vs brute force is asserted
+    in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket"))
+    q = bucketed.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "bucket", cosine_rounded("embedding", "qvec").alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@query("sim_ivf_coarse", tags=("similarity", "ivf"))
+def sim_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = the label column (stand-in for
+    k-means centroid ids, which at scale are trained offline); search =
+    exact cosine within the query's cell plus the next cell (nprobe=2).
+    Demonstrates the partition-pruned ANN layout: cells map to partition
+    keys so a probe reads only its cells' files."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("label").alias("qcell")
+    )
+    probed = e.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qcell")) | (F.col("label") == (F.col("qcell") + 1) % 10),
+    )
+    return (
+        probed.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", cosine_rounded("embedding", "qvec").alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(TOP_K)
+    )

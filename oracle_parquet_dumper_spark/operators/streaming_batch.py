@@ -1,0 +1,106 @@
+"""Batch-equivalent declarations of the streaming operators
+(streaming/ops.py) — same logical plans over the static events table, so
+the DuckDB oracle can check them (SURVEY.md §7 hard part 6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+from oracle_parquet_dumper_spark.streaming.ops import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h windows per event type (batch form of the watermarked
+    streaming agg; F.window and time_bucket share the epoch-aligned
+    origin for hour-multiples)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev.drop("props"))
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) - (k * INTERVAL '6 hours') AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 12h/6h windows: every event belongs to exactly two
+    windows (width/slide = 2) — the SQL mirror enumerates both via the
+    k in {0,1} offset trick."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev.drop("props"))
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '2 days'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '2 days' AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (2-day gap) per user.  The SQL mirror is the
+    classic lag/cumsum sessionization; Spark's session_window end =
+    last event + gap, reproduced as MAX(ts) + gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev.drop("props"))
+
+
+@query(
+    "stream_dedup_pairs",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_first_seen
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of in-stream dedup on (user_id, event_type): the
+    surviving-row count per type equals the distinct-user count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_seen"))
+    )

@@ -1,0 +1,253 @@
+"""Text-analysis operators over the ``documents`` table: statistics,
+token counting, language ID, quality scoring, fingerprinting, TF-IDF.
+
+North-star extension (SURVEY.md §2 Part B "Text analysis") — absent from
+the reference, required for a 100 TB training-data pipeline.  Everything
+is built-in column expressions (split/regexp/aggregate) so the hot path
+stays in whole-stage codegen; there is no Python in any per-row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+# BPE-ish word/number/punct tokenizer (shared by Spark + DuckDB sides).
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def words_col(col: str = "text"):
+    """Whitespace tokens, empties filtered (split of '' yields [''])."""
+    return F.filter(F.split(F.col(col), " "), lambda t: F.length(t) > 0)
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           length(text) AS n_chars_actual,
+           CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT) AS n_punct,
+           round(length(text) / nullif(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 0), 6) AS chars_per_word
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (char/word/punct counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(words_col()).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        F.length(F.regexp_replace("text", "[^.!?,;]", "")).cast("long").alias("n_punct"),
+        F.round(F.length("text") / F.nullif(n_words, F.lit(0)), 6).alias("chars_per_word"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (letters / digits / single punctuation) — the standard cheap
+    token-budget estimators for LLM data curation."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words_col()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_lang_dist",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language distribution with share-of-total (window over the
+    aggregate output — #langs rows, so the unpartitioned window is free)."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(W.partitionBy()).cast("double"), 6).alias("share"),
+    )
+
+
+# Marker stopwords per language for the n-gram-heuristic language ID.
+_LANG_MARKERS = {
+    "en": r"\b(the|a|of)\b",
+    "tech": r"\b(spark|data|query|table)\b",
+}
+
+
+@query(
+    "text_langid_heuristic",
+    oracle=rf"""
+    SELECT doc_id,
+           CASE
+             WHEN len(regexp_extract_all(lower(text), '{_LANG_MARKERS["tech"]}'))
+                  > len(regexp_extract_all(lower(text), '{_LANG_MARKERS["en"]}')) THEN 'tech'
+             WHEN len(regexp_extract_all(lower(text), '{_LANG_MARKERS["en"]}')) > 0 THEN 'en'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+    """,
+    tags=("text", "langid"),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language/domain ID (argmax of marker-class hit
+    counts) — the classic cheap n-gram language-ID shape: count class
+    markers, pick the dominant class, 'und' when nothing fires."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    tech = F.size(F.regexp_extract_all(low, F.lit(_LANG_MARKERS["tech"])))
+    en = F.size(F.regexp_extract_all(low, F.lit(_LANG_MARKERS["en"])))
+    return d.select(
+        "doc_id",
+        F.when(tech > en, "tech").when(en > 0, "en").otherwise("und").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS DOUBLE) AS w,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS stop_hits,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(length(text) AS DOUBLE) AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           round(  0.4 * least(w / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(punct / nullif(c, 0.0), 1.0))
+                 + 0.3 * least(3.0 * stop_hits / nullif(w, 0.0), 1.0), 6) AS quality
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length band + punctuation ratio +
+    stopword density — the Gopher/C4-style heuristic filter family,
+    expressed as one pass of column arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(words_col()).cast("double")
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"\b(the|a|of|and|to)\b"))
+    ).cast("double")
+    punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+    c = F.length("text").cast("double")
+    quality = F.round(
+        0.4 * F.least(w / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct / F.nullif(c, F.lit(0.0)), F.lit(1.0)))
+        + 0.3 * F.least(3.0 * stop_hits / F.nullif(w, F.lit(0.0)), F.lit(1.0)),
+        6,
+    )
+    return d.select("doc_id", quality.alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(string_split(lower(text), ''),
+                                        c -> CASE WHEN length(c) = 0 THEN 0::BIGINT ELSE unicode(c)::BIGINT END)),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (base 31, mod 1e9+7):
+    order-sensitive, so permuted texts get different prints, unlike a
+    bag-of-words hash.  Left fold keeps intermediates < 2^63 in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split(F.lower("text"), ""),
+        lambda ch: F.when(F.length(ch) == 0, F.lit(0)).otherwise(F.ascii(ch)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1000000007
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(0).cast("long")).otherwise(fp).alias("fingerprint"),
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0 AND length(text) > 0),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS token
+      FROM docs
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rn FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual TF-IDF (smoothed idf) + top-3 terms per document.  One
+    explode + two hash aggregations + a broadcast of the tiny df/N sides;
+    at 100 TB the token explode dominates and partial aggregation keeps
+    the shuffle bounded by vocabulary, not corpus, size."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.where((F.col("doc_id") % 20 == 0) & (F.length("text") > 0)).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(words_col()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar, computed once at plan time
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )

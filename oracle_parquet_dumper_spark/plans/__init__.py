@@ -12,10 +12,25 @@ from oracle_parquet_dumper_spark.plans.registry import (  # noqa: F401
 
 # Operator modules register queries at import time.
 from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
+    dedup,
+    multimodal,
     relational,
     scalars,
     setops,
+    similarity,
+    streaming_batch,
+    text,
     windows,
 )
 
-OPERATOR_MODULES = [relational, scalars, setops, windows]
+OPERATOR_MODULES = [
+    dedup,
+    multimodal,
+    relational,
+    scalars,
+    setops,
+    similarity,
+    streaming_batch,
+    text,
+    windows,
+]

@@ -1,0 +1,112 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming at all (SURVEY.md §2 negative result);
+this is the Part B extension.  Each operator here has a batch-equivalent
+query registered in ``operators.streaming_batch`` — the driver checks
+those against DuckDB, and ``tests/test_streaming.py`` asserts that the
+*streaming* execution (file source, availableNow trigger, memory sink)
+produces exactly the batch answer, which is the Structured Streaming
+correctness contract (incremental view maintenance of the same plan).
+
+Scale notes: watermarks bound state; tumbling/sliding windows keyed by
+(window, type) shard across executors; session windows use Spark's
+native session_window state merging; dedup-in-stream keeps only keys
+within the watermark horizon (dropDuplicatesWithinWatermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns in the fixture parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture. The ns timestamp is
+    read as raw long and truncated to microseconds exactly like the
+    batch loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a directory: stream the fixture dir with a
+    # glob pinned to the events table.
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "12 hours", slide: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event lands in
+    width/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "2 days", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (native session_window state store merging)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """In-stream exact dedup on (user_id, event_type): state is bounded
+    by the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming plan to completion (availableNow) into an
+    in-memory table; returns after the sink is final."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the scale-critical plan shapes must hold
+(SURVEY.md §4 / M5).  These catch regressions where a query still returns
+correct rows but stops broadcasting a dim, loses a parquet pushdown, or
+turns a top-k into a global sort."""
+
+from __future__ import annotations
+
+from oracle_parquet_dumper_spark.plans import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns are read
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # map-side partial agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+
+
+def test_star_join_broadcasts_dimension(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_left_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_left_anti")
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "proj_select_cast_alias")
+    # orders has 6 columns; the query needs 5 — o_custkey must not be read
+    assert "o_custkey" not in plan
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_range_theta")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udfs_in_relational_paths(spark, sf_dir):
+    """Everything except the explicitly-pandas multimodal ops must stay
+    JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
+    for name, spec in REGISTRY.items():
+        if "pandas_udf" in spec.tags:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell back to Python execution"
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # codegen'd stages print as "*(n) Operator"; under AQE the final
+    # plan only materializes after execution
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan

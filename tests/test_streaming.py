@@ -1,0 +1,68 @@
+"""Streaming execution tests: the watermarked streaming plans
+(file source -> availableNow -> memory sink) must produce exactly their
+batch-equivalent answers, plus a custom stateful operator via
+applyInPandasWithState."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oracle_parquet_dumper_spark.sources.tables import load_table
+from oracle_parquet_dumper_spark.streaming import ops
+
+
+def _normalize(df):
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, smoke_sf_dir):
+    stream = ops.tumbling_counts(ops.read_events_stream(spark, smoke_sf_dir))
+    ops.run_to_memory(stream, "t_tumbling")
+    got = spark.table("t_tumbling")
+    expect = ops.tumbling_counts(load_table(spark, smoke_sf_dir, "events").drop("props"))
+    assert _normalize(got) == _normalize(expect)
+
+
+def test_stream_session_equals_batch(spark, smoke_sf_dir):
+    stream = ops.session_windows(ops.read_events_stream(spark, smoke_sf_dir))
+    ops.run_to_memory(stream, "t_session")
+    got = spark.table("t_session")
+    expect = ops.session_windows(load_table(spark, smoke_sf_dir, "events").drop("props"))
+    assert _normalize(got) == _normalize(expect)
+
+
+def test_stream_dedup_bounded_state(spark, smoke_sf_dir):
+    stream = ops.stream_dedup(ops.read_events_stream(spark, smoke_sf_dir))
+    ops.run_to_memory(stream, "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    batch = load_table(spark, smoke_sf_dir, "events")
+    # one survivor per (user_id, event_type) pair
+    assert got.count() == batch.select("user_id", "event_type").distinct().count()
+    assert got.select("user_id", "event_type").distinct().count() == got.count()
+
+
+def test_apply_in_pandas_with_state(spark, smoke_sf_dir):
+    from oracle_parquet_dumper_spark.streaming.stateful import running_totals
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = running_totals(events)
+    ops.run_to_memory(stream, "t_state", output_mode="update")
+    got = spark.table("t_state")
+    # final state per user equals the batch per-user sum
+    batch = (
+        load_table(spark, smoke_sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("expected"))
+    )
+    # take the last emitted row per user (memory sink keeps all updates)
+    latest = (
+        got.groupBy("user_id").agg(F.max("running_total").alias("running_total"))
+    )
+    joined = latest.join(batch, "user_id")
+    mismatches = joined.where(
+        F.abs(F.col("running_total") - F.col("expected")) > 0.011
+    ).count()
+    assert mismatches == 0
