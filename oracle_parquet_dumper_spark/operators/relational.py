@@ -478,3 +478,86 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("p90_qty_disc"),
     )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {dec_sum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: phase 1 groups by
+    (key, salt) spreading a hot key over 16 reducers, phase 2 merges the
+    partials.  Semantically identical to a plain group-by (the oracle is
+    the plain form); decimal partials keep the merge order-independent.
+    At 100 TB this is the pattern for power-law keys; AQE's skew handling
+    covers joins, but skewed *aggregation* keys still need salting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    phase1 = (
+        li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias("psum"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {dec_avg_sql('o_totalprice')} * 1.5 FROM orders)
+    """,
+    tags=("subquery",),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Catalyst evaluates the subquery once
+    and injects the scalar into the filter (one extra tiny job, no
+    per-row recomputation)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o_totalprice) * 1.5
+          FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(COUNT(*) AS DOUBLE) * 40.0
+                       FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("subquery",),
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    left outer aggregate join (no per-row subquery execution)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(COUNT(*) AS DOUBLE) * 40.0
+                           FROM orders WHERE o_custkey = c_custkey)
+        """
+    )

@@ -127,3 +127,25 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         (F.col("l_quantity") % 10).cast("long").alias("qty_mod"),
     ).distinct()
+
+
+@query(
+    "set_intersect_all",
+    oracle=f"WITH {_HALF_SQL} SELECT custkey FROM lo INTERSECT ALL SELECT custkey FROM hi",
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides)."""
+    lo, hi = _half_keys(spark, sf_dir)
+    return lo.intersectAll(hi)
+
+
+@query(
+    "set_except_all",
+    oracle=f"WITH {_HALF_SQL} SELECT custkey FROM lo EXCEPT ALL SELECT custkey FROM hi",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity subtraction)."""
+    lo, hi = _half_keys(spark, sf_dir)
+    return lo.exceptAll(hi)

@@ -158,3 +158,43 @@ def sim_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {cosine_rounded_sql('e.embedding', 'q.qvec')} AS cos
+      FROM embeddings e JOIN q ON e.vec_id != q.qid
+    )
+    SELECT qid, vec_id, cos, rn FROM (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("similarity", "join"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-3 neighbors for every vector in a query set.
+    The query set broadcasts (it is small by construction); scoring is
+    one scan of the base table x |Q| — the brute-force kNN-join baseline
+    that IVF/LSH variants prune."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_rounded("embedding", "qvec").alias("cos"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cos", F.col("rn").cast("long").alias("rn"))
+    )

@@ -230,3 +230,27 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("trade_value"),
         "last_view_value",
     )
+
+
+@query(
+    "window_percent_cume",
+    oracle="""
+    SELECT o_orderkey,
+           round(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           round(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+    tags=("window",),
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist over a global ordering (single-partition
+    window — only valid on pre-reduced data; here the filter reduces
+    first, which is the pattern to insist on at scale)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 25 == 0)
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

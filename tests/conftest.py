@@ -21,7 +21,10 @@ def spark():
         app_name="tests",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.driver.memory": "6g"},
+        extra_conf={
+            "spark.driver.memory": "6g",
+            "spark.sql.warehouse.dir": "/tmp/spark-graft-test-warehouse",
+        },
     )
     yield spark
 

@@ -1,0 +1,54 @@
+"""Source/sink round-trips: CSV and JSON preserve the fixture content
+(with explicit schemas — the no-inference-at-scale policy), and the
+events ns-timestamp loader matches DuckDB's truncation."""
+
+from __future__ import annotations
+
+from oracle_parquet_dumper_spark.sources import load_table
+from oracle_parquet_dumper_spark.sources.text_formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_csv_roundtrip(spark, smoke_sf_dir, tmp_path):
+    nation = load_table(spark, smoke_sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv(spark, out, schema=nation.schema)
+    assert _sorted_rows(back) == _sorted_rows(nation)
+
+
+def test_json_roundtrip(spark, smoke_sf_dir, tmp_path):
+    customer = load_table(spark, smoke_sf_dir, "customer")
+    out = str(tmp_path / "customer_json")
+    write_json(customer, out)
+    back = read_json(spark, out, schema=customer.schema)
+    assert _sorted_rows(back) == _sorted_rows(customer)
+
+
+def test_csv_schema_inference(spark, smoke_sf_dir, tmp_path):
+    region = load_table(spark, smoke_sf_dir, "region")
+    out = str(tmp_path / "region_csv")
+    write_csv(region, out)
+    inferred = read_csv(spark, out)  # no schema -> inference
+    assert set(inferred.columns) == set(region.columns)
+    assert inferred.count() == region.count()
+
+
+def test_events_ns_timestamp_matches_duckdb(spark, sf_dir, duck):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    got = {r.event_id: str(r.ts) for r in ev.collect()}
+    expect = {
+        eid: str(ts)
+        for eid, ts in duck.sql(
+            "SELECT event_id, CAST(ts AS TIMESTAMP) FROM events"
+        ).fetchall()
+    }
+    assert got == expect
