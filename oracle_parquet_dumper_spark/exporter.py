@@ -88,6 +88,19 @@ class SparkParquetExporter:
                 f"compression_method must be one of {COMPRESSION_CHOICES}, got {self.compression_method!r}"
             )
 
+    # -- catalog introspection (reference EP3 surface, main.py:87-217) ------
+    def get_tables(self, schema: str) -> list[str]:
+        """Reference ``get_tables`` parity (main.py:191-217): regex-filtered,
+        name-ordered table list."""
+        return self.catalog.list_tables(
+            schema, self.table_name_include_pattern, self.table_name_exclude_pattern
+        )
+
+    def get_columns(self, schema: str, table_name: str) -> list[str]:
+        """Reference ``get_columns`` parity (main.py:87-108): type-excluded
+        column names in catalog order."""
+        return eligible_fields(self.catalog.read_table(schema, table_name).schema)
+
     # -- projection (A4/A5) -------------------------------------------------
     def _project(self, df: DataFrame) -> DataFrame | None:
         cols = eligible_fields(df.schema)

@@ -21,6 +21,23 @@ def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def as_double(a: Column | str) -> Column:
+    """Cast a float vector to array<double> ONCE per row.  Higher-order
+    folds are interpreted, so per-element casts inside a pairwise dot run
+    per PAIR — hoist the cast to the row level before any join."""
+    ca = F.col(a) if isinstance(a, str) else a
+    return ca.cast("array<double>")
+
+
+def dot_d(a: Column | str, b: Column | str) -> Column:
+    """Dot product over pre-cast array<double> columns (no per-element
+    cast in the fold)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -34,6 +51,17 @@ def cosine_rounded(a: Column | str, b: Column | str, digits: int = 6) -> Column:
     deterministic per engine but the two engines may differ in the last
     ulp; 6 digits is far beyond any ranking need."""
     return F.round(cosine(a, b), digits)
+
+
+def cosine_prenormed(a, b, norm_a, norm_b, digits: int = 6) -> Column:
+    """Cosine from a per-pair dot and per-ROW precomputed norms.  Array
+    folds are interpreted (higher-order functions don't codegen), so in
+    pairwise joins compute each side's norm once before the join — this
+    form does 1 cast-free fold per pair instead of 3 casting folds.
+    ``a``/``b`` must already be array<double> (see ``as_double``)."""
+    na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
+    nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
+    return F.round(dot_d(a, b) / (na * nb), digits)
 
 
 # Matching DuckDB SQL fragments (kept adjacent so they evolve together).

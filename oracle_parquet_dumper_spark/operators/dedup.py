@@ -98,12 +98,30 @@ def minhash_signature(shingle_col):
     return F.array(*[_seeded_min_hash(shingle_col, i) for i in range(N_MINHASH)])
 
 
-def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Scalable MinHash: explode shingles once, then N_MINHASH min()
-    aggregates (each over xxhash64(seed, shingle)).  One generator + one
-    partial-aggregated shuffle keyed by doc_id; the shingle array is
-    computed exactly once per document."""
-    sh = docs.select("doc_id", F.explode(shingles(F.col(text_col))).alias("shingle"))
+def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Scalable MinHash: posexplode tokens once, build k-gram shingles
+    with window ``lead`` (tokenization runs exactly once per document —
+    array-lambda formulations re-evaluate it per shingle because
+    higher-order functions are interpreted, not codegen'd), then
+    N_MINHASH min() aggregates over xxhash64(seed, shingle).
+
+    The window and the final groupBy share the doc_id hash partitioning,
+    so the whole signature computation costs ONE shuffle."""
+    from pyspark.sql import Window as W
+
+    toks = F.filter(F.split(F.lower(text_col), " "), lambda t: F.length(t) > 0)
+    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
+    with_sh = tok.select(
+        "doc_id",
+        "pos",
+        F.concat_ws("\x1f", *leads).alias("shingle"),
+        leads[-1].isNotNull().alias("full"),
+    )
+    # full k-grams, plus the single partial shingle (pos=0) for docs
+    # shorter than k tokens (same semantics as shingles()).
+    sh = with_sh.where(F.col("full") | ((F.col("pos") == 0) & ~F.col("full")))
     agg = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}") for i in range(N_MINHASH)]
     )
@@ -266,10 +284,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid/cluster id at scale): pairs above threshold, aggregated per
     block.  The join shuffles on label only; per-block pair scoring is
     the standard post-clustering dedup pass."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("label").alias("label"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb"))
-    cos = cosine_rounded("va", "vb")
+    a = e.select(
+        F.col("vec_id").alias("a"),
+        F.col("label").alias("label"),
+        as_double("embedding").alias("va"),
+        norm("embedding").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"),
+        F.col("label").alias("label_b"),
+        as_double("embedding").alias("vb"),
+        norm("embedding").alias("nb"),
+    )
+    cos = cosine_prenormed("va", "vb", "na", "nb")
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
         .select("label", cos.alias("cos"))

@@ -561,3 +561,84 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                            FROM orders WHERE o_custkey = c_custkey)
         """
     )
+
+
+@query(
+    "agg_max_min_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS top_order,
+           arg_min(o_orderkey, o_totalprice * 10000000 + o_orderkey) AS bottom_order,
+           MAX(o_totalprice) AS top_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_max_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin).  The ordering value folds in the
+    unique key (price*1e7 + key) because argmax tie-breaking is
+    engine-defined — equal doubles would make the result
+    nondeterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice") * 10000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", v).alias("top_order"),
+        F.min_by("o_orderkey", v).alias("bottom_order"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount > 0.0) AS all_discounted,
+           bool_or(l_tax > 0.05) AS any_high_tax,
+           bit_and(CAST(l_linenumber AS BIGINT)) AS band,
+           bit_or(CAST(l_linenumber AS BIGINT)) AS bor,
+           bit_xor(CAST(l_linenumber AS BIGINT)) AS bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "bit"),
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-and/or and bitwise aggregate family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") > 0.0).alias("all_discounted"),
+        F.bool_or(F.col("l_tax") > 0.05).alias("any_high_tax"),
+        F.bit_and(ln).alias("band"),
+        F.bit_or(ln).alias("bor"),
+        F.bit_xor(ln).alias("bxor"),
+    )
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+    SELECT c_mktsegment,
+           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+           round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS covar_bal_key,
+           round(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS intercept
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / linear-regression aggregates
+    (single-pass moment formulas; rounded to 6 — the per-engine
+    accumulation order differs in the last ulp)."""
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_custkey").cast("double")
+    y = F.col("c_acctbal")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.corr(y, x), 6).alias("corr_bal_key"),
+        F.round(F.covar_samp(y, x), 6).alias("covar_bal_key"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+    )

@@ -367,3 +367,29 @@ def fn_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(dec_sum(F.col("p.k")).alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'][1] AS type_val,
+           len(map_keys(map {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})) AS n_keys
+    FROM events
+    WHERE event_id % 50 = 0
+    """,
+    tags=("scalar", "map"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key extraction + key enumeration.  Output is
+    scalar-typed (map/array outputs compare differently across pandas
+    bridges — same policy as agg_collect_sorted)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.where(F.col("event_id") % 50 == 0).select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )

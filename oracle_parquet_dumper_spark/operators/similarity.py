@@ -85,12 +85,22 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise similarity join with threshold, blocked by label —
     the aggregate per block keeps output bounded."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
-    a = e.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("va"))
-    b = e.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb")
+    a = e.select(
+        F.col("vec_id").alias("a"),
+        "label",
+        as_double("embedding").alias("va"),
+        norm("embedding").alias("na"),
     )
-    cos = cosine_rounded("va", "vb")
+    b = e.select(
+        F.col("vec_id").alias("b"),
+        F.col("label").alias("label_b"),
+        as_double("embedding").alias("vb"),
+        norm("embedding").alias("nb"),
+    )
+    cos = cosine_prenormed("va", "vb", "na", "nb")
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
         .select("label", cos.alias("cos"))
@@ -182,13 +192,19 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query set broadcasts (it is small by construction); scoring is
     one scan of the base table x |Q| — the brute-force kNN-join baseline
     that IVF/LSH variants prune."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn("nv", norm("embedding"))
     q = e.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("nv").alias("nq")
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cosine_rounded("embedding", "qvec").alias("cos"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_prenormed("embedding", "qvec", "nv", "nq").alias("cos"),
+        )
     )
     from pyspark.sql import Window as W
 

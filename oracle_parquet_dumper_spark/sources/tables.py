@@ -37,26 +37,47 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Keep this the single scan entry point so a
-    future switch to a catalog/Delta/iceberg source is one-line.
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as nanosecond parquet timestamps (which
+    Spark's reader rejects outright with PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow.dataset as ds
+    import pyarrow as pa
 
-    ``events.ts`` is a nanosecond parquet timestamp, which Spark's parquet
-    reader rejects outright (PARQUET_TYPE_ILLEGAL); we read it as raw
-    nanos (``nanosAsLong``) and truncate to microseconds — exactly what
-    DuckDB's ``CAST(ts AS TIMESTAMP)`` does — yielding TIMESTAMP_NTZ like
-    every other fixture timestamp."""
+    try:
+        schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet_robust(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet that tolerates nanosecond timestamps: reads
+    them as raw nanos (``nanosAsLong``) and truncates to microseconds —
+    exactly what DuckDB's ``CAST(ts AS TIMESTAMP)`` does — yielding
+    TIMESTAMP_NTZ like every other timestamp column."""
     from pyspark.sql import functions as F
 
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+    ns_cols = _ns_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Keep this the single scan entry point so a
+    future switch to a catalog/Delta/iceberg source is one-line."""
+    return read_parquet_robust(spark, table_path(sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

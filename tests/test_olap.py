@@ -1,0 +1,46 @@
+"""OLAP session over exported output: export with the reference layout,
+attach the export directory, and query it with SQL — the full
+ingest-then-query loop the reference splits across two systems."""
+
+from __future__ import annotations
+
+from oracle_parquet_dumper_spark.catalog import ParquetDirectoryCatalog
+from oracle_parquet_dumper_spark.exporter import SparkParquetExporter, exporter
+from oracle_parquet_dumper_spark.olap import OlapSession
+
+
+def test_export_then_query_roundtrip(spark, smoke_sf_dir, tmp_path):
+    out = str(tmp_path / "warehouse")
+    exporter(spark, smoke_sf_dir, out, table_name_include_pattern="nation|region")
+    olap = OlapSession(spark)
+    names = olap.attach_dir(out)
+    assert names == ["main_nation", "main_region"]
+    got = olap.sql(
+        """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM main_nation JOIN main_region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    ).collect()
+    assert sum(r.n_nations for r in got) == 25
+    assert len(got) == 5
+
+
+def test_attach_fixture_dir(spark, smoke_sf_dir):
+    olap = OlapSession(spark)
+    names = olap.attach_dir(smoke_sf_dir)
+    assert "lineitem" in names and "embeddings" in names
+    n = olap.sql("SELECT COUNT(*) AS n FROM region").collect()[0].n
+    assert n == 5
+
+
+def test_exporter_catalog_introspection(spark, smoke_sf_dir):
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, smoke_sf_dir),
+        output_path="/tmp/unused",
+        table_name_include_pattern="nation|lineitem",
+    )
+    assert exp.get_tables("main") == ["lineitem", "nation"]
+    cols = exp.get_columns("main", "nation")
+    assert cols == ["n_nationkey", "n_name", "n_regionkey"]
