@@ -92,8 +92,10 @@ class ParquetDirectoryCatalog:
         return [t for t in self._tables_in(base) if matches(t, include_pattern, exclude_pattern)]
 
     def read_table(self, schema: str, table: str) -> DataFrame:
+        from oracle_parquet_dumper_spark.sources.tables import read_parquet_robust
+
         base = self.root if schema == "main" else os.path.join(self.root, schema)
-        return self.spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+        return read_parquet_robust(self.spark, os.path.join(base, f"{table}.parquet"))
 
 
 @dataclass

@@ -81,6 +81,11 @@ class SparkParquetExporter:
     parquet_max_file_size: int = DEFAULT_MAX_FILE_SIZE
     reference_file_naming: bool = True
     max_concurrent_tables: int = 1
+    # Hive-style partition columns per table (A15 extension — SURVEY.md
+    # §2: "within a table, partitionBy if we add partition columns").
+    # Partitioned tables keep Spark's directory layout (partition pruning
+    # needs it), so reference_file_naming does not apply to them.
+    partition_by: dict[str, list[str]] = field(default_factory=dict)
 
     def __post_init__(self):
         if self.compression_method not in COMPRESSION_CHOICES:
@@ -148,13 +153,16 @@ class SparkParquetExporter:
             logger.warning("Table %s.%s is empty - no file written", schema, table)
             return ExportResult(schema, table, 0, [], time.perf_counter() - t0, "empty")
 
-        (
+        part_cols = self.partition_by.get(table, [])
+        writer = (
             projected.write.mode("overwrite")
             .option("compression", self.compression_method)
             .option("maxRecordsPerFile", str(self._rows_per_file(projected)))
-            .parquet(target)
         )
-        files = self._finalize_layout(target, out_table)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(target)
+        files = [] if part_cols else self._finalize_layout(target, out_table)
         rows = self.spark.read.parquet(target).count() if not files else -1
         elapsed = time.perf_counter() - t0
         logger.info("Exported %s.%s in %.4f s", schema, table, elapsed)

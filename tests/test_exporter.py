@@ -182,3 +182,41 @@ def test_catalog_listing(spark, source_dir):
     assert cat.list_schemas() == ["main"]
     assert cat.list_tables("main") == ["BINONLY", "EMPTYTAB", "NATION", "REGION"]
     assert cat.read_table("main", "REGION").count() == 5
+
+
+def test_partitioned_write_layout_and_pruning(spark, tmp_path):
+    """A15 extension: hive-partitioned table export; a filter on the
+    partition column must prune to one directory (PartitionFilters)."""
+    from oracle_parquet_dumper_spark.catalog import ParquetDirectoryCatalog
+
+    out = str(tmp_path / "out")
+    cat = ParquetDirectoryCatalog(spark, "/root/testdata/sf0.001")
+    SparkParquetExporter(
+        spark=spark,
+        catalog=cat,
+        output_path=out,
+        table_name_include_pattern="^orders$",
+        partition_by={"orders": ["o_orderstatus"]},
+    ).export_tables()
+    tdir = os.path.join(out, "main", "orders")
+    parts = sorted(e for e in os.listdir(tdir) if e.startswith("o_orderstatus="))
+    assert len(parts) == 3  # O / F / P
+    df = spark.read.parquet(tdir).where("o_orderstatus = 'F'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert df.count() > 0
+
+
+def test_concurrent_table_export(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    results = exporter(
+        spark,
+        source_dir,
+        out,
+        table_name_include_pattern="REGION|NATION",
+        max_concurrent_tables=2,
+    )
+    assert sorted(r.table for r in results) == ["NATION", "REGION"]
+    assert all(r.skipped is None for r in results)
+    for t in ("REGION", "NATION"):
+        assert os.path.exists(os.path.join(out, "main", t, f"{t}_0.parquet"))

@@ -1,0 +1,103 @@
+"""Property-based differential fuzzing: hypothesis generates random
+filter + aggregation queries; the same query text runs through Spark SQL
+and DuckDB and must agree exactly.  This probes the expression-semantics
+space (comparison/null/arith corner cases) far beyond the hand-written
+query inventory.
+
+Uses the decimal-sum convention for the measure so float totals are
+order-independent; predicates compare doubles/ints/strings only in ways
+both engines define identically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oracle_parquet_dumper_spark.testing import compare
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+
+
+@st.composite
+def predicates(draw) -> str:
+    def leaf():
+        kind = draw(st.sampled_from(["num", "int", "str", "between", "in"]))
+        if kind == "num":
+            c = draw(st.sampled_from(NUM_COLS))
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "!="]))
+            v = round(draw(st.floats(0, 60, allow_nan=False, allow_infinity=False)), 2)
+            return f"{c} {op} {v}"
+        if kind == "int":
+            c = draw(st.sampled_from(INT_COLS))
+            m = draw(st.integers(2, 13))
+            r = draw(st.integers(0, 5))
+            return f"{c} % {m} = {r}"
+        if kind == "str":
+            c = draw(st.sampled_from(STR_COLS))
+            v = draw(st.sampled_from(["A", "N", "R", "O", "F"]))
+            op = draw(st.sampled_from(["=", "!="]))
+            return f"{c} {op} '{v}'"
+        if kind == "between":
+            c = draw(st.sampled_from(NUM_COLS))
+            lo = round(draw(st.floats(0, 30, allow_nan=False)), 2)
+            hi = round(lo + draw(st.floats(0, 30, allow_nan=False)), 2)
+            return f"{c} BETWEEN {lo} AND {hi}"
+        c = draw(st.sampled_from(STR_COLS))
+        vals = draw(st.lists(st.sampled_from(["A", "N", "R", "O", "F"]), min_size=1, max_size=3))
+        inlist = ", ".join(f"'{v}'" for v in vals)
+        return f"{c} IN ({inlist})"
+
+    n = draw(st.integers(1, 3))
+    parts = [leaf() for _ in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        conj = draw(st.sampled_from(["AND", "OR"]))
+        neg = draw(st.booleans())
+        out = f"({out}) {conj} {'NOT ' if neg else ''}({p})"
+    return out
+
+
+@st.composite
+def fuzz_query(draw) -> str:
+    pred = draw(predicates())
+    g = draw(st.sampled_from(GROUP_COLS))
+    measure = draw(st.sampled_from(NUM_COLS))
+    return (
+        f"SELECT {g}, COUNT(*) AS n, "
+        f"CAST(SUM(CAST({measure} AS DECIMAL(25,6))) AS DOUBLE) AS total "
+        f"FROM lineitem WHERE {pred} GROUP BY {g}"
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    import duckdb
+
+    from oracle_parquet_dumper_spark.sources.tables import load_table, table_path
+
+    load_table(spark, SMOKE_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{table_path(SMOKE_DIR, 'lineitem')}')"
+    )
+    return spark, con
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=fuzz_query())
+def test_random_filter_agg_queries_agree(fuzz_env, sql):
+    spark, con = fuzz_env
+    rep = compare("fuzz", spark.sql(sql), con, sql)
+    assert rep.match, f"{sql}\n{rep.detail}"

@@ -66,3 +66,33 @@ def test_apply_in_pandas_with_state(spark, smoke_sf_dir):
         F.abs(F.col("running_total") - F.col("expected")) > 0.011
     ).count()
     assert mismatches == 0
+
+
+def test_stream_to_parquet_sink_with_checkpoint(spark, smoke_sf_dir, tmp_path):
+    """Streaming ingest -> rolled parquet files with exactly-once
+    checkpointing — the streaming counterpart of the exporter sink."""
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        events.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    batch = load_table(spark, smoke_sf_dir, "events")
+    assert written.count() == batch.count()
+    # restart with same checkpoint: no new data -> no duplicates
+    q2 = (
+        ops.read_events_stream(spark, smoke_sf_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == batch.count()
