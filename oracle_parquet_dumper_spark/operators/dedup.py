@@ -307,3 +307,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_near"), F.max("cos").alias("max_cos"))
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH s AS (SELECT c_custkey, c_mktsegment, c_name FROM customer WHERE c_custkey % 7 = 0)
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM s a JOIN s b ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 3
+    """,
+    tags=("dedup", "fuzzy"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: Levenshtein edit distance under a
+    threshold, blocked by segment + key sample (edit distance is
+    O(len^2) per pair — blocking is mandatory at scale)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    a = c.select(
+        F.col("c_custkey").alias("a"), F.col("c_mktsegment").alias("seg_a"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b"), F.col("c_mktsegment").alias("seg_b"), F.col("c_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("seg_a") == F.col("seg_b")) & (F.col("a") < F.col("b")))
+        .where(dist <= 3)
+        .select("a", "b", dist.cast("long").alias("edit_dist"))
+    )

@@ -393,3 +393,79 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_val"),
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
     )
+
+
+@query(
+    "fn_generator_sequence",
+    oracle="""
+    SELECT o_orderkey, unnest(generate_series(1, (o_orderkey % 4) + 1)) AS seq_val
+    FROM orders
+    WHERE o_orderkey % 200 = 0
+    """,
+    tags=("scalar", "generator"),
+)
+def fn_generator_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generator: explode(sequence(...)) — the 1:N fan-out primitive
+    (date spines, retry schedules, frame indexes)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 200 == 0)
+    return o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1).cast("long"), (F.col("o_orderkey") % 4) + 1)).alias(
+            "seq_val"
+        ),
+    )
+
+
+@query(
+    "fn_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ) WHERE l_orderkey % 500 = 0
+    """,
+    tags=("scalar", "unpivot"),
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measures -> long (measure, value) rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 500 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@query(
+    "fn_histogram_bins",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS bin_min,
+           MAX(o_totalprice) AS bin_max
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("scalar", "histogram"),
+)
+def fn_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by floor-binning (a one-shuffle group-by;
+    the scalable histogram primitive)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""The UDF surface (SURVEY.md §2 Part B "UDF surface"): scalar
+pandas_udf, grouped-agg pandas_udf, applyInPandas (grouped map), and the
+plain row-at-a-time udf fallback.
+
+Policy: UDFs are the slow path.  Every operator elsewhere in this
+package is built-in columns; this module exists to (a) prove the full
+UDF plumbing works, (b) document WHEN each form is appropriate:
+
+- scalar ``pandas_udf``   : per-row math not expressible in columns
+                            (vectorized numpy, Arrow batches)
+- grouped-agg pandas_udf  : custom aggregates (runs after partial
+                            grouping, one group's column per call)
+- ``applyInPandas``       : whole-group transforms (normalization,
+                            model scoring per group)
+- plain ``udf``           : last resort — row-at-a-time Python,
+                            ~10-100x slower than pandas_udf
+
+The scalar kernel is pure per-element IEEE arithmetic, so it is
+bit-reproducible in SQL and oracle-checked; the aggregating kernels
+accumulate floats in numpy order and are rows-only checks.
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+
+import numpy as np
+import pandas as pd
+
+from pyspark import cloudpickle as _cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+# Ship kernels by value — workers must not need this package importable
+# (see operators/multimodal.py).
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+@F.pandas_udf(T.DoubleType())
+def clipped_ratio(price: pd.Series, qty: pd.Series) -> pd.Series:
+    """Vectorized scalar kernel: price-per-unit, clipped to [0, 5000].
+    Pure element-wise double ops -> bit-identical to the SQL mirror."""
+    r = price.values / np.maximum(qty.values, 1.0)
+    return pd.Series(np.minimum(r, 5000.0))
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_extendedprice / greatest(l_quantity, 1.0), 5000.0) AS unit_price_clipped
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("udf", "pandas_udf"),
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-batched, vectorized numpy).  The kernel
+    is element-wise IEEE double math, so the DuckDB mirror reproduces it
+    exactly — demonstrating that even the Python slow path can stay
+    differentially testable when kernels avoid order-dependent reductions."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        clipped_ratio("l_extendedprice", "l_quantity").alias("unit_price_clipped"),
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def median_agg(v: pd.Series) -> float:
+    """Grouped-agg pandas_udf kernel: exact median of the group."""
+    return float(np.median(v.values))
+
+
+@query("udf_grouped_agg_pandas", tags=("udf", "pandas_udf"))
+def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf: one call per (group, column chunk).
+    Rows-only check (numpy's median interpolation on even counts uses
+    its own float path); the built-in exact percentile is the checked
+    counterpart (agg_percentile_exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(median_agg("l_extendedprice").alias("median_price"))
+
+
+NORMALIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("price_z", T.DoubleType()),
+    ]
+)
+
+
+def normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: z-score prices within the group."""
+    prices = pdf["l_extendedprice"].values
+    mu = prices.mean()
+    sd = prices.std(ddof=1) or 1.0
+    return pd.DataFrame(
+        {
+            "l_returnflag": pdf["l_returnflag"],
+            "l_orderkey": pdf["l_orderkey"],
+            "l_linenumber": pdf["l_linenumber"],
+            "price_z": np.round((prices - mu) / sd, 6),
+        }
+    )
+
+
+@query("udf_apply_in_pandas", tags=("udf", "pandas_udf"))
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: whole-group normalization (each group
+    becomes one pandas DataFrame on an executor).  The group key must
+    have bounded cardinality per-group at scale — salt wide groups.
+    Rows-only check (group-mean accumulation order)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(normalize_group, NORMALIZED_SCHEMA)
+
+
+@query(
+    "udf_plain_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN 'open'
+                WHEN o_orderstatus = 'F' THEN 'filled'
+                ELSE 'other' END AS status_label
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("udf", "slow_path"),
+)
+def udf_plain_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain row-at-a-time Python udf — the documented LAST RESORT
+    (per-row serialization, no vectorization).  Kept deliberately tiny
+    and behind a filter; the CASE expression is what production code
+    should use instead (and is what the oracle uses)."""
+
+    @F.udf(T.StringType())
+    def status_label(s: str) -> str:
+        return {"O": "open", "F": "filled"}.get(s, "other")
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    return o.select("o_orderkey", status_label("o_orderstatus").alias("status_label"))

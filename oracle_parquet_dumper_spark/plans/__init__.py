@@ -20,6 +20,7 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
     similarity,
     streaming_batch,
     text,
+    udfs,
     windows,
 )
 
@@ -32,5 +33,6 @@ OPERATOR_MODULES = [
     similarity,
     streaming_batch,
     text,
+    udfs,
     windows,
 ]
