@@ -469,3 +469,88 @@ def fn_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bin_max"),
         )
     )
+
+
+@query(
+    "fn_string_extended",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_name, 'Ce', 'Kx') AS name_translated,
+           repeat(c_mktsegment, 2) AS seg_repeated,
+           reverse(c_name) AS name_reversed,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+           left(c_name, 4) AS name_left,
+           right(c_name, 4) AS name_right,
+           contains(c_name, '0') AS has_zero,
+           starts_with(c_mktsegment, 'BU') AS is_bu,
+           ends_with(c_mktsegment, 'RY') AS ends_ry,
+           chr(65 + CAST(c_custkey % 26 AS INT)) AS letter
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family: translate/repeat/reverse/locate/left/right/
+    contains/startswith/endswith/char."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "Ce", "Kx").alias("name_translated"),
+        F.repeat("c_mktsegment", 2).alias("seg_repeated"),
+        F.reverse("c_name").alias("name_reversed"),
+        F.locate("1", "c_name").cast("long").alias("pos_one"),
+        F.substring("c_name", 1, 4).alias("name_left"),
+        F.substring(F.col("c_name"), -4, 4).alias("name_right"),
+        F.contains("c_name", F.lit("0")).alias("has_zero"),
+        F.startswith("c_mktsegment", F.lit("BU")).alias("is_bu"),
+        F.endswith("c_mktsegment", F.lit("RY")).alias("ends_ry"),
+        F.char(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias("letter"),
+    )
+
+
+@query(
+    "fn_null_safe_eq",
+    oracle="""
+    SELECT a.event_id AS ea, b.event_id AS eb
+    FROM (SELECT event_id, json_extract_string(props, '$.missing') AS k FROM events WHERE event_id % 40 = 0) a
+    JOIN (SELECT event_id, json_extract_string(props, '$.missing') AS k FROM events WHERE event_id % 40 = 20) b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+    """,
+    tags=("scalar", "null", "join"),
+)
+def fn_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics dropDuplicates and set ops use
+    internally."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 40 == 0).select(
+        F.col("event_id").alias("ea"), F.get_json_object("props", "$.missing").alias("ka")
+    )
+    b = ev.where(F.col("event_id") % 40 == 20).select(
+        F.col("event_id").alias("eb"), F.get_json_object("props", "$.missing").alias("kb")
+    )
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")) & (F.col("ea") < F.col("eb")))
+        .select("ea", "eb")
+    )
+
+
+@query(
+    "agg_count_if_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(median(l_quantity) AS DOUBLE) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_count_if_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count + exact median (linear-interpolated, same
+    definition in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.median("l_quantity").cast("double").alias("median_qty"),
+    )
