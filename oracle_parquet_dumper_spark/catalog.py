@@ -227,3 +227,36 @@ class JdbcCatalog:
     def current_scn(self) -> int:
         df = self._reader("SELECT current_scn FROM v$database").load()
         return int(df.collect()[0][0])
+
+    @staticmethod
+    def bounds_sql(schema: str, table: str, partition_column: str, scn: int | None = None) -> str:
+        """Bounds-discovery query for a partitioned read: one cheap
+        MIN/MAX pushed to the database decides the range each of the N
+        JDBC partitions scans."""
+        src = f'"{schema}"."{table}"'
+        if scn is not None:
+            src += f" AS OF SCN {scn}"
+        return (
+            f'SELECT MIN("{partition_column}"), MAX("{partition_column}") FROM {src}'
+        )
+
+    def plan_partitioned_read(
+        self,
+        schema: str,
+        table: str,
+        partition_column: str,
+        num_partitions: int,
+        scn: int | None = None,
+    ) -> dict:
+        """Discover bounds and return the kwargs for ``read_table`` —
+        the two-step (bounds probe, partitioned scan) that turns the
+        reference's serial full-table stream into N concurrent range
+        scans sharing one flashback snapshot."""
+        row = self._reader(self.bounds_sql(schema, table, partition_column, scn)).load().collect()[0]
+        lo, hi = int(row[0]), int(row[1])
+        return {
+            "partition_column": partition_column,
+            "bounds": (lo, hi),
+            "num_partitions": num_partitions,
+            "scn": scn,
+        }

@@ -337,3 +337,67 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 3)
         .select("a", "b", dist.cast("long").alias("edit_dist"))
     )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges``: (a, b) undirected pair rows.  Returns (node, component)
+    where component is the minimum node id reachable.
+
+    Each iteration is one join + one aggregate (both on the node key);
+    convergence takes O(component diameter) iterations — near-dup
+    clusters are shallow (stars/chains of a few hops), so 3-5 rounds
+    suffice in practice.  This is the standard large-graph CC under the
+    "small diameter" regime; for adversarial graphs switch to
+    alternating large/small-star (Kiveris et al.) with the same join
+    primitive.  The loop is driver-side control flow over fully
+    distributed steps — no data ever visits the driver except the
+    1-row convergence count.
+    """
+    both = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    labels = (
+        both.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("component"))
+        .select(F.col("x").alias("node"), "component")
+    )
+    neighbors = both  # static topology
+    for _ in range(max_iterations):
+        # each node adopts the min component among itself and neighbors
+        prop = (
+            neighbors.join(labels, neighbors.y == labels.node)
+            .select(F.col("x").alias("node"), F.col("component"))
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            prop.alias("p")
+            .join(labels.alias("l"), "node")
+            .where(F.col("p.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_clusters", tags=("dedup", "graph", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash-LSH candidate pairs -> connected
+    components -> one row per cluster with its canonical (min doc_id)
+    keeper and size.  The full near-dedup pipeline a training-data run
+    executes: survivors = all docs minus (cluster members - keepers).
+    Iterative algorithm -> rows-only check; pinned by a planted-cluster
+    unit test."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keeper_id"))
+        .select("component", "keeper_id", "cluster_size")
+        .orderBy("component")
+    )

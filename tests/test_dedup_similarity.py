@@ -119,3 +119,30 @@ def test_exact_dedup_on_planted(spark, tmp_path):
     rows = REGISTRY["dedup_exact"].fn(spark, str(tmp_path)).collect()
     by_keeper = {r.keeper_id: r.n_copies for r in rows}
     assert by_keeper == {1: 2, 3: 1}
+
+
+def test_connected_components_planted(spark):
+    from oracle_parquet_dumper_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], ["a", "b"]
+    )
+    comps = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_planted(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, BASE, "en", "s", 1), (2, NEAR, "en", "s", 1), (3, FAR, "en", "s", 1),
+         (4, BASE, "en", "s", 1), (5, BASE + " extra tail words here", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    rows = REGISTRY["dedup_clusters"].fn(spark, str(tmp_path)).collect()
+    clusters = {r.component: (r.keeper_id, r.cluster_size) for r in rows}
+    # 1,2,4,5 near/exact-dup cluster with keeper 1; 3 is a singleton (no pair -> absent)
+    assert clusters.get(1, (None, 0))[0] == 1
+    assert clusters[1][1] >= 3
+    assert all(3 not in (comp, keeper) for comp, (keeper, _) in clusters.items())

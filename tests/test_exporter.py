@@ -220,3 +220,10 @@ def test_concurrent_table_export(spark, source_dir, tmp_path):
     assert all(r.skipped is None for r in results)
     for t in ("REGION", "NATION"):
         assert os.path.exists(os.path.join(out, "main", t, f"{t}_0.parquet"))
+
+
+def test_jdbc_bounds_sql():
+    sql = JdbcCatalog.bounds_sql("S", "T", "ID")
+    assert sql == 'SELECT MIN("ID"), MAX("ID") FROM "S"."T"'
+    sql_scn = JdbcCatalog.bounds_sql("S", "T", "ID", scn=12345)
+    assert 'AS OF SCN 12345' in sql_scn
