@@ -104,3 +104,33 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_first_seen"))
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS p_ts,
+           CAST(v.ts AS TIMESTAMP) AS v_ts,
+           v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL '1 hour'
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join (purchases x
+    preceding-hour views per user).  In batch the equi key carries the
+    shuffle and the interval is a post-filter; in streaming the same
+    plan runs with watermark-expired state."""
+    from oracle_parquet_dumper_spark.streaming.ops import interval_join_purchases_views
+
+    ev = load_table(spark, sf_dir, "events").drop("props")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    # reuse the streaming builder on batch frames (withWatermark is a
+    # no-op in batch mode) - one definition, two execution modes
+    return interval_join_purchases_views(purchases, views)

@@ -110,3 +110,30 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def interval_join_purchases_views(
+    purchases: DataFrame, views: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views in the preceding ``window``.  The time-range condition
+    plus both-side watermarks lets Spark expire join state — without
+    them stream-stream join state grows forever."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+    )
+    return p.join(v, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts", "view_value"
+    )

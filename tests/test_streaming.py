@@ -96,3 +96,18 @@ def test_stream_to_parquet_sink_with_checkpoint(spark, smoke_sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_interval_join_equals_batch(spark, smoke_sf_dir):
+    ev_stream = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = ops.interval_join_purchases_views(
+        ev_stream.where("event_type = 'purchase'"),
+        ev_stream.where("event_type = 'view'"),
+    )
+    ops.run_to_memory(stream, "t_ssjoin", output_mode="append")
+    got = spark.table("t_ssjoin")
+    ev = load_table(spark, smoke_sf_dir, "events").drop("props")
+    expect = ops.interval_join_purchases_views(
+        ev.where("event_type = 'purchase'"), ev.where("event_type = 'view'")
+    )
+    assert _normalize(got) == _normalize(expect)
