@@ -401,3 +401,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", "keeper_id", "cluster_size")
         .orderBy("component")
     )
+
+
+@query("pipeline_curation", tags=("dedup", "pipeline", "flagship"), bench=True)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pass over ``documents``:
+
+    1. quality gate   — drop empty/short docs (cheap column filter first);
+    2. exact dedup    — keep min doc_id per md5(text);
+    3. near dedup     — MinHash-LSH pairs -> connected components ->
+                        drop every cluster member except the keeper;
+    4. accounting     — per-lang survivor count + whitespace-token budget.
+
+    Stage order is the cost order: each stage shrinks the data the next
+    (more expensive) stage sees.  Output is the per-language summary a
+    curation run reports.  Iterative CC -> rows-only check; the stagewise
+    row-count monotonicity is unit-tested."""
+    d = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate
+    quality = d.where((F.length("text") > 0) & (F.size(words_col_d(d)) >= 3))
+
+    # 2. exact dedup (keep min doc_id per digest)
+    wk = F.md5(F.col("text").cast("binary"))
+    keepers_exact = (
+        quality.groupBy(wk.alias("h")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    exact = quality.join(keepers_exact, "doc_id", "left_semi")
+
+    # 3. near dedup: LSH pairs over the exact-deduped set -> CC -> drop
+    # non-keepers.  Reuse the registered pair finder on a filtered view
+    # by recomputing pairs here on `exact`.
+    sig = minhash_signatures_df(exact)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    comps = connected_components(pairs)
+    drop = comps.groupBy("component").agg(F.min("node").alias("keeper"))
+    non_keepers = comps.join(drop, comps.component == drop.component).where(
+        F.col("node") != F.col("keeper")
+    ).select(F.col("node").alias("doc_id"))
+    survivors = exact.join(non_keepers, "doc_id", "left_anti")
+
+    # 4. accounting
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words_col_d(survivors)).cast("long")).alias("token_budget"),
+        )
+        .orderBy("lang")
+    )
+
+
+def words_col_d(df: DataFrame):
+    return F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)

@@ -146,3 +146,26 @@ def test_dedup_clusters_planted(spark, tmp_path):
     assert clusters.get(1, (None, 0))[0] == 1
     assert clusters[1][1] >= 3
     assert all(3 not in (comp, keeper) for comp, (keeper, _) in clusters.items())
+
+
+def test_pipeline_curation_monotone_and_planted(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, BASE, "en", "s", 1),
+            (2, NEAR, "en", "s", 1),     # near-dup of 1 -> dropped
+            (3, FAR, "en", "s", 1),      # unique survivor
+            (4, BASE, "en", "s", 1),     # exact dup of 1 -> dropped
+            (5, "", "en", "s", 1),       # empty -> quality-gated
+            (6, "one two", "de", "s", 1) # too short -> quality-gated
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    out = {r.lang: (r.n_docs, r.token_budget) for r in
+           REGISTRY["pipeline_curation"].fn(spark, str(tmp_path)).collect()}
+    # survivors: doc 1 (cluster keeper) + doc 3
+    assert out == {"en": (2, out["en"][1])}
+    assert out["en"][0] == 2
+    assert out["en"][1] > 0
