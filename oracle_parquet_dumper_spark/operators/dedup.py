@@ -358,6 +358,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     both = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
+    # Truncate lineage: without this every iteration's convergence count
+    # re-executes the (possibly expensive) edge-producing pipeline, and
+    # the label lineage doubles per round.
+    both = both.localCheckpoint(eager=True)
     labels = (
         both.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("component"))
         .select(F.col("x").alias("node"), "component")
@@ -372,6 +376,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        prop = prop.localCheckpoint(eager=True)
         changed = (
             prop.alias("p")
             .join(labels.alias("l"), "node")
@@ -427,7 +432,10 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers_exact = (
         quality.groupBy(wk.alias("h")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
-    exact = quality.join(keepers_exact, "doc_id", "left_semi")
+    # The exact-deduped set feeds BOTH the signature pipeline and the
+    # final survivor join — checkpoint it once instead of recomputing
+    # the scan+hash+semi-join per consumer.
+    exact = quality.join(keepers_exact, "doc_id", "left_semi").localCheckpoint(eager=True)
 
     # 3. near dedup: LSH pairs over the exact-deduped set -> CC -> drop
     # non-keepers.  Reuse the registered pair finder on a filtered view
