@@ -554,3 +554,28 @@ def agg_count_if_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
         F.median("l_quantity").cast("double").alias("median_qty"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT doc_id,
+           try_cast(lang AS INTEGER) AS lang_as_int,
+           try_cast(CAST(n_chars AS VARCHAR) AS BIGINT) AS chars_roundtrip,
+           COALESCE(try_cast(source AS DOUBLE), -1.0) AS source_as_double
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+    tags=("scalar", "cast"),
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts: try_cast yields NULL instead of failing the
+    job — the difference between one malformed row and a dead 100 TB
+    pipeline (ANSI mode makes plain CAST throw)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("bigint").alias("chars_roundtrip"),
+        F.coalesce(F.col("source").try_cast("double"), F.lit(-1.0)).alias("source_as_double"),
+    )

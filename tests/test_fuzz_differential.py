@@ -101,3 +101,45 @@ def test_random_filter_agg_queries_agree(fuzz_env, sql):
     spark, con = fuzz_env
     rep = compare("fuzz", spark.sql(sql), con, sql)
     assert rep.match, f"{sql}\n{rep.detail}"
+
+
+@st.composite
+def fuzz_join_query(draw) -> str:
+    jt = draw(st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]))
+    pred = draw(predicates())
+    g = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    return (
+        f"SELECT {g}, COUNT(*) AS n, COUNT(l_orderkey) AS n_items, "
+        f"CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty "
+        f"FROM orders {jt} (SELECT * FROM lineitem WHERE {pred}) li "
+        f"ON o_orderkey = li.l_orderkey GROUP BY {g}"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=fuzz_join_query())
+def test_random_join_queries_agree(fuzz_env2, sql):
+    spark, con = fuzz_env2
+    rep = compare("fuzz_join", spark.sql(sql), con, sql)
+    assert rep.match, f"{sql}\n{rep.detail}"
+
+
+@pytest.fixture(scope="module")
+def fuzz_env2(spark):
+    import duckdb
+
+    from oracle_parquet_dumper_spark.sources.tables import load_table, table_path
+
+    load_table(spark, SMOKE_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, SMOKE_DIR, "orders").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SMOKE_DIR, t)}')"
+        )
+    return spark, con

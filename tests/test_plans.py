@@ -72,3 +72,19 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    # supplier/nation/region all broadcast: at least 3 BroadcastHashJoins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q18_semi_join_for_in_subquery(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+
+
+def test_knn_broadcasts_query_set(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
