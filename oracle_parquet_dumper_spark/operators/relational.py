@@ -939,3 +939,33 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 5
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "listagg"),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG: collect (sort_key, value) structs, sort the
+    array, project values, join — the deterministic way to build ordered
+    string aggregates (collect_list alone has no order guarantee)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    top5 = o.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    pairs = F.collect_list(
+        F.struct((-F.col("o_totalprice")).alias("k"), F.col("o_orderkey").alias("o"), F.col("o_orderkey").cast("string").alias("v"))
+    )
+    ordered_vals = F.transform(F.sort_array(pairs), lambda s: s["v"])
+    return top5.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", ordered_vals).alias("top_keys")
+    )

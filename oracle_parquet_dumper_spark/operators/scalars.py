@@ -579,3 +579,62 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("string").try_cast("bigint").alias("chars_roundtrip"),
         F.coalesce(F.col("source").try_cast("double"), F.lit(-1.0)).alias("source_as_double"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber AS BIGINT) & 3 AS low_bits,
+           CAST(l_linenumber AS BIGINT) | 8 AS with_flag,
+           xor(CAST(l_linenumber AS BIGINT), CAST(l_orderkey % 16 AS BIGINT)) AS mixed,
+           CAST(l_linenumber AS BIGINT) << 2 AS shifted_left,
+           CAST(l_orderkey AS BIGINT) >> 3 AS shifted_right,
+           ~CAST(l_linenumber AS BIGINT) AS inverted
+    FROM lineitem
+    WHERE l_orderkey % 250 = 0
+    """,
+    tags=("scalar", "bit"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (and/or/xor/shifts/not) — the bit-packing
+    toolkit SimHash and bucket encodings build on."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 250 == 0)
+    ln = F.col("l_linenumber").cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ln.bitwiseAND(F.lit(3).cast("long")).alias("low_bits"),
+        ln.bitwiseOR(F.lit(8).cast("long")).alias("with_flag"),
+        ln.bitwiseXOR((F.col("l_orderkey") % 16).cast("long")).alias("mixed"),
+        F.shiftleft(ln, 2).alias("shifted_left"),
+        F.shiftright(F.col("l_orderkey").cast("long"), 3).alias("shifted_right"),
+        F.bitwise_not(ln).alias("inverted"),
+    )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) + INTERVAL '3 days' AS plus_days,
+           CAST(ts AS TIMESTAMP) - INTERVAL '90 minutes' AS minus_minutes,
+           CAST(ts AS TIMESTAMP) + INTERVAL '1 hour' * CAST(user_id % 5 AS INT) AS plus_scaled
+    FROM events
+    WHERE event_id % 100 = 0
+    """,
+    tags=("scalar", "date", "interval"),
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on timestamps, including a column-scaled
+    interval (the reference excludes INTERVAL columns entirely,
+    main.py:97; interval *expressions* are still first-class here)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("plus_days"),
+        (F.col("ts") - F.expr("INTERVAL 90 MINUTES")).alias("minus_minutes"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR") * (F.col("user_id") % 5).cast("int")).alias(
+            "plus_scaled"
+        ),
+    )

@@ -254,3 +254,29 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_range_numeric",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS DOUBLE) AS near_balance
+    FROM customer
+    """,
+    tags=("window", "range"),
+)
+def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: aggregate over value-neighborhoods (within
+    +/-500 of each row's balance), not row counts — the density-window
+    primitive."""
+    o = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal").rangeBetween(-500, 500)
+    return o.select(
+        "c_custkey",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_neighbors"),
+        F.sum(F.col("c_acctbal").cast("decimal(25,6)")).over(w).cast("double").alias("near_balance"),
+    )
