@@ -969,3 +969,34 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top5.groupBy("o_orderstatus").agg(
         F.concat_ws(",", ordered_vals).alias("top_keys")
     )
+
+
+@query(
+    "q19_disjunctive_pushdown",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "filter", "flagship"),
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst splits out the single-side conjuncts it can push (brand/size
+    to the part scan, quantity to lineitem) and evaluates the cross-side
+    disjunction post-join — the predicate-decomposition stress test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#3") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return joined.where(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

@@ -638,3 +638,35 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plus_scaled"
         ),
     )
+
+
+@query(
+    "fn_posexplode_outer",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN NULL
+                  ELSE list_filter(string_split(text, ' '), t -> length(t) > 0) END AS toks
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+           unnest(toks) AS token
+    FROM base WHERE toks IS NOT NULL
+    UNION ALL
+    SELECT doc_id, NULL, NULL FROM base WHERE toks IS NULL
+    """,
+    tags=("scalar", "generator"),
+)
+def fn_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: position-indexed fan-out that PRESERVES rows
+    with null/empty arrays (explode would drop them) — the left-outer
+    variant every fan-out pipeline needs for accounting."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    toks = F.when(
+        F.length("text") > 0,
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0),
+    )
+    return d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "token")
+    )
