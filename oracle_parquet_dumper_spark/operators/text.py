@@ -251,3 +251,40 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf", F.col("rn").cast("long").alias("rn"))
     )
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@query(
+    "text_stopword_removal",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> length(t) > 0
+                                 AND NOT list_contains({list(STOPWORDS)!r}, t))) AS BIGINT) AS n_content_tokens,
+           array_to_string(list_filter(string_split(lower(text), ' '),
+                                t -> length(t) > 0
+                                 AND NOT list_contains({list(STOPWORDS)!r}, t))[1:5], ' ') AS first_content
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+    tags=("text", "tokenize"),
+)
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-word removal (SURVEY.md §2 text-analysis row): token counts
+    before/after filtering a stop list, plus the first content tokens —
+    all array expressions, stop list inlined as a literal array (at
+    scale: broadcast a stopword table and use array_except)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    content = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(content).cast("long").alias("n_content_tokens"),
+        F.concat_ws(" ", F.slice(content, 1, 5)).alias("first_content"),
+    )
