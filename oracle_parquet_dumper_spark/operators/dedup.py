@@ -110,20 +110,34 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -
     from pyspark.sql import Window as W
 
     toks = F.filter(F.split(F.lower(text_col), " "), lambda t: F.length(t) > 0)
-    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
+    # Hash each token to a long ONCE; the k-gram shingle hash is then a
+    # multi-column hash of k longs (string concat + 16 string hashes per
+    # shingle would do ~k*len(token) byte work 16x over).
+    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "t")).select(
+        "doc_id", "pos", F.xxhash64("t").alias("th")
+    )
     w = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
+    leads = [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, k)]
     with_sh = tok.select(
         "doc_id",
         "pos",
-        F.concat_ws("\x1f", *leads).alias("shingle"),
+        F.xxhash64(*leads).alias("shingle_hash"),
         leads[-1].isNotNull().alias("full"),
     )
     # full k-grams, plus the single partial shingle (pos=0) for docs
-    # shorter than k tokens (same semantics as shingles()).
+    # shorter than k tokens (same semantics as shingles(); xxhash64
+    # skips null inputs, so the partial hash covers available tokens).
     sh = with_sh.where(F.col("full") | ((F.col("pos") == 0) & ~F.col("full")))
+    # 16 seed hashes re-hash the ONE shingle long with the seed — 16
+    # fixed-width (8-byte) hashes per shingle, vs 16 variable-length
+    # string hashes in the naive formulation.  (Arithmetic wraparound
+    # families would be cheaper still, but ANSI mode makes long
+    # overflow throw.)
     agg = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}") for i in range(N_MINHASH)]
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle_hash"))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
     )
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("sig")
