@@ -670,3 +670,41 @@ def fn_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", toks.alias("toks")).select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "token")
     )
+
+
+@query(
+    "fn_array_extended",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+      FROM documents WHERE doc_id % 25 = 0 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(list_position(toks, 'the') AS BIGINT) AS pos_the,
+           array_to_string(toks[1:3], '|') AS head3,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           CAST(len(list_concat(toks[1:2], toks[2:3])) AS BIGINT) AS n_concat,
+           list_contains(toks, 'spark') AS has_spark,
+           array_to_string(list_sort(list_distinct(toks[1:4])), ',') AS sorted_head
+    FROM t
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended array family: position/slice/distinct/concat/contains/
+    sort — scalar-safe outputs (strings/sizes) per the representation
+    policy."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 25 == 0) & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.array_position("toks", "the").cast("long").alias("pos_the"),
+        F.concat_ws("|", F.slice("toks", 1, 3)).alias("head3"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.size(F.concat(F.slice("toks", 1, 2), F.slice("toks", 2, 2))).cast("long").alias("n_concat"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.concat_ws(",", F.sort_array(F.array_distinct(F.slice("toks", 1, 4)))).alias("sorted_head"),
+    )

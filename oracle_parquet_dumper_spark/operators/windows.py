@@ -280,3 +280,51 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_neighbors"),
         F.sum(F.col("c_acctbal").cast("decimal(25,6)")).over(w).cast("double").alias("near_balance"),
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, d,
+             CASE WHEN d - LAG(d) OVER (PARTITION BY user_id ORDER BY d) = INTERVAL '1 day'
+                  THEN 0 ELSE 1 END AS is_start
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, d,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM marked
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           MIN(d) AS streak_start, MAX(d) AS streak_end, COUNT(*) AS streak_days
+    FROM islands
+    GROUP BY user_id, island_id
+    """,
+    tags=("window", "events", "islands"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user via the
+    lag + cumulative-flag-sum composition — the canonical sessionization
+    relative (here over calendar days, vs session_window's event gaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    marked = days.withColumn(
+        "is_start",
+        F.when(
+            F.col("d") - F.lag("d").over(w) == F.expr("INTERVAL 1 DAY"), 0
+        ).otherwise(1),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    islands = marked.withColumn("island_id", F.sum("is_start").over(wc).cast("long"))
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )

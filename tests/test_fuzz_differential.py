@@ -143,3 +143,51 @@ def fuzz_env2(spark):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SMOKE_DIR, t)}')"
         )
     return spark, con
+
+
+@st.composite
+def fuzz_window_query(draw) -> str:
+    part = draw(st.sampled_from(["l_returnflag", "l_suppkey % 5", "l_linestatus"]))
+    fn = draw(
+        st.sampled_from(
+            [
+                "ROW_NUMBER()",
+                "RANK()",
+                "DENSE_RANK()",
+                "CAST(COUNT(*) OVER w AS BIGINT)",
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER w AS DOUBLE)",
+                "LAG(l_quantity) OVER w",
+                "LEAD(l_quantity, 2) OVER w",
+            ]
+        )
+    )
+    pred = draw(predicates())
+    over = "OVER w" if "OVER w" in fn else "OVER w"
+    expr = fn if "OVER" in fn else f"{fn} {over}"
+    frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if ("SUM" in fn or "COUNT" in fn)
+        else ""
+    )
+    # NB: (l_orderkey, l_linenumber) is NOT unique in the fixture; the
+    # extra keys make any remaining ties exact duplicates, so outputs
+    # are multiset-identical regardless of engine tie order.
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS wval "
+        f"FROM lineitem WHERE {pred} "
+        f"WINDOW w AS (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_partkey, l_suppkey{frame})"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=fuzz_window_query())
+def test_random_window_queries_agree(fuzz_env, sql):
+    spark, con = fuzz_env
+    rep = compare("fuzz_window", spark.sql(sql), con, sql)
+    assert rep.match, f"{sql}\n{rep.detail}"
