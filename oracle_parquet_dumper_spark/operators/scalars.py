@@ -708,3 +708,22 @@ def fn_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("toks", "spark").alias("has_spark"),
         F.concat_ws(",", F.sort_array(F.array_distinct(F.slice("toks", 1, 4)))).alias("sorted_head"),
     )
+
+
+@query(
+    "fn_json_tuple",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.absent') AS absent_str
+    FROM events WHERE event_id % 30 = 0
+    """,
+    tags=("scalar", "json"),
+)
+def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple: multi-field JSON extraction in one generator pass
+    (one parse per row for N fields, vs N parses with get_json_object)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 30 == 0)
+    return ev.select(
+        "event_id", F.json_tuple("props", "k", "absent").alias("k_str", "absent_str")
+    )

@@ -149,3 +149,22 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics EXCEPT ALL (multiplicity subtraction)."""
     lo, hi = _half_keys(spark, sf_dir)
     return lo.exceptAll(hi)
+
+
+@query(
+    "sort_within_partitions",
+    oracle="""
+    SELECT l_orderkey, l_suppkey, l_quantity
+    FROM lineitem WHERE l_orderkey % 40 = 0
+    """,
+    tags=("sort", "partition"),
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions: partition-local sort with NO exchange — the
+    cheap ordering used before bucketed writes and merge-friendly scans.
+    Row content is unchanged (the oracle is the plain selection); the
+    plan property (Sort with global=false, no Exchange) is what matters."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    return li.select("l_orderkey", "l_suppkey", "l_quantity").sortWithinPartitions(
+        "l_suppkey", "l_quantity"
+    )

@@ -88,3 +88,9 @@ def test_q18_semi_join_for_in_subquery(spark, sf_dir):
 def test_knn_broadcasts_query_set(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_knn_join")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sort_within_partitions_no_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_within_partitions")
+    assert "Sort" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
