@@ -1290,3 +1290,247 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
         """
     )
+
+
+# partsupp proxy: the fixtures lack a partsupp table; derive the
+# (part, supplier) relation from observed lineitem with min price as the
+# supply-cost proxy and summed quantity as availability.  Declared once
+# in SQL so the Spark and DuckDB sides share the exact definition.
+_PARTSUPP_PROXY_SQL = """
+    partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS ps_availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def _partsupp_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        dec_sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_PROXY_SQL}
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_key, ps_supplycost
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM partsupp ps2
+                           JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                           JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                           JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                           WHERE ps2.ps_partkey = ps_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_key
+    """,
+    tags=("join", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region —
+    correlated MIN subquery over the same join tree, decorrelated to a
+    per-part aggregate join.  Exact equality on the float cost works
+    because both sides compute MIN over identical values."""
+    for t in ("lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        f"""
+        WITH {_PARTSUPP_PROXY_SQL}
+        SELECT s_acctbal, s_name, n_name, ps_partkey AS p_key, ps_supplycost
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM partsupp ps2
+                               JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                               JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                               JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                               WHERE ps2.ps_partkey = ps_partkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_key
+        """
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_PROXY_SQL}
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {dec_sum_sql('l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity * 0.01')} AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation and year over a 6-relation join
+    including the (derived) partsupp on its composite key."""
+    ps = _partsupp_proxy(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity") * 0.01
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            ps,
+            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dec_sum(profit).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_PROXY_SQL}
+    SELECT ps_partkey AS p_key,
+           CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) AS DOUBLE) AS stock_value
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY ps_partkey
+    HAVING SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6)))
+         > (SELECT SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) * 0.002
+            FROM partsupp
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+    ORDER BY stock_value DESC, p_key
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value exceeds a fraction of
+    the national total — HAVING against an uncorrelated scalar subquery
+    over the same relation (decimal sums keep the threshold comparison
+    exact in both engines)."""
+    for t in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        f"""
+        WITH {_PARTSUPP_PROXY_SQL}
+        SELECT ps_partkey AS p_key,
+               CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) AS DOUBLE) AS stock_value
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY ps_partkey
+        HAVING SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6)))
+             > (SELECT SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) * 0.002
+                FROM partsupp
+                JOIN supplier ON s_suppkey = ps_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+        ORDER BY stock_value DESC, p_key
+        """
+    )
+
+
+@query(
+    "q12_priority_by_category",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("join", "agg"),
+)
+def q12_priority_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode replaced by the return flag the
+    fixtures have): conditional counts split by a priority class over a
+    fact-fact join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_PROXY_SQL}
+    SELECT s_name, s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          AND ps_availqty > (SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                             FROM lineitem
+                             WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+      )
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "subquery", "exists"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: triple-nested IN — suppliers holding excess
+    stock of promo parts, with a correlated scalar threshold on the
+    innermost level.  Catalyst flattens the IN chain into semi joins and
+    decorrelates the scalar into an aggregate join."""
+    for t in ("lineitem", "supplier", "nation", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        f"""
+        WITH {_PARTSUPP_PROXY_SQL}
+        SELECT s_name, s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+              AND ps_availqty > (SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                                 FROM lineitem
+                                 WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                                   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+          )
+        ORDER BY s_suppkey
+        """
+    )
