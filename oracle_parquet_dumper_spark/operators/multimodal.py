@@ -190,3 +190,72 @@ def mm_grouped_embed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_d1"),
     )
+
+
+EMBED_DIM = 8
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fake_embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def embed_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB embedding model: deterministic 8-dim vector from payload
+    bytes (replace with a real encoder; batch shape is the contract)."""
+    for pdf in batches:
+        out = {"doc_id": [], "fake_embedding": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            vec = []
+            for i in range(EMBED_DIM):
+                h = 17
+                for by in b[i::EMBED_DIM][:32]:
+                    h = (h * 31 + by) % 1_000_003
+                vec.append(round((h % 2001 - 1000) / 1000.0, 6))
+            out["doc_id"].append(doc_id)
+            out["fake_embedding"].append(vec)
+        yield pd.DataFrame(out)
+
+
+@query("mm_embed_and_match", tags=("multimodal", "pandas_udf", "similarity"))
+def mm_embed_and_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed-then-search composition: binary payloads -> mapInPandas
+    embedding stub -> nearest centroid by cosine (centroids = per-label
+    means of the first EMBED_DIM dims of the embeddings table).  The
+    multimodal -> similarity pipeline shape: decode/embed is the only
+    Python stage; matching stays JVM-side.  Rows-only check."""
+    from oracle_parquet_dumper_spark.functions.vectors import cosine
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    embedded = with_payload(d).select("doc_id", "payload").mapInPandas(
+        embed_payloads, EMBED_SCHEMA
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        e.groupBy("label")
+        .agg(
+            F.array(
+                *[
+                    (
+                        F.sum(F.element_at("embedding", i + 1).cast("decimal(25,6)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    for i in range(EMBED_DIM)
+                ]
+            ).alias("centroid")
+        )
+    )
+    scored = embedded.crossJoin(F.broadcast(centroids)).select(
+        "doc_id", "label", F.round(cosine("fake_embedding", "centroid"), 6).alias("cos")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("cos").desc(), "label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("label").alias("best_label"), "cos")
+    )

@@ -111,3 +111,31 @@ def test_stream_interval_join_equals_batch(spark, smoke_sf_dir):
         ev.where("event_type = 'purchase'"), ev.where("event_type = 'view'")
     )
     assert _normalize(got) == _normalize(expect)
+
+
+def test_foreach_batch_into_exporter_layout(spark, smoke_sf_dir, tmp_path):
+    """Streaming ingest through foreachBatch into the reference's
+    <schema>/<table>/ layout — the streaming->exporter integration:
+    each micro-batch appends rolled parquet under the table directory."""
+    out = str(tmp_path / "warehouse" / "main" / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.write.mode("append")
+            .option("compression", "zstd")
+            .parquet(out)
+        )
+
+    q = (
+        ops.read_events_stream(spark, smoke_sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    expect = load_table(spark, smoke_sf_dir, "events")
+    assert written.count() == expect.count()
+    assert set(written.columns) == set(expect.columns)
