@@ -81,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.source_path:
         from oracle_parquet_dumper_spark.catalog import ParquetDirectoryCatalog
 
+        if not os.path.isdir(args.source_path):
+            print(f"error: --source-path {args.source_path!r} is not a directory", file=sys.stderr)
+            return 2
         catalog = ParquetDirectoryCatalog(spark, args.source_path)
     elif args.hostname and args.service_name:
         from oracle_parquet_dumper_spark.catalog import JdbcCatalog, OracleConnectionInfo

@@ -1534,3 +1534,74 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (SELECT event_id, user_id, value FROM events WHERE event_id % 3 != 0),
+    updates AS (SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 2 = 0)
+    SELECT COALESCE(b.event_id, u.event_id) AS event_id,
+           COALESCE(u.user_id, b.user_id) AS user_id,
+           COALESCE(u.value, b.value) AS value,
+           CASE WHEN u.event_id IS NULL THEN 'kept'
+                WHEN b.event_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL JOIN updates u ON b.event_id = u.event_id
+    """,
+    tags=("join", "merge", "cdc"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge/upsert semantics on plain parquet relations: one full
+    outer join on the key, COALESCE picking update-over-base, action
+    column for audit.  This is what MERGE INTO compiles to without a
+    transactional table format; at scale the join is key-partitioned
+    sort-merge and the result rewrites only affected partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 3 != 0).select("event_id", "user_id", "value")
+    updates = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    b = base.alias("b")
+    u = updates.alias("u")
+    return b.join(u, F.col("b.event_id") == F.col("u.event_id"), "full").select(
+        F.coalesce(F.col("b.event_id"), F.col("u.event_id")).alias("event_id"),
+        F.coalesce(F.col("u.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("u.value"), F.col("b.value")).alias("value"),
+        F.when(F.col("u.event_id").isNull(), "kept")
+        .when(F.col("b.event_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value AS state_value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    """,
+    tags=("window", "scd2", "cdc"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: each state-change event becomes a
+    versioned row with [valid_from, valid_to) from lead(ts); the open
+    row (valid_to NULL) is current.  One window pass over the change
+    stream — the standard dimension-history materialization."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "signup") | (F.col("event_type") == "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -18,7 +18,7 @@ def _norm_cell(v):
     import numpy as np
     import pandas as pd
 
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float) and math.isnan(v):
         return None

@@ -227,3 +227,15 @@ def test_jdbc_bounds_sql():
     assert sql == 'SELECT MIN("ID"), MAX("ID") FROM "S"."T"'
     sql_scn = JdbcCatalog.bounds_sql("S", "T", "ID", scn=12345)
     assert 'AS OF SCN 12345' in sql_scn
+
+
+def test_cli_bad_source_path_graceful():
+    from oracle_parquet_dumper_spark.cli import main
+
+    assert main(["--source-path", "/nonexistent/xyz", "--output-path", "/tmp/never"]) == 2
+
+
+def test_cli_no_source_args_graceful():
+    from oracle_parquet_dumper_spark.cli import main
+
+    assert main(["--output-path", "/tmp/never"]) == 2
