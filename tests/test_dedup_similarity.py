@@ -169,3 +169,53 @@ def test_pipeline_curation_monotone_and_planted(spark, tmp_path):
     assert out == {"en": (2, out["en"][1])}
     assert out["en"][0] == 2
     assert out["en"][1] > 0
+
+
+def test_mm_embed_and_match_deterministic(spark, sf_dir):
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    a = sorted(map(tuple, REGISTRY["mm_embed_and_match"].fn(spark, sf_dir).limit(50).collect()))
+    b = sorted(map(tuple, REGISTRY["mm_embed_and_match"].fn(spark, sf_dir).limit(50).collect()))
+    assert a == b
+    assert all(-1.0 <= r[2] <= 1.0 for r in a)  # cosine bounds
+
+
+def test_grouped_agg_median_close_to_exact(spark, sf_dir):
+    """The pandas grouped-agg median must agree with the built-in exact
+    percentile to float tolerance (they share the interpolation rule)."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.sources import load_table
+
+    udf_out = {
+        r.l_returnflag: r.median_price
+        for r in REGISTRY["udf_grouped_agg_pandas"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.m
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("m"))
+        .collect()
+    }
+    assert udf_out.keys() == exact.keys()
+    for k in exact:
+        assert abs(udf_out[k] - exact[k]) < 1e-6 * max(1.0, abs(exact[k]))
+
+
+def test_apply_in_pandas_zscores_standardized(spark, sf_dir):
+    """Each group's z-scores must have ~zero mean and ~unit variance."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    stats = (
+        REGISTRY["udf_apply_in_pandas"].fn(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.avg("price_z").alias("mu"), F.stddev("price_z").alias("sd"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.mu) < 1e-3
+        assert abs(r.sd - 1.0) < 1e-2

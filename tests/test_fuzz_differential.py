@@ -191,3 +191,56 @@ def test_random_window_queries_agree(fuzz_env, sql):
     spark, con = fuzz_env
     rep = compare("fuzz_window", spark.sql(sql), con, sql)
     assert rep.match, f"{sql}\n{rep.detail}"
+
+
+@st.composite
+def fuzz_scalar_query(draw) -> str:
+    base = draw(st.sampled_from(["c_name", "c_mktsegment"]))
+    wrappers = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "lower({})",
+                    "upper({})",
+                    "reverse({})",
+                    "substring({}, 2, 6)",
+                    "trim({})",
+                    "replace({}, 'A', 'z')",
+                    "lpad({}, 12, '.')",
+                ]
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    expr = base
+    for wrap in wrappers:
+        expr = wrap.format(expr)
+    return f"SELECT c_custkey, {expr} AS sval FROM customer WHERE c_custkey % 3 = 0"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=fuzz_scalar_query())
+def test_random_scalar_queries_agree(fuzz_env3, sql):
+    spark, con = fuzz_env3
+    rep = compare("fuzz_scalar", spark.sql(sql), con, sql)
+    assert rep.match, f"{sql}\n{rep.detail}"
+
+
+@pytest.fixture(scope="module")
+def fuzz_env3(spark):
+    import duckdb
+
+    from oracle_parquet_dumper_spark.sources.tables import load_table, table_path
+
+    load_table(spark, SMOKE_DIR, "customer").createOrReplaceTempView("customer")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{table_path(SMOKE_DIR, 'customer')}')"
+    )
+    return spark, con
