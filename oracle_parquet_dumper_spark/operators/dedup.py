@@ -499,3 +499,55 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def words_col_d(df: DataFrame):
     return F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+
+
+@query(
+    "split_train_dev_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'dev'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           MIN(doc_id) AS min_id
+    FROM assigned
+    GROUP BY 1
+    ORDER BY split
+    """,
+    tags=("dedup", "split", "pipeline"),
+)
+def split_train_dev_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/dev/test split by content-stable hash bucket:
+    md5(key) -> bucket 0-99 -> 80/10/10.  Hash-based (not modulo-id)
+    assignment survives re-ingestion, resharding, and id renumbering —
+    the reproducible-split requirement for training pipelines.  md5 is
+    engine-portable, so the oracle checks the exact assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "dev").otherwise("test").alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )
+
+
+@query("sample_bernoulli", tags=("sample", "pipeline"))
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (df.sample): the inspection/debug
+    primitive at 100 TB — evaluated at the scan, no shuffle, no
+    materialized index.  Sampler internals are Spark-specific ->
+    rows-only check; determinism and bounds are unit-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")

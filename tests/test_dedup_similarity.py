@@ -219,3 +219,24 @@ def test_apply_in_pandas_zscores_standardized(spark, sf_dir):
     for r in stats:
         assert abs(r.mu) < 1e-3
         assert abs(r.sd - 1.0) < 1e-2
+
+
+def test_sample_bernoulli_deterministic_and_bounded(spark, sf_dir):
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    a = sorted(r.doc_id for r in REGISTRY["sample_bernoulli"].fn(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in REGISTRY["sample_bernoulli"].fn(spark, sf_dir).collect())
+    assert a == b  # same seed -> same sample
+    n_total = 500  # documents at sf0.01
+    assert 0.1 * n_total < len(a) < 0.3 * n_total
+
+
+def test_split_partitions_complete_and_disjoint(spark, sf_dir):
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    rows = REGISTRY["split_train_dev_test"].fn(spark, sf_dir).collect()
+    by_split = {r.split: r.n for r in rows}
+    assert set(by_split) == {"train", "dev", "test"}
+    assert sum(by_split.values()) == 500
+    assert by_split["train"] > by_split["dev"]
+    assert by_split["train"] > by_split["test"]
