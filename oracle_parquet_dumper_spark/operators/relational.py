@@ -513,6 +513,47 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_JOIN_SALTS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_li, {dec_sum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: the build side is replicated across
+    {N_JOIN_SALTS} salt values and the probe side gets a deterministic
+    salt, so a power-law-hot join key spreads over {N_JOIN_SALTS}
+    reducers instead of one straggler.  Semantically identical to the
+    plain join (the oracle is the plain form).  The merge hint forces
+    the shuffle path so the salting is actually exercised — at 100 TB
+    this is the manual fallback when AQE's skew-join split cannot help
+    (e.g. a skewed BUILD side, or aggregation directly on the join
+    output); prefer AQE (on by default in session.py) when it fires."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.col("l_orderkey"), F.lit(N_JOIN_SALTS)).cast("int")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(spark.range(N_JOIN_SALTS).select(F.col("id").cast("int").alias("_salt")))
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    joined = li.hint("merge").join(
+        supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (li["_salt"] == supp["_salt"])
+    )
+    return (
+        joined.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_li"), dec_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
 @query(
     "subquery_scalar",
     oracle=f"""

@@ -240,3 +240,80 @@ def test_split_partitions_complete_and_disjoint(spark, sf_dir):
     assert sum(by_split.values()) == 500
     assert by_split["train"] > by_split["dev"]
     assert by_split["train"] > by_split["test"]
+
+
+def test_ann_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe candidates,
+    so its k-th best cosine must be >= the single-probe k-th best, and
+    every result bucket must be within Hamming distance 1 of the query's."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    single = REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    multi = REGISTRY["sim_ann_lsh_multiprobe"].fn(spark, sf_dir).collect()
+    assert 0 < len(multi) <= 10
+    assert min(r.cos for r in multi) >= min(r.cos for r in single)
+
+    qbucket = {r.bucket for r in single}
+    assert len(qbucket) == 1
+    (qb,) = qbucket
+    for r in multi:
+        dist = sum(a != b for a, b in zip(r.bucket, qb))
+        assert dist <= 1, (r.bucket, qb)
+
+
+def test_ann_pandas_rerank_matches_jvm_expression(spark, sf_dir):
+    """The Arrow-batched numpy re-rank must return the same ids as the
+    pure-JVM expression re-rank over the identical candidate set."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.functions.vectors import cosine_rounded
+    from oracle_parquet_dumper_spark.operators.similarity import QUERY_VEC_ID, TOP_K
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    pandas_ids = [
+        r.vec_id for r in REGISTRY["sim_ann_ivf_rerank_pandas"].fn(spark, sf_dir).collect()
+    ]
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("label").alias("qcell")
+    )
+    jvm_ids = [
+        r.vec_id
+        for r in (
+            e.join(F.broadcast(q), F.col("label") == F.col("qcell"))
+            .where(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", cosine_rounded("embedding", "qvec").alias("cos"))
+            .orderBy(F.col("cos").desc(), "vec_id")
+            .limit(TOP_K)
+            .collect()
+        )
+    ]
+    assert pandas_ids == jvm_ids
+
+
+def test_join_skew_salted_equals_plain_join(spark, sf_dir):
+    """The salted join must be row-for-row identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    salted = {
+        (r.n_name, r.n_li) for r in REGISTRY["join_skew_salted"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    plain = {
+        (r.n_name, r.n_li)
+        for r in (
+            li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_li"))
+            .collect()
+        )
+    }
+    assert salted == plain
