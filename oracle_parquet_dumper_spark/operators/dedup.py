@@ -551,3 +551,57 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; determinism and bounds are unit-tested."""
     d = load_table(spark, sf_dir, "documents")
     return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")
+
+
+@query("dedup_label_propagation", tags=("dedup", "graph", "iterative"))
+def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the near-dup graph: 10% of
+    documents (doc_id % 10 == 0) are treated as labeled seeds (their
+    ``lang``); labels spread outward along MinHash-LSH candidate edges by
+    majority vote of already-labeled neighbors (ties broken by min lang,
+    labels frozen once assigned, 3 rounds ~ graph diameter for shallow
+    near-dup clusters).  The label-transfer pass a training-data run uses
+    to extend sparse human annotations to near-duplicate documents.
+
+    Each round is one join + one aggregate on the node key; lineage is
+    truncated per round (see connected_components).  Output: assigned
+    label x status histogram.  Iterative -> rows-only check; seed-
+    reachability is unit-tested."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .localCheckpoint(eager=True)
+    )
+
+    labels = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.col("lang").alias("assigned"), F.lit("seed").alias("status")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(3):
+        votes = (
+            edges.join(labels, edges.y == labels.doc_id)
+            .groupBy(F.col("x"), F.col("assigned"))
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        win = W.partitionBy("x").orderBy(F.col("n_votes").desc(), F.col("assigned"))
+        winners = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(F.col("x").alias("doc_id"), "assigned", F.lit("propagated").alias("status"))
+        )
+        new = winners.join(labels.select("doc_id"), "doc_id", "left_anti")
+        labels = labels.unionByName(new).localCheckpoint(eager=True)
+
+    full = d.join(labels, "doc_id", "left").select(
+        F.coalesce(F.col("assigned"), F.lit("__unlabeled__")).alias("assigned"),
+        F.coalesce(F.col("status"), F.lit("unlabeled")).alias("status"),
+    )
+    return (
+        full.groupBy("assigned", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("assigned", "status")
+    )

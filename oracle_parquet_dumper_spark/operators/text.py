@@ -288,3 +288,69 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(content).cast("long").alias("n_content_tokens"),
         F.concat_ws(" ", F.slice(content, 1, 5)).alias("first_content"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    b AS (
+      SELECT doc_id, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM w
+    ),
+    bc AS (
+      SELECT doc_id, word, nxt, COUNT(*) AS c
+      FROM b WHERE nxt IS NOT NULL GROUP BY doc_id, word, nxt
+    ),
+    pb AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+      FROM bc GROUP BY doc_id
+    ),
+    ws AS (
+      SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct
+      FROM w GROUP BY doc_id
+    )
+    SELECT pb.doc_id,
+           round(CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS dup_word_frac
+    FROM pb JOIN ws ON pb.doc_id = ws.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1):
+    the fraction of bigram occurrences taken by the single most frequent
+    bigram, and the duplicate-word fraction (1 - distinct/total).  High
+    values flag boilerplate / degenerate documents for the curation gate.
+
+    Plan: one posexplode of the token array, bigrams via window ``lead``
+    (tokenization runs once per document — see minhash_signatures_df for
+    why array-lambda formulations re-tokenize per n-gram), then two
+    aggregates sharing the doc_id partitioning.  Scale cost: one shuffle
+    on doc_id; no all-pairs or driver-side work."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = w.withColumn("nxt", F.lead("word").over(win)).where(F.col("nxt").isNotNull())
+    bc = bigrams.groupBy("doc_id", "word", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    pb = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
+    )
+    ws = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"), F.countDistinct("word").alias("n_distinct")
+    )
+    return pb.join(ws, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("dup_word_frac"),
+    )

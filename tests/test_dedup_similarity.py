@@ -317,3 +317,49 @@ def test_join_skew_salted_equals_plain_join(spark, sf_dir):
         )
     }
     assert salted == plain
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    rows = REGISTRY["text_repetition_ratio"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_word_frac < 1.0
+
+
+def test_label_propagation_conserves_and_reaches_seeds(spark, sf_dir):
+    """Every doc is counted exactly once; seed count matches the seed
+    predicate; propagated labels only exist where the near-dup graph
+    connects an unlabeled doc to a seed's component."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.dedup import (
+        connected_components,
+        dedup_minhash_lsh,
+    )
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_seeds = d.where(F.col("doc_id") % 10 == 0).count()
+
+    rows = REGISTRY["dedup_label_propagation"].fn(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == n_docs
+    assert sum(r.n for r in rows if r.status == "seed") == n_seeds
+
+    n_prop = sum(r.n for r in rows if r.status == "propagated")
+    if n_prop:
+        # every propagated doc must share a CC with at least one seed
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+        comps = connected_components(pairs)
+        seeded_comps = {
+            r.component
+            for r in comps.where(F.col("node") % 10 == 0).select("component").collect()
+        }
+        reachable = comps.where(
+            (F.col("node") % 10 != 0) & F.col("component").isin(list(seeded_comps))
+        ).count()
+        assert n_prop <= reachable
