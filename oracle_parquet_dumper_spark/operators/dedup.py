@@ -605,3 +605,43 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("assigned", "status")
     )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM assigned
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 30 END)
+    GROUP BY lang
+    """,
+    tags=("dedup", "sample", "pipeline"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (10% of the
+    dominant 'en' stratum, 30% elsewhere) via the same engine-portable
+    md5 bucket as split_train_dev_test — the rebalancing step of a
+    training-mix pipeline.  Hash-gated at the scan: no shuffle, no
+    sort, and the assignment is reproducible across re-ingestions, so
+    the oracle checks exact membership, not just counts."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    thresh = F.when(F.col("lang") == "en", 10).otherwise(30)
+    return (
+        d.where(bucket < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

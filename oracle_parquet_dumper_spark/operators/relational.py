@@ -1646,3 +1646,129 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode / weighted aggregates / time-bucket rollup
+# ---------------------------------------------------------------------------
+@query(
+    "agg_mode_top1",
+    oracle="""
+    SELECT o_orderstatus, mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+             ) AS rn
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode per group.  Built-in ``mode()`` is
+    tie-nondeterministic across engines, so the portable formulation is
+    count-per-value -> row_number with an explicit value tiebreak.  The
+    count aggregate map-side combines; only the (group, value) pairs —
+    not the raw rows — reach the window sort."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dec_sum_sql('l_extendedprice * l_discount')} AS sum_weighted,
+           {dec_sum_sql('l_extendedprice')} AS sum_weight,
+           {dec_sum_sql('l_extendedprice * l_discount')} / {dec_sum_sql('l_extendedprice')}
+             AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-weighted average discount: two decimal sums and one double
+    division — order-independent, so bit-exact across engines.  One
+    map-side-combining hash aggregate; no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sw = dec_sum(F.col("l_extendedprice") * F.col("l_discount"))
+    tw = dec_sum("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        sw.alias("sum_weighted"),
+        tw.alias("sum_weight"),
+        (sw / tw).alias("wavg_discount"),
+    )
+
+
+@query(
+    "agg_time_bucket_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dec_sum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "time", "rollup"),
+)
+def agg_time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly hypertable-style rollup of the event stream: time-bucket +
+    type grain with count / distinct-user / decimal-sum measures.  The
+    batch mirror of the streaming tumbling window — at scale this is the
+    continuous-aggregate materialization pattern, and date_trunc keeps
+    the bucket computation inside codegen (no UDF, no shuffle before the
+    partial agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "fn_struct_argmax",
+    oracle="""
+    SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_orderkey
+    FROM (
+      SELECT o_custkey, o_totalprice, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    """,
+    tags=("fn", "struct", "agg"),
+)
+def fn_struct_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-ordering argmax: max(struct(price, key)) compares structs
+    lexicographically, so one hash aggregate (with map-side partial max)
+    replaces the window row_number formulation — no full per-partition
+    sort, which is the cheaper plan at 100 TB.  Also exercises struct
+    construction and field extraction."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    )
+    return o.groupBy("o_custkey").agg(best.alias("b")).select(
+        "o_custkey",
+        F.col("b.p").alias("best_price"),
+        F.col("b.k").alias("best_orderkey"),
+    )

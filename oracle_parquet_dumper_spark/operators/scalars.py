@@ -727,3 +727,34 @@ def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.json_tuple("props", "k", "absent").alias("k_str", "absent_str")
     )
+
+
+@query(
+    "fn_regexp_family",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]{7,})', 1) AS first_long_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+           regexp_matches(text, '\\?') AS has_question,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+    tags=("fn", "regexp"),
+)
+def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family: first-match capture-group extraction,
+    match counting, boolean match, and global replacement.  All four are
+    codegen'd JVM regex ops — the filter/extract primitives a curation
+    pipeline leans on before reaching for a UDF.  Both engines return ''
+    (not NULL) for a no-match extract, so the comparison is exact."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]{7,})", 1).alias("first_long_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.col("text").rlike(r"\?").alias("has_question"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("digits_masked"),
+    )

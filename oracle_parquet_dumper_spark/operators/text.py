@@ -354,3 +354,52 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words").cast("double"), 6
         ).alias("dup_word_frac"),
     )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH words AS (
+      SELECT lang,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
+      FROM documents
+    ), bigrams AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words
+    )
+    SELECT lang, bigram, n, rn
+    FROM (
+      SELECT lang, bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM bigrams
+      GROUP BY lang, bigram
+    )
+    WHERE rn <= 5
+    """,
+    tags=("text", "ngram"),
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language — corpus n-gram statistics for
+    contamination screens and boilerplate detection.  Bigrams are built
+    with one zip_with over two slices of the token array (a single
+    interpreted-HOF pass; no per-shingle recomputation), then the count
+    aggregate map-side combines before the top-k window sees only the
+    (lang, bigram) grain."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, n1), F.slice(w, 2, n1), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    from pyspark.sql import Window as W
+
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    )
+    return counts.withColumn("rn", rn).where(F.col("rn") <= 5)

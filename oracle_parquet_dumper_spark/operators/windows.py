@@ -328,3 +328,35 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("streak_end"),
         F.count(F.lit(1)).alias("streak_days"),
     )
+
+
+@query(
+    "window_event_transitions",
+    oracle="""
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("window", "sequence"),
+)
+def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): lead()
+    per user ordered by (ts, event_id — unique tiebreak), then a global
+    count per (from, to) pair.  The window shuffles once on user_id; the
+    follow-up aggregate sees only K^2 pairs after map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
