@@ -99,7 +99,13 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("aspect", T.DoubleType()),
-        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        # the 4-dim feature vector is flattened to scalar columns so the
+        # result stays hashable/sortable for pandas consumers (harness
+        # convention in plans/registry.py: no array output columns)
+        T.StructField("f0", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("f2", T.DoubleType()),
+        T.StructField("f3", T.DoubleType()),
     ]
 )
 
@@ -109,14 +115,18 @@ def decode_and_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     per input batch on the executor; memory is O(batch), and batch size
     is governed by spark.sql.execution.arrow.maxRecordsPerBatch."""
     for pdf in batches:
-        out = {"doc_id": [], "width": [], "height": [], "aspect": [], "feature": []}
+        out = {
+            "doc_id": [], "width": [], "height": [], "aspect": [],
+            "f0": [], "f1": [], "f2": [], "f3": [],
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             w, h, feat = _decode_stub(bytes(payload))
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
             out["aspect"].append(round(w / h, 6))
-            out["feature"].append(feat)
+            for i in range(4):
+                out[f"f{i}"].append(feat[i])
         yield pd.DataFrame(out)
 
 

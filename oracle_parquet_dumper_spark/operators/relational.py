@@ -456,7 +456,10 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+        # scalar columns (not an array) so downstream pandas consumers can
+        # hash/sort the result — see harness convention in plans/registry.py
+        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
     )
 
 
@@ -1284,7 +1287,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum period revenue —
     a reused derived relation (CTE) consumed twice (join + scalar max).
     The decimal revenue makes the equality comparison exact; with plain
-    float sums 'x = MAX(x)' is a correctness trap."""
+    float sums 'x = MAX(x)' is a correctness trap.
+
+    The scalar max stays IN-PLAN: the 1-row ``MAX(total_revenue)``
+    aggregate is broadcast and equi-joined against revenue, so the whole
+    query is one job with a single pass over lineitem — no driver-side
+    ``collect`` round-trip, and the only broadcast is exactly one row
+    (broadcasting ``revenue`` itself would grow with supplier count)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -1295,10 +1304,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue")).collect()[0][0]
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.join(
+        F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue
+    ).select("supplier_no", "total_revenue")
     return (
-        s.join(F.broadcast(revenue), s.s_suppkey == revenue.supplier_no)
-        .where(F.col("total_revenue") == max_rev)
+        s.join(F.broadcast(top), s.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
