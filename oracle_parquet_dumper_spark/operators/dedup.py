@@ -297,7 +297,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, blocked by label (the
     centroid/cluster id at scale): pairs above threshold, aggregated per
     block.  The join shuffles on label only; per-block pair scoring is
-    the standard post-clustering dedup pass."""
+    the standard post-clustering dedup pass.
+
+    DEMO of exact-within-small-block scoring: with only 10 label values
+    the within-block pair count is O((n/10)^2) — at scale use the
+    LSH-blocked flagship ``dedup_embedding_cosine_lsh``, whose pair cost
+    is bounded by bucket occupancy instead of stratum size."""
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -323,6 +328,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_lsh_oracle() -> str:
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_sql
+
+    return f"""
+    WITH bands AS ({banded_buckets_sql("embeddings", "vec_id", "embedding")}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ),
+    p AS (
+      SELECT a, b, {cosine_rounded_sql('ea.embedding', 'eb.embedding')} AS cos
+      FROM cand JOIN embeddings ea ON ea.vec_id = a
+                JOIN embeddings eb ON eb.vec_id = b
+    )
+    SELECT a, COUNT(*) AS n_dups, MAX(cos) AS best_cos
+    FROM p WHERE cos >= 0.3
+    GROUP BY a
+    """
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    oracle=_emb_lsh_oracle(),
+    tags=("dedup", "embedding", "lsh", "flagship"),
+    bench=True,
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection blocked by banded sign-LSH — the
+    scale-path flagship for pairwise vector dedup.
+
+    ``dedup_embedding_cosine`` blocks on the 10-value ``label`` column:
+    within-block pair count is O((n/10)^2), so one stratum's growth
+    quadratically dominates a task.  Here candidates come from a
+    (band, bucket) equi-join over 4 bands x 4 sign bits
+    (functions/lsh.py): pair cost is bounded by *bucket occupancy*
+    (~n/2^4 per band uniformly), not by any stratum size, and the bucket
+    is a precomputable partition column at 100 TB.  Exact rounded cosine
+    then verifies candidates; output is the per-doc near-dup summary a
+    curation pass consumes (docs with >=1 near-dup above 0.3).
+
+    Oracle-checked: the SQL twin regenerates the same seeded planes and
+    rounded-dot sign bits, so candidate sets match exactly."""
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = banded_buckets(e, "vec_id", "embedding")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    v = e.select(
+        "vec_id", as_double("embedding").alias("v"), norm("embedding").alias("nv")
+    )
+    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    pairs = cand.join(va, "a").join(vb, "b").select(
+        "a", "b", cosine_prenormed("va", "vb", "na", "nb").alias("cos")
+    )
+    return (
+        pairs.where(F.col("cos") >= 0.3)
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.max("cos").alias("best_cos"))
+    )
+
+
 @query(
     "dedup_fuzzy_levenshtein",
     oracle="""
@@ -337,7 +412,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: Levenshtein edit distance under a
     threshold, blocked by segment + key sample (edit distance is
-    O(len^2) per pair — blocking is mandatory at scale)."""
+    O(len^2) per pair — blocking is mandatory at scale).
+
+    DEMO of exact-within-small-block scoring: the 5-value segment block
+    is O((n/5)^2) within a block — at scale use the MinHash-banded
+    flagship ``dedup_fuzzy_levenshtein_lsh``."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
     a = c.select(
         F.col("c_custkey").alias("a"), F.col("c_mktsegment").alias("seg_a"), F.col("c_name").alias("name_a")
@@ -353,7 +432,140 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+N_NAME_HASHES = 8
+NAME_ROWS_PER_BAND = 2
+N_NAME_BANDS = N_NAME_HASHES // NAME_ROWS_PER_BAND
+
+
+def _name_hash_sql(j: int) -> str:
+    return f"CAST(('0x' || substring(md5(g || '#{j}'), 1, 15)) AS BIGINT)"
+
+
+def _lev_lsh_oracle() -> str:
+    sig_cols = ", ".join(f"MIN({_name_hash_sql(j)}) AS h{j}" for j in range(N_NAME_HASHES))
+    band_branches = " UNION ALL ".join(
+        f"SELECT c_custkey, {b} AS band, h{b * NAME_ROWS_PER_BAND} AS v0, "
+        f"h{b * NAME_ROWS_PER_BAND + 1} AS v1 FROM sig"
+        for b in range(N_NAME_BANDS)
+    )
+    return f"""
+    WITH s AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0),
+    g AS (
+      SELECT c_custkey,
+             unnest(list_transform(generate_series(1, greatest(length(c_name) - 2, 1)),
+                                   i -> substring(c_name, i, 3))) AS g
+      FROM s
+    ),
+    sig AS (SELECT c_custkey, {sig_cols} FROM g GROUP BY c_custkey),
+    bands AS ({band_branches}),
+    cand AS (
+      SELECT DISTINCT l.c_custkey AS a, r.c_custkey AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.v0 = r.v0 AND l.v1 = r.v1 AND l.c_custkey < r.c_custkey
+    )
+    SELECT a, b, CAST(levenshtein(sa.c_name, sb.c_name) AS BIGINT) AS edit_dist
+    FROM cand JOIN s sa ON sa.c_custkey = a JOIN s sb ON sb.c_custkey = b
+    WHERE levenshtein(sa.c_name, sb.c_name) <= 3
+    """
+
+
+@query(
+    "dedup_fuzzy_levenshtein_lsh",
+    oracle=_lev_lsh_oracle(),
+    tags=("dedup", "fuzzy", "lsh", "flagship"),
+)
+def dedup_fuzzy_levenshtein_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching blocked by character-shingle MinHash bands —
+    the scale-path flagship for string near-dup.
+
+    ``dedup_fuzzy_levenshtein`` blocks on the 5-value ``c_mktsegment``:
+    within-block pairs are O((n/5)^2) and the biggest segment skews one
+    task.  Here candidates collide through 4 bands x 2 min-hashes over
+    character 3-grams, so pair cost follows bucket occupancy and the
+    (band, v0, v1) key is shuffle/bucket-partitionable at 100 TB.
+    Candidates are verified with exact Levenshtein <= 3.  The %7 key
+    sample only controls fixture size.
+
+    The min-hash uses md5 (engine-portable), NOT xxhash64, precisely so
+    the DuckDB oracle can regenerate identical signatures — bit-exact
+    candidate sets, full hash-match check.  (In production swap md5 for
+    xxhash64: same plan, cheaper hash.)"""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    g = c.select(
+        "c_custkey",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(c_name) - 2, 1)),"
+                " i -> substring(c_name, i, 3))"
+            )
+        ).alias("g"),
+    )
+
+    def name_hash(j: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("g"), F.lit(f"#{j}")).cast("binary")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+        )
+
+    sig = g.groupBy("c_custkey").agg(
+        *[F.min(name_hash(j)).alias(f"h{j}") for j in range(N_NAME_HASHES)]
+    )
+    bands = sig.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{b * NAME_ROWS_PER_BAND}").alias("v0"),
+                        F.col(f"h{b * NAME_ROWS_PER_BAND + 1}").alias("v1"),
+                    )
+                    for b in range(N_NAME_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("c_custkey", "bb.band", "bb.v0", "bb.v1")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "v0", "v1"])
+        .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
+        .select(F.col("l.c_custkey").alias("a"), F.col("r.c_custkey").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    names = c.select("c_custkey", "c_name")
+    na = names.select(F.col("c_custkey").alias("a"), F.col("c_name").alias("name_a"))
+    nb = names.select(F.col("c_custkey").alias("b"), F.col("c_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .where(dist <= 3)
+        .select("a", "b", dist.cast("long").alias("edit_dist"))
+    )
+
+
+def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Lineage truncation for iterative algorithms, parametrized by
+    durability.  ``localCheckpoint`` (default) stores blocks on executor
+    storage — fast, but a lost executor loses its blocks and the
+    truncated lineage cannot recompute them.  Passing ``checkpoint_dir``
+    switches to reliable ``checkpoint`` on that (at scale: HDFS/S3)
+    directory, which survives executor loss — the right setting for
+    long CC/label-propagation runs on a real cluster."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     ``edges``: (a, b) undirected pair rows.  Returns (node, component)
@@ -375,7 +587,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     # Truncate lineage: without this every iteration's convergence count
     # re-executes the (possibly expensive) edge-producing pipeline, and
     # the label lineage doubles per round.
-    both = both.localCheckpoint(eager=True)
+    both = truncate_lineage(both, checkpoint_dir)
     labels = (
         both.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("component"))
         .select(F.col("x").alias("node"), "component")
@@ -390,7 +602,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        prop = prop.localCheckpoint(eager=True)
+        prop = truncate_lineage(prop, checkpoint_dir)
         changed = (
             prop.alias("p")
             .join(labels.alias("l"), "node")
@@ -404,7 +616,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
-@query("dedup_clusters", tags=("dedup", "graph", "iterative"))
+@query("dedup_clusters", tags=("dedup", "graph", "iterative"), bench=True)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash-LSH candidate pairs -> connected
     components -> one row per cluster with its canonical (min doc_id)
@@ -554,7 +766,9 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_label_propagation", tags=("dedup", "graph", "iterative"))
-def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_label_propagation(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Semi-supervised label propagation over the near-dup graph: 10% of
     documents (doc_id % 10 == 0) are treated as labeled seeds (their
     ``lang``); labels spread outward along MinHash-LSH candidate edges by
@@ -571,15 +785,18 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
-    edges = (
+    edges = truncate_lineage(
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
-        .localCheckpoint(eager=True)
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))),
+        checkpoint_dir,
     )
 
-    labels = d.where(F.col("doc_id") % 10 == 0).select(
-        "doc_id", F.col("lang").alias("assigned"), F.lit("seed").alias("status")
-    ).localCheckpoint(eager=True)
+    labels = truncate_lineage(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id", F.col("lang").alias("assigned"), F.lit("seed").alias("status")
+        ),
+        checkpoint_dir,
+    )
 
     for _ in range(3):
         votes = (
@@ -594,7 +811,7 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("x").alias("doc_id"), "assigned", F.lit("propagated").alias("status"))
         )
         new = winners.join(labels.select("doc_id"), "doc_id", "left_anti")
-        labels = labels.unionByName(new).localCheckpoint(eager=True)
+        labels = truncate_lineage(labels.unionByName(new), checkpoint_dir)
 
     full = d.join(labels, "doc_id", "left").select(
         F.coalesce(F.col("assigned"), F.lit("__unlabeled__")).alias("assigned"),

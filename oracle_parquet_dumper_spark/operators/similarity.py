@@ -84,7 +84,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise similarity join with threshold, blocked by label —
-    the aggregate per block keeps output bounded."""
+    the aggregate per block keeps output bounded.
+
+    DEMO of exact-within-small-block scoring (O((n/10)^2) per label
+    block): the scale path is the LSH-blocked flagship
+    ``sim_threshold_join_lsh``."""
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
 
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
@@ -111,6 +115,65 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos").alias("max_cos"),
             F.min("cos").alias("min_cos"),
         )
+    )
+
+
+def _threshold_lsh_oracle() -> str:
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_sql
+
+    return f"""
+    WITH bands AS ({banded_buckets_sql("embeddings", "vec_id", "embedding")}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT a, b, {cosine_rounded_sql('ea.embedding', 'eb.embedding')} AS cos
+    FROM cand JOIN embeddings ea ON ea.vec_id = a
+              JOIN embeddings eb ON eb.vec_id = b
+    WHERE {cosine_rounded_sql('ea.embedding', 'eb.embedding')} >= 0.2
+    """
+
+
+@query(
+    "sim_threshold_join_lsh",
+    oracle=_threshold_lsh_oracle(),
+    tags=("similarity", "join", "lsh", "flagship"),
+)
+def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity threshold join blocked by banded sign-LSH — the
+    scale-path flagship for pairwise similarity.
+
+    ``sim_threshold_join`` blocks on the 10-value ``label``; within-block
+    pair cost is O((n/10)^2).  Candidates here come from a (band, bucket)
+    equi-join (4 bands x 4 sign bits, functions/lsh.py), so cost tracks
+    bucket occupancy (~n/16 per band) and the bucket key
+    bucket-partitions at 100 TB.  Candidates are verified with the exact
+    rounded cosine; output is every surviving pair above threshold.
+    Recall is the banded-LSH s-curve — tune with more bands/fewer bits.
+
+    Oracle-checked: the SQL twin regenerates the identical seeded planes
+    and rounded-dot sign bits."""
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = banded_buckets(e, "vec_id", "embedding")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    v = e.select("vec_id", as_double("embedding").alias("v"), norm("embedding").alias("nv"))
+    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine_prenormed("va", "vb", "na", "nb").alias("cos"))
+        .where(F.col("cos") >= 0.2)
     )
 
 
@@ -250,10 +313,14 @@ def sim_ann_ivf_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos").desc(), "vec_id").limit(TOP_K)
 
 
+KNN_QUERY_SET_SIZE = 16
+
+
 @query(
     "sim_knn_join",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {KNN_QUERY_SET_SIZE}),
     scored AS (
       SELECT q.qid, e.vec_id,
              {cosine_rounded_sql('e.embedding', 'q.qvec')} AS cos
@@ -266,17 +333,27 @@ def sim_ann_ivf_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 3
     """,
     tags=("similarity", "join"),
+    bench=True,
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN join: top-3 neighbors for every vector in a query set.
-    The query set broadcasts (it is small by construction); scoring is
-    one scan of the base table x |Q| — the brute-force kNN-join baseline
-    that IVF/LSH variants prune."""
+
+    The query set is CAPPED at a fixed size (first KNN_QUERY_SET_SIZE
+    qualifying vec_ids), so both the broadcast size and the scoring cost
+    (one scan x |Q|) stay constant as the base table grows — an
+    unbounded ``vec_id % 100`` set would make scoring O(n^2/100).  For
+    large query sets, prune candidates through the IVF/LSH buckets
+    (sim_ann_lsh / sim_ivf_coarse) before brute-force scoring."""
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
 
     e = load_table(spark, sf_dir, "embeddings").withColumn("nv", norm("embedding"))
-    q = e.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("nv").alias("nq")
+    q = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(KNN_QUERY_SET_SIZE)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("nv").alias("nq")
+        )
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))

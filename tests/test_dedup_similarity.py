@@ -131,6 +131,42 @@ def test_connected_components_planted(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from executor-local
+    blocks to reliable checkpoint files — same result, and checkpoint
+    data actually lands in the directory (survives executor loss at
+    scale)."""
+    import os
+
+    from oracle_parquet_dumper_spark.operators.dedup import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], ["a", "b"]
+    )
+    comps = {
+        r.node: r.component
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    written = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "reliable checkpoint wrote no files"
+
+
+def test_label_propagation_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """The registered query and its reliable-checkpoint variant agree."""
+    from oracle_parquet_dumper_spark.operators.dedup import dedup_label_propagation
+
+    base = {tuple(r) for r in dedup_label_propagation(spark, sf_dir).collect()}
+    reli = {
+        tuple(r)
+        for r in dedup_label_propagation(
+            spark, sf_dir, checkpoint_dir=str(tmp_path / "ckpt2")
+        ).collect()
+    }
+    assert base == reli
+
+
 def test_dedup_clusters_planted(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, BASE, "en", "s", 1), (2, NEAR, "en", "s", 1), (3, FAR, "en", "s", 1),
