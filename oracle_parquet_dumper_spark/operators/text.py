@@ -226,6 +226,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 3
     """,
     tags=("text", "tfidf"),
+    bench=True,
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual TF-IDF (smoothed idf) + top-3 terms per document.  One
@@ -237,13 +238,19 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(words_col()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar, computed once at plan time
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6).alias(
-            "tfidf"
-        ),
+    # corpus size stays IN-PLAN (broadcast 1-row aggregate) — a driver
+    # .count() here would run an extra job per query build
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return (
