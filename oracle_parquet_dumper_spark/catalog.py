@@ -123,55 +123,83 @@ class JdbcCatalog:
     (main.py:195-214).
     """
 
+    DEFAULT_DRIVER = "oracle.jdbc.OracleDriver"
+
     def __init__(
         self,
         spark: SparkSession,
-        conn: OracleConnectionInfo,
+        conn: OracleConnectionInfo | None = None,
         isolation_init: str | None = None,
         fetchsize: int = 10000,
+        url: str | None = None,
+        driver: str | None = None,
     ):
+        """``conn`` builds the Oracle thin URL; ``url``/``driver`` override
+        them for any other JDBC source (the integration tests exercise the
+        full option plumbing against embedded Derby — same reader path,
+        different dialect)."""
+        if conn is None and url is None:
+            raise ValueError("JdbcCatalog needs either conn or url")
         self.spark = spark
         self.conn = conn
         self.isolation_init = isolation_init
         self.fetchsize = fetchsize
+        self.url = url or conn.jdbc_url
+        self.driver = driver or self.DEFAULT_DRIVER
 
-    def _reader(self, sql: str):
+    def _reader(self, sql: str, *, as_subquery: bool = False):
         r = (
             self.spark.read.format("jdbc")
-            .option("url", self.conn.jdbc_url)
-            .option("user", self.conn.username)
-            .option("password", self.conn.password)
-            .option("driver", "oracle.jdbc.OracleDriver")
+            .option("url", self.url)
+            .option("user", self.conn.username if self.conn else "")
+            .option("password", self.conn.password if self.conn else "")
+            .option("driver", self.driver)
             .option("fetchsize", str(self.fetchsize))
-            .option("query", sql)
         )
+        if as_subquery:
+            # partitionColumn cannot be combined with the 'query' option;
+            # a derived-table dbtable is the documented equivalent.
+            r = r.option("dbtable", f"({sql}) t")
+        else:
+            r = r.option("query", sql)
         if self.isolation_init:
             r = r.option("sessionInitStatement", self.isolation_init)
         return r
+
+    @staticmethod
+    def _q(value: str) -> str:
+        """Escape a value for interpolation into a SQL string literal —
+        the Spark JDBC 'query' option cannot carry bind variables (the
+        reference binds these, main.py:92-99), so single quotes must be
+        doubled or a name/pattern containing ' breaks (and injects into)
+        the dictionary query."""
+        return value.replace("'", "''")
 
     @staticmethod
     def tables_sql(schema: str, include_pattern: str, exclude_pattern: str | None) -> str:
         """Generated dictionary SQL, structurally equivalent to reference
         get_tables (main.py:195-207): non-external, non-temporary tables,
         regex include/exclude, deterministic name order."""
+        q = JdbcCatalog._q
         sql = (
             "SELECT table_name FROM all_tables "
-            f"WHERE owner = '{schema}' "
+            f"WHERE owner = '{q(schema)}' "
             "AND temporary = 'N' AND external = 'NO' "
-            f"AND REGEXP_LIKE(table_name, '{include_pattern}')"
+            f"AND REGEXP_LIKE(table_name, '{q(include_pattern)}')"
         )
         if exclude_pattern:
-            sql += f" AND NOT REGEXP_LIKE(table_name, '{exclude_pattern}')"
+            sql += f" AND NOT REGEXP_LIKE(table_name, '{q(exclude_pattern)}')"
         return sql + " ORDER BY table_name ASC"
 
     @staticmethod
     def columns_sql(schema: str, table: str) -> str:
         """Dictionary SQL equivalent to reference get_columns
         (main.py:92-99): type-excluded, catalog-ordered."""
+        q = JdbcCatalog._q
         excl = ", ".join(f"'{t}'" for t in EXCLUDED_ORACLE_TYPES)
         return (
             "SELECT column_name FROM all_tab_columns "
-            f"WHERE owner = '{schema}' AND table_name = '{table}' "
+            f"WHERE owner = '{q(schema)}' AND table_name = '{q(table)}' "
             f"AND data_type NOT IN ({excl}) "
             "AND data_type NOT LIKE 'INTERVAL %' "
             "ORDER BY column_id ASC"
@@ -214,8 +242,9 @@ class JdbcCatalog:
         sql = f"SELECT {cols} FROM {src}"
         if row_limit != -1:
             sql += f" FETCH FIRST {row_limit} ROWS ONLY"
-        r = self._reader(sql)
-        if partition_column and bounds and num_partitions > 1:
+        partitioned = bool(partition_column and bounds and num_partitions > 1)
+        r = self._reader(sql, as_subquery=partitioned)
+        if partitioned:
             r = (
                 r.option("partitionColumn", partition_column)
                 .option("lowerBound", str(bounds[0]))
@@ -236,8 +265,11 @@ class JdbcCatalog:
         src = f'"{schema}"."{table}"'
         if scn is not None:
             src += f" AS OF SCN {scn}"
+        # Aliases matter: Spark's JDBC reader re-selects columns by name,
+        # and unaliased aggregates get dialect-dependent names ("1"/"2"
+        # on Derby) that break that re-select.
         return (
-            f'SELECT MIN("{partition_column}"), MAX("{partition_column}") FROM {src}'
+            f'SELECT MIN("{partition_column}") AS lo, MAX("{partition_column}") AS hi FROM {src}'
         )
 
     def plan_partitioned_read(

@@ -61,7 +61,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def load_env_file(path: str | None = None) -> None:
+    """Reference parity (main.py:28): load a ``.env`` file into the
+    environment before flag defaults are read.  Existing env vars win
+    (python-dotenv default), matching dotenv's load-at-import semantics."""
+    try:
+        from dotenv import find_dotenv, load_dotenv
+    except ImportError:  # keep the CLI usable without python-dotenv
+        return
+    # usecwd: search from the process working directory (bare
+    # load_dotenv() would walk from this module's install location).
+    load_dotenv(path or find_dotenv(usecwd=True))
+
+
 def main(argv: list[str] | None = None) -> int:
+    load_env_file()
     args = build_parser().parse_args(argv)
     if args.version:
         from oracle_parquet_dumper_spark import __version__

@@ -177,6 +177,18 @@ def test_jdbc_sql_generation():
     assert csql.endswith("ORDER BY column_id ASC")
 
 
+def test_jdbc_sql_quote_escaping():
+    """Names/patterns containing single quotes must not break (or inject
+    into) the generated dictionary SQL — the reference uses bind
+    variables; the JDBC query option requires escaping instead."""
+    sql = JdbcCatalog.tables_sql("O'BRIEN", "A'B", "C'D")
+    assert "owner = 'O''BRIEN'" in sql
+    assert "REGEXP_LIKE(table_name, 'A''B')" in sql
+    assert "NOT REGEXP_LIKE(table_name, 'C''D')" in sql
+    csql = JdbcCatalog.columns_sql("O'BRIEN", "T'1")
+    assert "owner = 'O''BRIEN'" in csql and "table_name = 'T''1'" in csql
+
+
 def test_catalog_listing(spark, source_dir):
     cat = ParquetDirectoryCatalog(spark, source_dir)
     assert cat.list_schemas() == ["main"]
@@ -222,11 +234,54 @@ def test_concurrent_table_export(spark, source_dir, tmp_path):
         assert os.path.exists(os.path.join(out, "main", t, f"{t}_0.parquet"))
 
 
+def test_rows_from_observed_metric(spark, source_dir, tmp_path):
+    """ExportResult.rows comes from the write job's Observation — always
+    populated (reference parity: rows_exported is always reported), with
+    a single pass over the data (no post-write re-scan)."""
+    out = str(tmp_path / "out")
+    results = exporter(spark, source_dir, out, table_name_include_pattern="REGION")
+    assert results[0].rows == 5
+    out2 = str(tmp_path / "out2")
+    results2 = exporter(
+        spark, source_dir, out2, table_name_include_pattern="NATION",
+        reference_file_naming=False,
+    )
+    assert results2[0].rows == 25
+    out3 = str(tmp_path / "out3")
+    results3 = exporter(
+        spark, source_dir, out3, table_name_include_pattern="NATION", row_limit=7
+    )
+    assert results3[0].rows == 7
+
+
 def test_jdbc_bounds_sql():
     sql = JdbcCatalog.bounds_sql("S", "T", "ID")
-    assert sql == 'SELECT MIN("ID"), MAX("ID") FROM "S"."T"'
+    assert sql == 'SELECT MIN("ID") AS lo, MAX("ID") AS hi FROM "S"."T"'
     sql_scn = JdbcCatalog.bounds_sql("S", "T", "ID", scn=12345)
     assert 'AS OF SCN 12345' in sql_scn
+
+
+def test_cli_dotenv_defaults(spark, source_dir, tmp_path, monkeypatch):
+    """Reference parity (main.py:28): flag defaults come from a .env file
+    in the working directory when the vars are not already set."""
+    import os
+
+    from oracle_parquet_dumper_spark.cli import main
+
+    out = tmp_path / "envout"
+    (tmp_path / ".env").write_text(
+        f"OUTPUT_PATH={out}\nTABLE_NAME_INCLUDE_PATTERN=REGION\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    for var in ("OUTPUT_PATH", "TABLE_NAME_INCLUDE_PATTERN"):
+        monkeypatch.delenv(var, raising=False)
+    try:
+        assert main(["--source-path", source_dir]) == 0
+        assert (out / "main" / "REGION" / "REGION_0.parquet").exists()
+    finally:
+        # load_dotenv mutates the process env; don't leak into other tests
+        for var in ("OUTPUT_PATH", "TABLE_NAME_INCLUDE_PATTERN"):
+            os.environ.pop(var, None)
 
 
 def test_cli_bad_source_path_graceful():
