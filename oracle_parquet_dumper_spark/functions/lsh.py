@@ -44,8 +44,15 @@ PLANES: list[list[float]] = [
 def _sign_bit(vec_d: Column, plane: list[float]) -> Column:
     """'1'/'0' from the sign of the rounded <vec, plane> dot product.
     ``vec_d`` must already be array<double> (hoist the cast with
-    ``as_double`` once per row — HOF folds are interpreted, so a cast
-    inside would re-run per plane)."""
+    ``as_double`` once per row so it isn't re-evaluated per plane).
+
+    Implementation note: the sequential zip_with/aggregate fold is
+    interpreted, but a flat 64-term element_at multiply-add chain was
+    measured ~4x SLOWER here (16 planes x 64 terms blows the expression
+    tree past codegen's method-size limits and falls back to
+    interpreting a much bigger tree).  The fold also keeps the
+    left-to-right add order that makes results bit-exact with DuckDB's
+    list_dot_product."""
     plane_lit = F.array(*[F.lit(v) for v in plane])
     return F.when(F.round(dot_d(vec_d, plane_lit), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
@@ -71,11 +78,18 @@ def banded_buckets(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, band, bucket) — one row per (row, band); the candidate-join
     input.  At 100 TB this is the precomputed/bucketed column layout:
     write it partitioned by (band, bucket) and candidate generation
-    becomes a co-located join with zero wide shuffle."""
-    return (
+    becomes a co-located join with zero wide shuffle.
+
+    Lazily checkpointed: the caller self-joins this frame, and without
+    truncation Spark would evaluate the 16 hyperplane dots once per join
+    side (2x the dominant cost); the local checkpoint materializes the
+    tiny (id, band, bucket) relation on first use and both sides read
+    it."""
+    bands = (
         df.select(F.col(id_col), F.explode(band_structs(vec_col)).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
     )
+    return bands.localCheckpoint(eager=False)
 
 
 # --- matching DuckDB SQL (generated from the SAME plane literals) ----------

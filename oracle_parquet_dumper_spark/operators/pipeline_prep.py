@@ -1,0 +1,265 @@
+"""Training-data preparation operators: chunking, sequence packing,
+test-set contamination detection, PII scrubbing.
+
+North-star extension (SURVEY.md §2 Part B, training-pipeline ops beyond
+the reference's surface).  These are the steps between "curated corpus"
+(operators/dedup.py pipeline_curation) and "token stream fed to a
+trainer":
+
+- ``text_chunk_sliding``   — split documents into overlapping token
+  windows (the context-window chunker);
+- ``pipeline_seq_packing`` — greedy sequential packing of docs into
+  fixed token-budget sequences, sharded for scale;
+- ``text_contamination_ngram`` — word-8-gram overlap between the test
+  and train splits (decontamination audit);
+- ``text_pii_redaction``   — regex scrubbing with per-row redaction
+  counts (digit-run scrub over ID-bearing names; the email pattern
+  rides along to show the multi-pattern shape).
+
+Everything is built-in column expressions (split/slice/md5/windows) —
+codegen'd JVM end to end, no Python per-row work, and every query has a
+bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+CHUNK_TOKENS = 32  # window size (tokens)
+CHUNK_STRIDE = 24  # window start stride -> 8-token overlap
+
+PACK_BUDGET = 256  # tokens per packed sequence
+PACK_SHARDS = 8    # hash shards; windows run per-shard, not globally
+
+NGRAM_N = 8  # contamination n-gram width
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+      FROM documents WHERE length(text) > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start,
+             toks, len(toks) AS n
+      FROM docs
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least(start + {CHUNK_TOKENS} - 1, n) - start + 1 AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(toks, start, least(start + {CHUNK_TOKENS} - 1, n)), ' '))
+             AS chunk_hash
+    FROM chunks
+    """,
+    tags=("text", "pipeline", "chunk"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: CHUNK_TOKENS-token windows every
+    CHUNK_STRIDE tokens (overlap = window - stride), the standard
+    context-window prep for training.  One explode per chunk start —
+    the chunk text itself is reduced to (token count, md5) so nothing
+    wider than a digest shuffles; at 100 TB chunk payloads would be
+    written columnar per shard, not collected."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    base = d.select("doc_id", toks.alias("toks")).withColumn("n", F.size("toks"))
+    starts = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))
+    n_tokens = F.least(F.col("start") + CHUNK_TOKENS - 1, F.col("n")) - F.col("start") + 1
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "pipeline_seq_packing",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {PACK_SHARDS} AS shard,
+             len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS n_tok
+      FROM documents WHERE length(text) > 0
+    ),
+    runs AS (
+      SELECT shard, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM docs
+    )
+    SELECT shard, CAST(floor((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM runs
+    GROUP BY shard, pack_id
+    """,
+    tags=("text", "pipeline", "pack"),
+)
+def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing: docs (in stable doc_id order) fill
+    PACK_BUDGET-token sequences; a doc whose cumulative count crosses the
+    boundary starts/straddles the next pack (deterministic first-fit,
+    no reordering).
+
+    Scale shape: the running sum is windowed PER SHARD (content-stable
+    md5 hash shard), never globally — a global ORDER BY window is a
+    single-partition sort that dies at 100 TB, while per-shard windows
+    parallelize and each trainer data-loader reads its own shard."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % PACK_SHARDS
+    )
+    docs = d.select("doc_id", shard.alias("shard"), F.size(toks).cast("long").alias("n_tok"))
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    runs = docs.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        runs.select(
+            "shard",
+            F.floor((F.col("cum") - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+            "n_tok",
+        )
+        .groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
+    )
+
+
+def _split_bucket_sql() -> str:
+    return "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def _split_bucket_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+@query(
+    "text_contamination_ngram",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_split_bucket_sql()} AS bucket,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+      FROM documents WHERE length(text) > 0
+    ),
+    grams AS (
+      SELECT doc_id, bucket,
+             md5(array_to_string(list_slice(toks, i, i + {NGRAM_N} - 1), ' ')) AS g
+      FROM (SELECT doc_id, bucket, toks,
+                   unnest(generate_series(1, len(toks) - {NGRAM_N} + 1)) AS i
+            FROM docs WHERE len(toks) >= {NGRAM_N})
+    ),
+    train_grams AS (SELECT DISTINCT g FROM grams WHERE bucket < 80),
+    test_grams AS (SELECT doc_id, g, COUNT(*) AS n FROM grams WHERE bucket >= 90 GROUP BY doc_id, g)
+    SELECT t.doc_id,
+           CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN t.n ELSE 0 END) AS BIGINT) AS contaminated_grams,
+           CAST(SUM(t.n) AS BIGINT) AS total_grams,
+           round(SUM(CASE WHEN tr.g IS NOT NULL THEN t.n ELSE 0 END) * 1.0 / SUM(t.n), 6)
+             AS contamination_ratio
+    FROM test_grams t LEFT JOIN train_grams tr ON t.g = tr.g
+    GROUP BY t.doc_id
+    HAVING SUM(CASE WHEN tr.g IS NOT NULL THEN t.n ELSE 0 END) > 0
+    """,
+    tags=("text", "pipeline", "contamination"),
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: which TEST-split documents share word
+    {NGRAM_N}-grams with the TRAIN split (the canonical benchmark-leak
+    check).  Splits reuse the content-stable md5 bucket from
+    split_train_dev_test, so the audit is reproducible.
+
+    Scale shape: only 16-byte gram digests shuffle; the train side is
+    reduced to DISTINCT digests before the join (at 100 TB that relation
+    is bounded by unique-gram count and joins via one hash shuffle —
+    or a bloom filter pushed to the test scan)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    base = (
+        d.select("doc_id", _split_bucket_col().alias("bucket"), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") >= NGRAM_N)
+    )
+    grams = base.select(
+        "doc_id",
+        "bucket",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (NGRAM_N - 1))).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "bucket",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(NGRAM_N))).cast("binary")).alias(
+            "g"
+        ),
+    )
+    train_grams = grams.where(F.col("bucket") < 80).select("g").distinct()
+    test_grams = (
+        grams.where(F.col("bucket") >= 90)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = test_grams.join(
+        train_grams.withColumn("hit", F.lit(1)), "g", "left"
+    )
+    contaminated = F.sum(F.when(F.col("hit").isNotNull(), F.col("n")).otherwise(F.lit(0)))
+    total = F.sum("n")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            contaminated.alias("contaminated_grams"),
+            total.alias("total_grams"),
+            F.round(contaminated * 1.0 / total, 6).alias("contamination_ratio"),
+        )
+        .where(F.col("contaminated_grams") > 0)
+    )
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = "[0-9]{4,}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '{DIGIT_RUN_RE}', '<ID>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(c_name, '{DIGIT_RUN_RE}')) AS BIGINT) AS n_id_runs,
+           CAST(len(regexp_extract_all(c_name, '{EMAIL_RE}')) AS BIGINT) AS n_emails
+    FROM customer
+    """,
+    tags=("text", "pipeline", "pii"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace digit runs (account/ID numbers) with a
+    placeholder and count redactions per row; the email pattern rides
+    along to show multi-pattern scrubbing (zero hits in this fixture).
+    Pure regexp_replace/extract_all column expressions — codegen'd, no
+    UDF, and the scan stays one pass however many patterns are added.
+    Patterns are kept in the RE2/Java-regex common subset so the DuckDB
+    twin is bit-exact."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", DIGIT_RUN_RE, "<ID>").alias("redacted"),
+        F.size(F.regexp_extract_all("c_name", F.lit(DIGIT_RUN_RE), 0))
+        .cast("long")
+        .alias("n_id_runs"),
+        F.size(F.regexp_extract_all("c_name", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+    )

@@ -14,6 +14,7 @@ from oracle_parquet_dumper_spark.plans.registry import (  # noqa: F401
 from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
     dedup,
     multimodal,
+    pipeline_prep,
     relational,
     scalars,
     setops,
@@ -27,6 +28,7 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
 OPERATOR_MODULES = [
     dedup,
     multimodal,
+    pipeline_prep,
     relational,
     scalars,
     setops,

@@ -6,10 +6,13 @@ from __future__ import annotations
 
 from oracle_parquet_dumper_spark.sources import load_table
 from oracle_parquet_dumper_spark.sources.text_formats import (
+    read_avro,
     read_csv,
     read_json,
+    read_orc,
     write_csv,
     write_json,
+    write_orc,
 )
 
 
@@ -40,6 +43,43 @@ def test_csv_schema_inference(spark, smoke_sf_dir, tmp_path):
     inferred = read_csv(spark, out)  # no schema -> inference
     assert set(inferred.columns) == set(region.columns)
     assert inferred.count() == region.count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, smoke_sf_dir, tmp_path):
+    """ORC round-trips exactly and keeps the scan-level pushdown story:
+    a filtered read must show PushedFilters on the OrcScan."""
+    nation = load_table(spark, smoke_sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out)
+    back = read_orc(spark, out, schema=nation.schema)
+    assert _sorted_rows(back) == _sorted_rows(nation)
+    filtered = read_orc(spark, out).where("n_regionkey = 2").select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_avro_gated_clearly(spark, smoke_sf_dir, tmp_path):
+    """Without the spark-avro connector jar the helpers raise a clear
+    RuntimeError (not a raw py4j stack); with it, they round-trip."""
+    import pytest
+
+    from oracle_parquet_dumper_spark.sources.text_formats import _require_avro
+
+    region = load_table(spark, smoke_sf_dir, "region")
+    try:
+        _require_avro(spark)
+        have_avro = True
+    except RuntimeError:
+        have_avro = False
+    out = str(tmp_path / "region_avro")
+    if have_avro:
+        from oracle_parquet_dumper_spark.sources.text_formats import write_avro
+
+        write_avro(region, out)
+        assert _sorted_rows(read_avro(spark, out)) == _sorted_rows(region)
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, out)
 
 
 def test_events_ns_timestamp_matches_duckdb(spark, sf_dir, duck):
