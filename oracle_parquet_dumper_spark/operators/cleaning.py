@@ -1,0 +1,259 @@
+"""Corpus-cleaning operators: Gopher-style document quality gates,
+C4-style global span-frequency dedup, and distribution-based length
+trimming.
+
+North-star extension (SURVEY.md §2 Part B training-pipeline ops).  These
+are the standard pretraining-corpus cleaning passes that run BEFORE the
+dedup/curation stages in operators/dedup.py:
+
+- ``clean_gopher_quality``  — per-document quality-gate metrics in the
+  style of Gopher (Rae et al. 2021, §A1.1): word count band, mean word
+  length band, symbol ratio, alphabetic-word fraction, stop-word
+  presence — each emitted as a column plus the combined keep flag;
+- ``clean_span_freq_dedup`` — C4-style (Raffel et al. 2020 §2.2)
+  corpus-global span dedup: any fixed-width token span that occurs in
+  more than one document marks its documents; only 16-byte span digests
+  shuffle;
+- ``clean_length_band``     — trim documents outside the [5%, 95%]
+  band of the corpus token-count distribution, with the thresholds
+  computed IN-PLAN on the aggregated (token_count -> doc count)
+  distribution, never by sorting the corpus.
+
+All three are built-in column expressions end to end (split/filter/
+md5/windows) with bit-exact DuckDB oracles.  Reference parity note:
+the reference (main.py:110-127) has no cleaning surface at all — this
+module is pure Part B extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+# Gopher-style gate thresholds (Rae et al. 2021 table A1, adapted to the
+# fixture's word-soup scale).
+MIN_WORDS = 30
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_WORD_FRAC = 0.8
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+SPAN_TOKENS = 8  # C4 span width (non-overlapping, stride == width)
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+def _toks_col():
+    return F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+
+
+@query(
+    "clean_gopher_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS lt, {_TOKS_SQL} AS toks
+      FROM documents WHERE length(text) > 0
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6) AS mean_word_len,
+             round(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) * 1.0 / length(lt), 6)
+               AS symbol_ratio,
+             round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) * 1.0 / len(toks), 6)
+               AS alpha_word_frac,
+             list_has_any(toks, {_STOP_SQL}) AS has_stopword
+      FROM d
+    )
+    SELECT *,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+            AND mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+            AND symbol_ratio < {MAX_SYMBOL_RATIO}
+            AND alpha_word_frac > {MIN_ALPHA_WORD_FRAC}
+            AND has_stopword) AS keep
+    FROM m
+    """,
+    tags=("text", "pipeline", "quality", "clean"),
+)
+def clean_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1): each
+    metric is one pass over the row's own text — no joins, no shuffle at
+    all; the filter runs at scan speed however wide the corpus is.
+    Ratios are integer-counter quotients rounded to 6 places (the
+    bit-exactness convention); the keep flag ANDs the gates."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    base = d.select("doc_id", F.lower("text").alias("lt"), _toks_col().alias("toks"))
+    n_words = F.size("toks").cast("long")
+    mean_word_len = F.round(
+        F.length(F.concat_ws("", F.col("toks"))) * F.lit(1.0) / F.size("toks"), 6
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace("lt", "[a-z0-9 ]", "")) * F.lit(1.0) / F.length("lt"), 6
+    )
+    alpha_word_frac = F.round(
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]"))) * F.lit(1.0)
+        / F.size("toks"),
+        6,
+    )
+    has_stopword = F.arrays_overlap("toks", F.array(*[F.lit(s) for s in STOPWORDS]))
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        has_stopword.alias("has_stopword"),
+    )
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") < MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_frac") > MIN_ALPHA_WORD_FRAC)
+        & F.col("has_stopword")
+    )
+    return m.withColumn("keep", keep)
+
+
+@query(
+    "clean_span_freq_dedup",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks
+      FROM documents WHERE length(text) > 0
+    ),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + {SPAN_TOKENS} - 1), ' ')) AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SPAN_TOKENS} + 1, {SPAN_TOKENS})) AS i
+            FROM docs WHERE len(toks) >= {SPAN_TOKENS})
+    ),
+    freq AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY g),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             COUNT(*) FILTER (f.nd >= 2) AS n_shared_spans
+      FROM spans s JOIN freq f ON s.g = f.g
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_shared_spans AS BIGINT) AS n_shared_spans,
+           (n_shared_spans = 0) AS keep
+    FROM per_doc
+    """,
+    tags=("dedup", "pipeline", "clean"),
+)
+def clean_span_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (Raffel et al. 2020 §2.2: drop any
+    span occurring more than once in the corpus — here flag the
+    documents that contain one).  Non-overlapping {SPAN_TOKENS}-token
+    spans, digested to md5.
+
+    Scale shape: only (doc_id, 16-byte digest) rows shuffle, ONCE (by
+    digest).  Span doc-frequency is a window over the digest — not a
+    self-join with an aggregate, which would scan/tokenize/explode the
+    corpus twice (verified on the physical plan).  Per-digest groups are
+    tiny (dup count), so the window state is bounded.  Nothing is ever
+    pairwise — cost is O(corpus tokens), the same shape C4 ran over
+    750 GB."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    base = (
+        d.select("doc_id", _toks_col().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") >= SPAN_TOKENS)
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - (SPAN_TOKENS - 1), F.lit(SPAN_TOKENS))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(SPAN_TOKENS))).cast("binary")
+        ).alias("g"),
+    )
+    w_g = W.partitionBy("g")
+    flagged = spans.withColumn("nd", F.size(F.collect_set("doc_id").over(w_g)))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared_spans"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_shared_spans").cast("long").alias("n_shared_spans"),
+            (F.col("n_shared_spans") == 0).alias("keep"),
+        )
+    )
+
+
+@query(
+    "clean_length_band",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tok
+      FROM documents WHERE length(text) > 0
+    ),
+    dist AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY n_tok),
+    c AS (
+      SELECT n_tok,
+             SUM(cnt) OVER (ORDER BY n_tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM dist
+    ),
+    b AS (
+      SELECT min(n_tok) FILTER (20 * cum >= total) AS lo,
+             min(n_tok) FILTER (20 * cum >= 19 * total) AS hi
+      FROM c
+    )
+    SELECT d.doc_id, CAST(d.n_tok AS BIGINT) AS n_tok
+    FROM d, b
+    WHERE d.n_tok BETWEEN b.lo AND b.hi
+    """,
+    tags=("text", "pipeline", "clean"),
+)
+def clean_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution trimming: keep documents whose token count
+    lies within the [5%, 95%] band of the corpus distribution.
+
+    Scale shape: the percentile thresholds come from the AGGREGATED
+    (n_tok -> doc count) distribution — hundreds of rows however big
+    the corpus — so the only single-partition window runs on that tiny
+    relation, and the thresholds broadcast back as a 1-row cross join.
+    Never sorts or windows the corpus itself.  Threshold comparisons
+    are pure integer arithmetic (20*cum >= total), so the band is
+    bit-exact across engines with no float quantile semantics."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select("doc_id", F.size(_toks_col()).alias("n_tok"))
+    )
+    dist = d.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.orderBy("n_tok").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    c = dist.select(
+        "n_tok",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    b = c.agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("total"), F.col("n_tok"))).alias("lo"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("n_tok"))).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(b))
+        .where(F.col("n_tok").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
+    )

@@ -557,6 +557,82 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted-skew pair: the same query with and without mitigation, both
+# bench-flagged, so BENCH records what salting buys on a genuinely hot key.
+HOT_FRACTION_PCT = 30  # % of probe rows remapped onto one supplier key
+
+_PLANTED_ORACLE = f"""
+    SELECT s_name, COUNT(*) AS n_li, {dec_sum_sql('l_extendedprice')} AS sum_price
+    FROM (SELECT CASE WHEN l_orderkey % 10 < {HOT_FRACTION_PCT // 10} THEN 1
+                      ELSE l_suppkey END AS k,
+                 l_extendedprice
+          FROM lineitem) l
+    JOIN supplier ON l.k = s_suppkey
+    GROUP BY s_name
+    """
+
+
+def _planted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = F.when(F.col("l_orderkey") % 10 < HOT_FRACTION_PCT // 10, F.lit(1)).otherwise(
+        F.col("l_suppkey")
+    )
+    return li.select(hot.alias("k"), "l_orderkey", "l_extendedprice")
+
+
+@query(
+    "join_skew_planted_naive",
+    oracle=_PLANTED_ORACLE,
+    tags=("join", "skew", "bench-baseline"),
+    bench=True,
+)
+def join_skew_planted_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-skew baseline: {HOT_FRACTION_PCT}% of lineitem rows are
+    remapped onto ONE supplier key, then shuffle-joined with no
+    mitigation (merge hint defeats the broadcast that would hide the
+    skew at fixture scale).  One reducer receives {HOT_FRACTION_PCT}% of
+    the probe side — the straggler this pair measures.  At real scale
+    AQE's skew-join split (on in session.py) would break that partition
+    up; at fixture scale it stays under the 256 MB threshold, which is
+    exactly why the salted twin below exists."""
+    li = _planted_lineitem(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.hint("merge")
+        .join(supp, F.col("k") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_li"), dec_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "join_skew_planted_salted",
+    oracle=_PLANTED_ORACLE,
+    tags=("join", "skew", "flagship"),
+    bench=True,
+)
+def join_skew_planted_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-skew mitigation: same {HOT_FRACTION_PCT}%-hot join, but
+    the probe side carries a salt derived from a NON-key column
+    (l_orderkey — uncorrelated with the hot supplier key) and the build
+    side is replicated across all {N_JOIN_SALTS} salts, so the hot key's
+    rows spread over {N_JOIN_SALTS} reducers.  Identical semantics to
+    the naive twin (same oracle); the bench delta between the two is the
+    cost of the straggler."""
+    li = _planted_lineitem(spark, sf_dir).withColumn(
+        "_salt", F.pmod(F.col("l_orderkey"), F.lit(N_JOIN_SALTS)).cast("int")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(spark.range(N_JOIN_SALTS).select(F.col("id").cast("int").alias("_salt")))
+    )
+    return (
+        li.hint("merge")
+        .join(supp, (F.col("k") == F.col("s_suppkey")) & (li["_salt"] == supp["_salt"]))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_li"), dec_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
 @query(
     "subquery_scalar",
     oracle=f"""

@@ -12,6 +12,7 @@ from oracle_parquet_dumper_spark.plans.registry import (  # noqa: F401
 
 # Operator modules register queries at import time.
 from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
+    cleaning,
     dedup,
     multimodal,
     pipeline_prep,
@@ -26,6 +27,7 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
 )
 
 OPERATOR_MODULES = [
+    cleaning,
     dedup,
     multimodal,
     pipeline_prep,
