@@ -1,0 +1,187 @@
+"""Iterative algorithms as convergence loops over DataFrame plans:
+Lloyd k-means on the embeddings table and BPE merge learning on the
+documents vocabulary.
+
+North-star extension (SURVEY.md §2 Part B — "iterative algorithms" in
+the non-SQL-expressible category, alongside dedup_clusters' connected
+components).  Both follow the canonical distributed-iteration shape:
+
+  per round:  ONE distributed pass over the data
+              -> aggregate a BOUNDED model state (K centroids / 1 pair)
+              -> collect that model to the driver
+              -> broadcast it back as literals in the next round's plan
+
+The per-round collect is K*dim (k-means) or one row (BPE) — model
+state, not data; this is exactly how MLlib's own KMeans iterates.  Data
+rows never reach the driver, and each round's lineage starts from the
+scan plus literals (no growing plan, no checkpoint needed).
+
+Both are rows-only queries (an SQL oracle would need the loop unrolled
+into k chained CTEs with order-sensitive float accumulation);
+``tests/test_iterative.py`` pins semantics instead — k-means against
+invariants (monotone WCSS, partition counts) and BPE merge-for-merge
+against an independent pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.functions.vectors import as_double
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+K_CLUSTERS = 4
+KMEANS_ITERS = 3
+KMEANS_INIT_IDS = (0, 1, 2, 3)  # deterministic seeding: these rows' vectors
+
+N_BPE_MERGES = 5
+END_MARK = "_"  # end-of-word symbol appended before pair counting
+
+
+def _sq_dist(vec_d, centroid: list[float]):
+    """Squared L2 distance between a pre-cast array<double> column and a
+    centroid literal — one interpreted fold per (row, centroid); the
+    cast is hoisted per-row (see functions/vectors.as_double)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    diffs = F.zip_with(vec_d, c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """cluster = argmin over centroid distances.  The (dist, k) struct
+    array's array_min gives lexicographic (min dist, then min k) — a
+    deterministic tiebreak with no window or join."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_dist(F.col("vd"), c).alias("d"), F.lit(k).alias("k"))
+            for k, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(pairs)
+    return base.select("vec_id", "vd", best["d"].alias("dist"), best["k"].alias("cluster"))
+
+
+@query("emb_kmeans_lloyd", tags=("embedding", "iterative", "flagship"))
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, {KMEANS_ITERS} rounds, K={K_CLUSTERS}, seeded from
+    fixed vec_ids.  Per round: one distributed assign pass (argmin over
+    K centroid-distance folds), one (cluster, dim)-keyed mean — only
+    K*64 aggregated doubles ever reach the driver.  Means accumulate in
+    DECIMAL so the centroids (hence every later assignment) are
+    independent of partition merge order — reruns are bit-stable.
+    Returns per-cluster size and WCSS; at 100 TB the same loop runs with
+    the assign pass unchanged and the model collect still K*dim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double("embedding").alias("vd"))
+
+    init = {
+        r.vec_id: list(r.vd)
+        for r in base.where(F.col("vec_id").isin(*KMEANS_INIT_IDS)).collect()
+    }
+    centroids = [init[i] for i in KMEANS_INIT_IDS]
+
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(base, centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("vd").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(25,12)")) / F.count(F.lit(1)))
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r.cluster, {})[r.pos] = r.m
+        centroids = [
+            [new[k][p] for p in range(len(centroids[k]))] if k in new else centroids[k]
+            for k in range(K_CLUSTERS)
+        ]
+
+    final = _assign(base, centroids)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum(F.col("dist").cast("decimal(25,12)")).cast("double"), 6).alias("wcss"),
+        )
+        .select(F.col("cluster").cast("int").alias("cluster"), "n_members", "wcss")
+    )
+
+
+def _merge_pair(syms, left: str, right: str):
+    """Greedy left-to-right merge of one adjacent symbol pair inside an
+    array<string> column, as a single fold: append each symbol unless it
+    completes the pair with the accumulator's tail, in which case the
+    tail is replaced by the merged symbol.  Overlaps resolve leftmost
+    ("aaa" + (a,a) -> ["aa","a"]) exactly like the reference algorithm."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left)) & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@query("text_bpe_merges", tags=("text", "tokenize", "iterative", "flagship"))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {N_BPE_MERGES} BPE merges (Sennrich et al. 2016)
+    over the documents vocabulary.  The corpus collapses to (distinct
+    word, frequency) first — the classic BPE trick that makes every
+    later round O(vocabulary), not O(corpus).  Per round: pair counts
+    via two slices zipped (no window, no per-word shuffle), one global
+    top-1 (count desc, pair asc tiebreak) collected as the round's
+    model, then one in-plan fold rewrites the symbol arrays.  Returns
+    the learned merge table (step, left, right, merged, pair_count) —
+    integer counts, so the result is exactly reproducible (pinned
+    against a pure-Python reference in tests/test_iterative.py)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = (
+        d.select(F.explode(F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        F.concat(
+            # split-to-chars keeps a trailing empty (limit -1) — drop it
+            F.filter(F.split("w", "(?!^)"), lambda s: F.length(s) > 0),
+            F.array(F.lit(END_MARK)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)  # vocabulary is small; re-folding each round reads this
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(N_BPE_MERGES):
+        n = F.size("syms")
+        pair_col = F.zip_with(
+            F.slice("syms", 1, n - 1),
+            F.slice("syms", 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),  # symbols never contain spaces
+        )
+        top = (
+            vocab.where(n >= 2)
+            .select(F.explode(pair_col).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0].p.split(" ")
+        merges.append((step, left, right, int(top[0].cnt)))
+        vocab = vocab.select("freq", _merge_pair(F.col("syms"), left, right).alias("syms"))
+        vocab = vocab.localCheckpoint(eager=True)  # keep each round's plan flat
+
+    return spark.createDataFrame(
+        [(s, l, r, l + r, c) for (s, l, r, c) in merges],
+        "step int, left string, right string, merged string, pair_count bigint",
+    )

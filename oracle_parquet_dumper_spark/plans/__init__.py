@@ -14,6 +14,7 @@ from oracle_parquet_dumper_spark.plans.registry import (  # noqa: F401
 from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
     cleaning,
     dedup,
+    iterative,
     multimodal,
     pipeline_prep,
     relational,
@@ -29,6 +30,7 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
 OPERATOR_MODULES = [
     cleaning,
     dedup,
+    iterative,
     multimodal,
     pipeline_prep,
     relational,
