@@ -30,8 +30,14 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # Warm the JVM + parquet footers outside the timed region.
-    load_table(spark, SF_DIR, "lineitem").count()
+    # Warm the JVM + parquet footers outside the timed region — every
+    # table, so the first-alphabetical query doesn't absorb the cold
+    # file-index/codegen cost of whichever tables it happens to touch.
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, SF_DIR, t).count()
 
     specs = plans.bench_queries()
     timings: dict[str, float] = {}

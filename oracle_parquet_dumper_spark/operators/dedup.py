@@ -594,23 +594,23 @@ def connected_components(
     )
     neighbors = both  # static topology
     for _ in range(max_iterations):
-        # each node adopts the min component among itself and neighbors
+        # Each node adopts the min component among itself and neighbors.
+        # The node's OWN row is tagged so its previous label rides through
+        # the same aggregation — the convergence check is then a filter on
+        # the (checkpointed) result instead of a second join per round.
         prop = (
             neighbors.join(labels, neighbors.y == labels.node)
-            .select(F.col("x").alias("node"), F.col("component"))
-            .unionByName(labels)
+            .select(F.col("x").alias("node"), F.col("component"), F.lit(False).alias("own"))
+            .unionByName(labels.withColumn("own", F.lit(True)))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("own"), F.col("component"))).alias("prev"),
+            )
         )
         prop = truncate_lineage(prop, checkpoint_dir)
-        changed = (
-            prop.alias("p")
-            .join(labels.alias("l"), "node")
-            .where(F.col("p.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
+        changed = prop.where(F.col("component") < F.col("prev")).limit(1).count()
+        labels = prop.select("node", "component")
         if changed == 0:
             break
     return labels

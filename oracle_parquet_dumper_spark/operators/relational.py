@@ -1859,3 +1859,34 @@ def fn_struct_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.p").alias("best_price"),
         F.col("b.k").alias("best_orderkey"),
     )
+
+
+@query("agg_sketch_panel", tags=("agg", "sketch", "approx"))
+def agg_sketch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch panel (Apache DataSketches, built into Spark
+    4.x): per-group HLL and Theta distinct-count estimates next to the
+    exact count, plus an ALL row whose HLL estimate comes from UNIONING
+    the per-group sketches — the property that matters at 100 TB, where
+    per-shard/per-day sketches are persisted once and re-aggregated
+    along any rollup without touching raw data again.  Both sketch
+    types are insertion-order independent (register max / k-min hash),
+    so results are partition-deterministic; KLL quantile sketches are
+    NOT (sampling is stream-order dependent) and are deliberately
+    excluded.  Rows-only: no SQL oracle can replay these exact sketch
+    internals; tests/test_sketches.py bounds the estimates against the
+    exact counts instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    groups = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).cast("long").alias("hll_orders"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("l_orderkey"))
+        .cast("long")
+        .alias("theta_orders"),
+        F.hll_sketch_agg("l_orderkey").alias("_sk"),
+    )
+    merged = groups.agg(
+        F.sum("exact_orders").alias("exact_orders"),  # sums group-distincts, not global
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).cast("long").alias("hll_orders"),
+        F.lit(None).cast("long").alias("theta_orders"),
+    ).select(F.lit("ALL_UNIONED").alias("l_returnflag"), "exact_orders", "hll_orders", "theta_orders")
+    return groups.drop("_sk").unionByName(merged)

@@ -25,6 +25,11 @@ def words_col(col: str = "text"):
     return F.filter(F.split(F.col(col), " "), lambda t: F.length(t) > 0)
 
 
+def words_col_lower(col: str = "text"):
+    """Lower-cased whitespace tokens, empties filtered."""
+    return F.filter(F.split(F.lower(F.col(col)), " "), lambda t: F.length(t) > 0)
+
+
 @query(
     "text_stats",
     oracle="""
@@ -410,3 +415,115 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
     )
     return counts.withColumn("rn", rn).where(F.col("rn") <= 5)
+
+
+VOCAB_TOPK = 20
+
+
+@query(
+    "text_perplexity_unigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(round(-ln(v.cnt * 1.0 / tot.total), 6) AS DECIMAL(20,6)) AS nll
+      FROM tf JOIN vocab v USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tok,
+           round(CAST(SUM(tf * nll) AS DOUBLE) / SUM(tf), 6) AS avg_nll,
+           round(exp(round(CAST(SUM(tf * nll) AS DOUBLE) / SUM(tf), 6)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document, with the LM trained on the
+    corpus itself IN the same plan — the classic cheap quality signal
+    (high perplexity = gibberish / rare-token soup).
+
+    Scale shape: tokens collapse to (doc, token, tf) BEFORE the
+    vocabulary join, so a Zipf-hot token costs one row per *document*
+    it appears in, not one per occurrence — that plus map-side combine
+    bounds the join's skew; the corpus total rides along as a broadcast
+    1-row aggregate (same pattern as TF-IDF's corpus size).  Token
+    negative-log-likelihoods are rounded then summed as DECIMAL so the
+    per-doc result is partition-order independent (bit-exact vs
+    DuckDB)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = d.select("doc_id", F.explode(words_col_lower()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    nll = F.round(-F.log(F.col("cnt") * F.lit(1.0) / F.col("total")), 6).cast(
+        "decimal(20,6)"
+    )
+    scored = tf.join(vocab, "token").join(F.broadcast(tot)).select(
+        "doc_id", "tf", nll.alias("nll")
+    )
+    avg_nll = F.round(
+        F.sum(F.col("tf") * F.col("nll")).cast("double") / F.sum("tf"), 6
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tok"),
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM vocab
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+           round(cum * 1.0 / total, 6) AS cum_coverage
+    FROM ranked WHERE rank <= {VOCAB_TOPK}
+    """,
+    tags=("text", "tokenize", "agg"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_TOPK} vocabulary coverage: which tokens a tokenizer
+    must know to cover what share of the corpus (the first question of
+    vocabulary design).  The global sort/window runs on the AGGREGATED
+    vocabulary — bounded by distinct-token count, not corpus size; the
+    corpus itself is touched once by the explode+combine count."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    vocab = (
+        d.select(F.explode(words_col_lower()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("token")]
+    w_rank = W.orderBy(*order)
+    w_cum = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    return (
+        vocab.select(
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.sum("cnt").over(w_cum) * F.lit(1.0) / F.sum("cnt").over(w_all), 6
+            ).alias("cum_coverage"),
+        )
+        .where(F.col("rank") <= VOCAB_TOPK)
+    )
+
