@@ -64,9 +64,39 @@ def cosine_prenormed(a, b, norm_a, norm_b, digits: int = 6) -> Column:
     return F.round(dot_d(a, b) / (na * nb), digits)
 
 
+def absmax(a: Column | str) -> Column:
+    """Per-row max |x| over an array<double> column, floored at 1e-12 so
+    zero vectors quantize to zeros instead of NaN.  Hoist to a row-level
+    column before ``quantize_int8`` — inlining it into the transform
+    lambda would re-fold the array once per element."""
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.greatest(
+        F.aggregate(ca, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))),
+        F.lit(1e-12),
+    )
+
+
+def quantize_int8(vec_d: Column | str, amax: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i*127/amax)
+    in [-127, 127].  Cosine is scale-invariant, so quantized cosine needs
+    no dequantization — integer dot and integer norms only, all exact in
+    double, hence bit-identical across engines (the fp-portability
+    convention this module exists for)."""
+    cv = F.col(vec_d) if isinstance(vec_d, str) else vec_d
+    ca = F.col(amax) if isinstance(amax, str) else amax
+    return F.transform(cv, lambda x: F.round(x * 127.0 / ca).cast("int"))
+
+
 # Matching DuckDB SQL fragments (kept adjacent so they evolve together).
 def dot_sql(a: str, b: str) -> str:
     return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def quantize_int8_sql(vec_expr: str) -> str:
+    """DuckDB twin of ``absmax`` + ``quantize_int8`` (same expression
+    tree: (x*127.0)/amax, round half-away-from-zero in both engines)."""
+    amax = f"greatest(list_max(list_transform({vec_expr}, y -> abs(y))), 1e-12)"
+    return f"list_transform({vec_expr}, x -> CAST(round(x * 127.0 / {amax}) AS INT))"
 
 
 def cosine_rounded_sql(a: str, b: str, digits: int = 6) -> str:

@@ -1,0 +1,149 @@
+"""Graph analytics as join-per-round DataFrame iteration: PageRank over
+the supplier co-occurrence graph.
+
+North-star extension (SURVEY.md §2 Part B — iterative algorithms).
+Unlike the bounded-model-state loops in ``operators/iterative.py``
+(k-means collects K centroids per round), PageRank's state is O(nodes),
+so it must STAY DISTRIBUTED: each round is one edges⋈ranks join plus a
+per-destination aggregate, with lineage truncated between rounds (same
+shape as ``dedup.connected_components``).  Nothing per-row ever reaches
+the driver; the only driver-visible value is the final top-20 collect by
+the harness.
+
+Cross-engine determinism (the repo's decimal-sum convention,
+plans/registry.py): per-edge contributions are rounded to 12 decimals,
+summed as DECIMAL(25,12) (order-independent), and each round's rank is
+re-rounded — so the SQL twin, which unrolls the loop into chained CTEs,
+is bit-identical to the Spark loop.
+
+100 TB notes: the edge list is built per-order (self-join keyed by
+l_orderkey, so pair cost is bounded by order size, never table size) and
+is the round-invariant relation — persist/bucket it by ``src`` once and
+every round's join is co-located; the per-round shuffle is the groupBy
+on ``dst``.  Convergence at web scale takes ~50 rounds; the fixed
+{PR_ITERS}-round unroll keeps the SQL twin reviewable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+PR_TOP = 20
+
+
+def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric edge list: suppliers that co-occur in an order.  The
+    self-join is keyed by l_orderkey, so the pair count per order is
+    bounded by the order's distinct-supplier count (≤7 in TPC-H) — this
+    never goes quadratic in table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
+    a = su.select("o", F.col("s").alias("src"))
+    b = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    return (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, pr) after ``iters`` synchronous rounds.  Assumes every node
+    has out-edges (true for a symmetric edge list, so no dangling-mass
+    term).  ``checkpoint_dir`` switches lineage truncation to reliable
+    checkpoints for executor-loss tolerance at scale."""
+    edges = truncate_lineage(edges, checkpoint_dir)  # round-invariant: compute once
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))  # 1-row, stays in-plan
+
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.round(F.col("pr") / F.col("deg"), 12).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(25,12)")).cast("double").alias("sc"))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.lit(1.0 - damping) / F.col("nn") + F.lit(damping) * F.col("sc"), 12
+                ).alias("pr"),
+            )
+        )
+        ranks = truncate_lineage(ranks, checkpoint_dir)
+    return ranks
+
+
+def _pagerank_oracle() -> str:
+    """SQL twin: the loop unrolled into chained CTEs, expression-for-
+    expression identical to the Spark plan (rounded contributions,
+    decimal sums, re-rounded ranks)."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node,
+             round((1.0 - {PR_DAMPING}) / (SELECT nn FROM n) + {PR_DAMPING} *
+                   CAST(SUM(CAST(round(r.pr / d.deg, 12) AS DECIMAL(25,12))) AS DOUBLE),
+                   12) AS pr
+      FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+    {chain}
+    SELECT node, pr FROM {prev}
+    ORDER BY pr DESC, node
+    LIMIT {PR_TOP}
+    """
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("join", "graph", "iterative", "flagship"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOP} suppliers by PageRank over the order-co-occurrence
+    graph, {PR_ITERS} synchronous rounds, damping {PR_DAMPING}.
+
+    The rare ORACLE-CHECKED iterative query: the decimal-sum rounding
+    convention makes each round order-independent, so the DuckDB twin
+    (the loop unrolled into CTEs, generated from the same constants)
+    hash-matches bit-for-bit.  Invariants (rank mass ≈ 1, uniform-degree
+    fixed point) are additionally pinned in tests/test_iterative.py."""
+    ranks = pagerank(supplier_edges(spark, sf_dir))
+    return (
+        ranks.select(F.col("node").cast("long").alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(PR_TOP)
+    )

@@ -313,6 +313,70 @@ def sim_ann_ivf_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos").desc(), "vec_id").limit(TOP_K)
 
 
+def _quantized_oracle() -> str:
+    from oracle_parquet_dumper_spark.functions.vectors import quantize_int8_sql
+
+    q8 = quantize_int8_sql("embedding::DOUBLE[]")
+    return f"""
+    WITH qv AS (SELECT vec_id, {q8} AS q FROM embeddings),
+    one AS (SELECT q AS qq FROM qv WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id,
+           round(list_dot_product(q::DOUBLE[], qq::DOUBLE[]) /
+                 (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) *
+                  sqrt(list_dot_product(qq::DOUBLE[], qq::DOUBLE[]))), 6) AS qcos
+    FROM qv CROSS JOIN one
+    WHERE vec_id != {QUERY_VEC_ID}
+    ORDER BY qcos DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query(
+    "sim_topk_quantized_int8",
+    oracle=_quantized_oracle(),
+    tags=("similarity", "quantization"),
+)
+def sim_topk_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-QUANTIZED vectors: symmetric per-vector
+    scalar quantization (q_i = round(x_i*127/max|x|)), then cosine on the
+    integer vectors — scale cancels, so no dequantize step.
+
+    The 100 TB story is scan bandwidth: the quantized column is 4x
+    smaller than float32 (8x vs double), precomputed once at ingest and
+    stored alongside (or instead of) the full vectors; brute-force and
+    IVF/LSH re-rank stages then stream int8 instead of floats.  Integer
+    dots are exact in double, so this is also the rare similarity query
+    that is bit-identical across engines end-to-end (oracle-checked, no
+    fp-sensitivity caveat).  Recall vs full-precision cosine is asserted
+    in tests/test_dedup_similarity.py."""
+    from oracle_parquet_dumper_spark.functions.vectors import (
+        absmax,
+        as_double,
+        cosine_prenormed,
+        norm,
+        quantize_int8,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        quantize_int8(as_double("embedding"), absmax(as_double("embedding"))).alias("q"),
+    )
+    q = qv.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("q").alias("qq"))
+    return (
+        qv.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot("q", "qq") / (F.sqrt(dot("q", "q")) * F.sqrt(dot("qq", "qq"))), 6
+            ).alias("qcos"),
+        )
+        .orderBy(F.col("qcos").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 KNN_QUERY_SET_SIZE = 16
 
 

@@ -14,6 +14,7 @@ from oracle_parquet_dumper_spark.plans.registry import (  # noqa: F401
 from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
     cleaning,
     dedup,
+    graph,
     iterative,
     multimodal,
     pipeline_prep,
@@ -30,6 +31,7 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
 OPERATOR_MODULES = [
     cleaning,
     dedup,
+    graph,
     iterative,
     multimodal,
     pipeline_prep,

@@ -20,32 +20,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns in the fixture parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture. The ns timestamp is
-    read as raw long and truncated to microseconds exactly like the
-    batch loader (sources/tables.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events fixture, normalized to the same
+    TIMESTAMP_NTZ ``ts`` the batch loader produces.  Streams must declare
+    their schema up front, so detect the fixture's physical timestamp
+    unit the same way ``sources/tables.py`` does: nanosecond storage is
+    read as raw longs (``nanosAsLong``) and truncated to micros;
+    micro/milli storage reads natively as timestamp."""
+    from oracle_parquet_dumper_spark.sources.tables import _ns_timestamp_columns, table_path
+
+    ns_cols = _ns_timestamp_columns(table_path(sf_dir, "events"))
     # The file source wants a directory: stream the fixture dir with a
     # glob pinned to the events table.
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.option("maxFilesPerTrigger", 1).option(
+        "pathGlobFilter", "events.parquet"
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NOTE: watermarks require TIMESTAMP (not TIMESTAMP_NTZ), so the
+    # stream keeps ts as session-tz TIMESTAMP; the session runs in UTC,
+    # making window bounds render identically to the batch NTZ values.
+    if "ts" in ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = reader.schema(_events_stream_schema(T.LongType())).parquet(sf_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.schema(_events_stream_schema(T.TimestampType())).parquet(sf_dir)
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:

@@ -399,3 +399,32 @@ def test_label_propagation_conserves_and_reaches_seeds(spark, sf_dir):
             (F.col("node") % 10 != 0) & F.col("component").isin(list(seeded_comps))
         ).count()
         assert n_prop <= reachable
+
+def test_quantized_topk_recall_and_error(spark, sf_dir):
+    """int8-quantized cosine must (a) rank close to full precision —
+    high overlap with the exact top-10 — and (b) bound the per-pair
+    cosine error: |qcos - cos| for a 64-dim unit-ish vector quantized at
+    127 levels stays well under 0.05."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.functions.vectors import cosine_rounded
+    from oracle_parquet_dumper_spark.operators.similarity import QUERY_VEC_ID
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    quant = REGISTRY["sim_topk_quantized_int8"].fn(spark, sf_dir).collect()
+    exact = REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    overlap = {r.vec_id for r in quant} & {r.vec_id for r in exact}
+    assert len(overlap) >= 7  # quantization may swap near-ties only
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    cos_by_id = {
+        r.vec_id: r.cos
+        for r in e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id").isin([x.vec_id for x in quant]))
+        .select("vec_id", cosine_rounded("embedding", "qvec").alias("cos"))
+        .collect()
+    }
+    for r in quant:
+        assert abs(r.qcos - cos_by_id[r.vec_id]) < 0.05

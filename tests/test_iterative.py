@@ -94,3 +94,43 @@ def test_kmeans_wcss_monotone(spark, smoke_sf_dir):
         it.KMEANS_ITERS = orig
     assert all(a >= b - 1e-9 for a, b in zip(totals, totals[1:])), totals
     assert KMEANS_INIT_IDS == (0, 1, 2, 3)
+
+
+def test_pagerank_mass_conserved(spark, smoke_sf_dir):
+    """Sum of ranks over ALL nodes stays ~1 every round (symmetric
+    edges -> no dangling mass leaks)."""
+    from oracle_parquet_dumper_spark.operators.graph import pagerank, supplier_edges
+    from pyspark.sql import functions as F
+
+    ranks = pagerank(supplier_edges(spark, smoke_sf_dir), iters=3)
+    total = ranks.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_pagerank_uniform_on_complete_graph(spark):
+    """On a complete graph every node's rank is the uniform 1/n fixed
+    point from round 0, so iteration must preserve it exactly."""
+    from oracle_parquet_dumper_spark.operators.graph import pagerank
+
+    n = 5
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(n) if i != j], "src long, dst long"
+    )
+    got = {r.node: r.pr for r in pagerank(edges, iters=4).collect()}
+    assert len(got) == n
+    for v in got.values():
+        assert abs(v - 1.0 / n) < 1e-9
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Star graph (hub <-> leaves): the hub's rank must exceed every
+    leaf's, and leaves are symmetric (equal ranks)."""
+    from oracle_parquet_dumper_spark.operators.graph import pagerank
+
+    leaves = range(1, 7)
+    sym = [(0, i) for i in leaves] + [(i, 0) for i in leaves]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(edges, iters=6).collect()}
+    hub, leaf_ranks = got[0], [got[i] for i in leaves]
+    assert all(hub > l for l in leaf_ranks)
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
