@@ -30,8 +30,10 @@ pool (Spark schedules the jobs FAIR across executors).
 
 from __future__ import annotations
 
+import json
 import logging
 import os
+import re
 import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -178,21 +180,119 @@ class SparkParquetExporter:
     def _finalize_layout(self, target: str, table: str) -> list[str]:
         """Rename Spark's part-files to the reference layout
         ``<table>_<n>.parquet`` (main.py:166,245-253) and drop job markers.
-        Pure metadata renames — O(#files), not O(bytes)."""
+        Pure metadata renames — O(#files), not O(bytes).  Numbering
+        continues after any already-finalized files, so incremental
+        appends extend the sequence instead of colliding."""
         if not self.reference_file_naming:
             return []
+        existing = re.compile(re.escape(table) + r"_(\d+)\.parquet$")
+        taken = [
+            int(m.group(1)) for f in os.listdir(target) if (m := existing.match(f))
+        ]
+        start = max(taken) + 1 if taken else 0
         parts = sorted(
             f for f in os.listdir(target) if f.startswith("part-") and f.endswith(".parquet")
         )
         out = []
         for i, fname in enumerate(parts):
-            new = f"{table}_{i}.parquet"
+            new = f"{table}_{start + i}.parquet"
             os.rename(os.path.join(target, fname), os.path.join(target, new))
             out.append(new)
         for entry in os.listdir(target):
             if entry == "_SUCCESS" or entry.startswith(".") or entry.endswith(".crc"):
                 os.remove(os.path.join(target, entry))
         return out
+
+    # -- incremental export (watermark high-water-mark pattern) -------------
+    # No reference counterpart (the reference always re-exports fully);
+    # this is the standard warehouse-ingest extension: remember the max
+    # of a monotonic column per table, export only rows strictly above
+    # it next run.  The filter lands directly on the source scan
+    # (pushdown / partition pruning at 100 TB), and the new high-water
+    # mark comes from the SAME observe() pass as the row count — zero
+    # extra jobs.  Caveat (documented, standard): rows that arrive later
+    # with a watermark value <= the recorded mark are not picked up; use
+    # a monotonic column (sequence, SCN, ingest timestamp).
+
+    def _state_path(self) -> str:
+        return os.path.join(self.output_path, "_incremental_state.json")
+
+    def _load_state(self) -> dict[str, str]:
+        try:
+            with open(self._state_path()) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _save_state(self, state: dict[str, str]) -> None:
+        os.makedirs(self.output_path, exist_ok=True)
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._state_path())
+
+    def export_table_incremental(
+        self, schema: str, table: str, watermark_col: str
+    ) -> ExportResult:
+        t0 = time.perf_counter()
+        key = f"{schema}.{table}"
+        state = self._load_state()
+        last = state.get(key)
+
+        df = self.catalog.read_table(schema, table)
+        if last is not None:
+            wm_type = df.schema[watermark_col].dataType
+            df = df.where(F.col(watermark_col) > F.lit(last).cast(wm_type))
+        projected = self._project(df)
+        if projected is None:
+            return ExportResult(
+                schema, table, 0, [], time.perf_counter() - t0, "no_eligible_columns"
+            )
+        if projected.isEmpty():
+            logger.info("Table %s.%s: no rows past watermark %r", schema, table, last)
+            return ExportResult(schema, table, 0, [], time.perf_counter() - t0, "up_to_date")
+
+        out_schema = schema.lower() if self.lowercase_object_names else schema
+        out_table = table.lower() if self.lowercase_object_names else table
+        target = os.path.join(self.output_path, out_schema, out_table)
+        wm_out = (
+            watermark_col.lower() if self.lowercase_object_names else watermark_col
+        )
+        obs = Observation()
+        observed = projected.observe(
+            obs, F.count(F.lit(1)).alias("rows"), F.max(wm_out).alias("wm")
+        )
+        (
+            observed.write.mode("append")
+            .option("compression", self.compression_method)
+            .option("maxRecordsPerFile", str(self._rows_per_file(projected)))
+            .parquet(target)
+        )
+        rows = int(obs.get["rows"])
+        state[key] = str(obs.get["wm"])
+        self._save_state(state)
+        files = self._finalize_layout(target, out_table)
+        return ExportResult(schema, table, rows, files, time.perf_counter() - t0)
+
+    def export_tables_incremental(
+        self, watermarks: dict[str, str]
+    ) -> list[ExportResult]:
+        """Incremental driver loop: ``watermarks`` maps table name ->
+        monotonic watermark column.  Unlike ``export_tables`` this never
+        clears the output directory — it appends new deltas and advances
+        the per-table high-water marks in ``_incremental_state.json``."""
+        os.makedirs(self.output_path, exist_ok=True)
+        results: list[ExportResult] = []
+        schemas = self.schemas or self.catalog.list_schemas()
+        for schema in schemas:
+            for table in self.catalog.list_tables(
+                schema, self.table_name_include_pattern, self.table_name_exclude_pattern
+            ):
+                if table in watermarks:
+                    results.append(
+                        self.export_table_incremental(schema, table, watermarks[table])
+                    )
+        return results
 
     # -- driver loop (reference export_tables, main.py:219-263) -------------
     def export_tables(self) -> list[ExportResult]:

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
 from oracle_parquet_dumper_spark.plans.registry import query
 from oracle_parquet_dumper_spark.sources.tables import load_table
 
@@ -64,6 +63,10 @@ def pagerank(
     has out-edges (true for a symmetric edge list, so no dangling-mass
     term).  ``checkpoint_dir`` switches lineage truncation to reliable
     checkpoints for executor-loss tolerance at scale."""
+    # function-level import: dedup itself imports the registry package,
+    # which imports this module — a module-level import would be circular
+    from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+
     edges = truncate_lineage(edges, checkpoint_dir)  # round-invariant: compute once
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))  # 1-row, stays in-plan

@@ -202,6 +202,99 @@ def mm_grouped_embed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),  # 64-bit dHash, two's-complement
+    ]
+)
+
+PHASH_BANDS = 8
+PHASH_BAND_BITS = 8
+PHASH_HAMMING_MAX = 6
+
+
+def payload_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB perceptual hash (dHash): 65 byte-region sums over the first
+    260 payload bytes, bit_i = region_i > region_{i+1}.  With a real
+    image codec the regions are downsampled grayscale pixels (the actual
+    dHash algorithm); the signature, 64-bit output, and batch shape are
+    identical.  Local edits perturb few region sums, so near-identical
+    payloads land within a small Hamming distance."""
+    for pdf in batches:
+        out = {"doc_id": [], "phash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = (bytes(payload)[:260] + b"\x00" * 260)[:260]
+            regions = [sum(buf[i * 4 : (i + 1) * 4]) for i in range(65)]
+            h = 0
+            for i in range(64):
+                if regions[i] > regions[i + 1]:
+                    h |= 1 << i
+            if h >= 1 << 63:  # two's-complement into int64
+                h -= 1 << 64
+            out["doc_id"].append(doc_id)
+            out["phash"].append(h)
+        yield pd.DataFrame(out)
+
+
+@query("mm_phash_neardup", tags=("multimodal", "dedup", "lsh", "pandas_udf"))
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection by perceptual hash: Python touches
+    each payload exactly once (the mapInPandas dHash stub); candidate
+    generation and verification are pure JVM — explode the 64-bit hash
+    into {PHASH_BANDS} 8-bit bands, equi-join on (band, band_value),
+    then verify bit_count(XOR) <= {PHASH_HAMMING_MAX}.
+
+    By pigeonhole, any pair within Hamming distance {PHASH_BANDS}-1 = 7
+    shares at least one clean band, so at threshold {PHASH_HAMMING_MAX}
+    the banded join is EXACT (full recall), not approximate — asserted
+    against a brute-force pass in tests.  At 100 TB the (band, value)
+    key bucket-partitions like every other LSH key here; per-candidate
+    verification is one XOR+popcount.  Rows-only check (the hash stub is
+    not SQL-replayable)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = with_payload(d).select("doc_id", "payload")
+    hashes = p.mapInPandas(payload_dhash, PHASH_SCHEMA).localCheckpoint(eager=False)
+
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("phash", b * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.band", "bb.val")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "val"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.phash").alias("ha"),
+            F.col("r.phash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
 EMBED_DIM = 8
 
 EMBED_SCHEMA = T.StructType(

@@ -89,3 +89,75 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     pins the fact-fact shape (at fixture scale size stats would pick a
     broadcast and never exercise the bucketing)."""
     return spark.table(left_table).hint("merge").join(spark.table(right_table), on)
+
+
+# --- Z-order clustering (multi-dimensional file skipping) ------------------
+
+ZORDER_BITS = 16
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Return ``df`` with an interleaved-bit Morton key ``_z`` over
+    ``cols`` (Delta/Iceberg's OPTIMIZE ZORDER layout, built from plain
+    column expressions).
+
+    Each column is min-max scaled to a ``bits``-bit integer using an
+    in-plan broadcast 1-row aggregate (no driver collect), then the bit
+    planes are interleaved: bit b of column i lands at position
+    b*len(cols)+i.  Sorting by ``_z`` gives every file a tight min/max
+    envelope on EVERY z-ordered column simultaneously — single-column
+    sorting does this for the first column only and leaves the others'
+    per-file ranges at full width (asserted in tests/test_layouts.py).
+    At 100 TB this is what turns parquet row-group stats + partition-file
+    pruning into multi-dimensional skipping for point/range predicates
+    on any of the clustered columns."""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    mins_maxes = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{i}") for i, c in enumerate(cols)],
+    )
+    j = df.crossJoin(F.broadcast(mins_maxes))
+    top = (1 << bits) - 1
+    terms = []
+    for i, c in enumerate(cols):
+        mn, mx = F.col(f"_mn_{i}"), F.col(f"_mx_{i}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        scaled = F.least(
+            F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"), F.lit(top)
+        )
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftrightunsigned(scaled, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    # bit positions are disjoint, so summing assembles the Morton code
+    z = reduce(add, terms)
+    return j.withColumn("_z", z).drop(*[f"_mn_{i}" for i in range(n)], *[f"_mx_{i}" for i in range(n)])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the Morton
+    key: range-repartition on ``_z`` (contiguous key ranges per file,
+    one skew-resistant sampling shuffle) + within-partition sort, then
+    drop the key.  Files come out as disjoint z-range tiles, which is
+    exactly the property row-group pruning needs."""
+    keyed = zorder_key(df, cols)
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )

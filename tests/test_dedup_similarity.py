@@ -428,3 +428,59 @@ def test_quantized_topk_recall_and_error(spark, sf_dir):
     }
     for r in quant:
         assert abs(r.qcos - cos_by_id[r.vec_id]) < 0.05
+
+
+def test_phash_neardup_full_recall_vs_bruteforce(spark, smoke_sf_dir):
+    """At threshold <= bands-1 the banded join is EXACT: its pair set
+    must equal the brute-force Hamming scan over the same hashes."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        PHASH_SCHEMA,
+        payload_dhash,
+        with_payload,
+    )
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["mm_phash_neardup"].fn(spark, smoke_sf_dir).collect()
+    }
+
+    d = load_table(spark, smoke_sf_dir, "documents")
+    hashes = (
+        with_payload(d).select("doc_id", "payload").mapInPandas(payload_dhash, PHASH_SCHEMA)
+    )
+    hs = {r.doc_id: r.phash for r in hashes.collect()}
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= PHASH_HAMMING_MAX:
+            want[(a, b)] = ham
+    assert got == want
+
+
+def test_phash_locality_planted_edit(spark, tmp_path):
+    """A single-character edit must stay within the near-dup threshold;
+    an unrelated payload must not collide at distance 0."""
+    from oracle_parquet_dumper_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        PHASH_SCHEMA,
+        payload_dhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:50] + "X" + base[51:]
+    other = "completely different content with other statistics 12345 " * 6
+    df = spark.createDataFrame(
+        [(0, bytearray(base.encode())), (1, bytearray(edited.encode())), (2, bytearray(other.encode()))],
+        "doc_id long, payload binary",
+    )
+    hs = {r.doc_id: r.phash for r in df.mapInPandas(payload_dhash, PHASH_SCHEMA).collect()}
+    ham = lambda a, b: bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 1) <= PHASH_HAMMING_MAX
+    assert ham(0, 2) > PHASH_HAMMING_MAX

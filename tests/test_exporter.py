@@ -294,3 +294,78 @@ def test_cli_no_source_args_graceful():
     from oracle_parquet_dumper_spark.cli import main
 
     assert main(["--output-path", "/tmp/never"]) == 2
+
+
+def test_incremental_export_watermark(spark, tmp_path):
+    """First incremental run exports everything and records the high-water
+    mark; a second run after new source rows appends ONLY the delta and
+    advances the mark; a third no-change run writes nothing."""
+    import json
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64()), "v": pa.array(["a", "b", "c"])}),
+        src / "EVT.parquet",
+    )
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+    )
+    r1 = exp.export_tables_incremental({"EVT": "id"})
+    assert [x.rows for x in r1] == [3]
+    state = json.load(open(out / "_incremental_state.json"))
+    assert state == {"main.EVT": "3"}
+    target = out / "main" / "EVT"
+    n_files_1 = len([f for f in os.listdir(target) if f.endswith(".parquet")])
+
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array(["a", "b", "c", "d", "e"])}),
+        src / "EVT.parquet",
+    )
+    r2 = exp.export_tables_incremental({"EVT": "id"})
+    assert [x.rows for x in r2] == [2]
+    assert json.load(open(out / "_incremental_state.json")) == {"main.EVT": "5"}
+    got = {(r.id, r.v) for r in spark.read.parquet(str(target)).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")}
+    n_files_2 = len([f for f in os.listdir(target) if f.endswith(".parquet")])
+    assert n_files_2 > n_files_1
+    # reference naming: contiguous EVT_<n>.parquet sequence, no part- files
+    names = sorted(f for f in os.listdir(target) if f.endswith(".parquet"))
+    assert names == [f"EVT_{i}.parquet" for i in range(len(names))]
+
+    r3 = exp.export_tables_incremental({"EVT": "id"})
+    assert [x.skipped for x in r3] == ["up_to_date"]
+    assert len(os.listdir(target)) == n_files_2
+
+
+def test_incremental_export_timestamp_watermark(spark, tmp_path):
+    """Timestamp watermarks round-trip through the JSON state file."""
+    import datetime as dt
+    import json
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    ts = [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(3)]
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": pa.array([1, 2, 3], pa.int64())}),
+        src / "LOG.parquet",
+    )
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+    )
+    assert [x.rows for x in exp.export_tables_incremental({"LOG": "ts"})] == [3]
+    ts2 = ts + [dt.datetime(2024, 1, 1, 0, 0, 9)]
+    pq.write_table(
+        pa.table({"ts": pa.array(ts2, pa.timestamp("us")), "v": pa.array([1, 2, 3, 4], pa.int64())}),
+        src / "LOG.parquet",
+    )
+    r2 = exp.export_tables_incremental({"LOG": "ts"})
+    assert [x.rows for x in r2] == [1]
+    assert spark.read.parquet(str(out / "main" / "LOG")).count() == 4

@@ -74,3 +74,60 @@ def test_bucketed_join_has_no_exchange(spark, smoke_sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_zorder_tightens_file_ranges_on_both_dims(spark, tmp_path):
+    """Z-ordering by (a, b) must give every file a narrow min/max
+    envelope on BOTH columns; a linear sort on a alone leaves b's
+    per-file range at ~full width.  This is the file-skipping property:
+    a predicate on either column can prune most z-ordered files."""
+    import pyarrow.parquet as pq_
+    import os as os_
+
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.sources.layouts import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("a"),
+        (F.floor(F.col("id") / 128)).alias("b"),
+    )
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(df, zpath, ["a", "b"], n_files=16)
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def avg_span(path, col, width):
+        spans = []
+        for f in os_.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq_.ParquetFile(os_.path.join(path, f)).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((hi - lo + 1) / width)
+        return sum(spans) / len(spans)
+
+    # both dims have 128 distinct values
+    z_a, z_b = avg_span(zpath, "a", 128), avg_span(zpath, "b", 128)
+    lin_b = avg_span(lpath, "b", 128)
+    assert z_a < 0.5 and z_b < 0.5, (z_a, z_b)
+    assert lin_b > 0.9, lin_b  # linear layout can't skip on the second dim
+    # round-trip completeness
+    assert spark.read.parquet(zpath).count() == n
