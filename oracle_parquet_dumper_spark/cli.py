@@ -58,7 +58,32 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max-concurrent-tables", type=int, default=int(env("MAX_CONCURRENT_TABLES", "1")))
     p.add_argument("--log-level", default=env("LOG_LEVEL", "INFO"))
+    # incremental export: repeatable TABLE:WATERMARK_COLUMN pairs; only
+    # listed tables are exported, appending rows past each table's
+    # recorded high-water mark (exporter.export_tables_incremental)
+    p.add_argument(
+        "--incremental",
+        action="append",
+        metavar="TABLE:COLUMN",
+        default=_parse_incremental_env(env("INCREMENTAL_TABLES")),
+        help="Export only rows past the saved watermark of COLUMN for TABLE "
+        "(repeatable; state kept in <output>/_incremental_state.json).",
+    )
     return p
+
+
+def _parse_incremental_env(raw: str | None) -> list[str]:
+    return [s for s in (raw or "").split(",") if s]
+
+
+def parse_incremental(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for pair in pairs or []:
+        table, sep, col = pair.partition(":")
+        if not sep or not table or not col:
+            raise ValueError(f"--incremental expects TABLE:COLUMN, got {pair!r}")
+        out[table] = col
+    return out
 
 
 def load_env_file(path: str | None = None) -> None:
@@ -120,7 +145,12 @@ def main(argv: list[str] | None = None) -> int:
 
     from oracle_parquet_dumper_spark.exporter import SparkParquetExporter
 
-    results = SparkParquetExporter(
+    try:
+        watermarks = parse_incremental(args.incremental)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    exporter = SparkParquetExporter(
         spark=spark,
         catalog=catalog,
         output_path=args.output_path,
@@ -133,7 +163,11 @@ def main(argv: list[str] | None = None) -> int:
         lowercase_object_names=args.lowercase_object_names,
         parquet_max_file_size=args.parquet_max_file_size,
         max_concurrent_tables=args.max_concurrent_tables,
-    ).export_tables()
+    )
+    if watermarks:
+        results = exporter.export_tables_incremental(watermarks)
+    else:
+        results = exporter.export_tables()
     skipped = [r for r in results if r.skipped]
     logger.info("Exported %d tables (%d skipped)", len(results) - len(skipped), len(skipped))
     return 0

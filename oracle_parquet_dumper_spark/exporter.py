@@ -325,6 +325,84 @@ class SparkParquetExporter:
         return results
 
 
+@dataclass
+class SchemaDrift:
+    added: list[str]
+    removed: list[str]
+    retyped: list[str]  # "name: old -> new"
+
+    @property
+    def changed(self) -> bool:
+        return bool(self.added or self.removed or self.retyped)
+
+
+def schema_drift(old, new) -> SchemaDrift:
+    """Diff two Spark StructTypes by column name + type.  The
+    export-validation primitive: run it between the source's current
+    schema and the last export's parquet footer schema to catch columns
+    appearing, vanishing, or changing type before (not after) a 100 TB
+    re-export is launched."""
+    o = {f.name: f.dataType.simpleString() for f in old.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.fields}
+    return SchemaDrift(
+        added=sorted(set(n) - set(o)),
+        removed=sorted(set(o) - set(n)),
+        retyped=sorted(f"{c}: {o[c]} -> {n[c]}" for c in set(o) & set(n) if o[c] != n[c]),
+    )
+
+
+def check_export_drift(
+    spark: SparkSession, catalog, schema: str, table: str, exported_path: str
+) -> SchemaDrift:
+    """Drift between the catalog's CURRENT schema for a table and what an
+    earlier export wrote (read from parquet footers — metadata only)."""
+    current = catalog.read_table(schema, table).schema
+    previous = spark.read.parquet(exported_path).schema
+    return schema_drift(previous, current)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    target_file_size: int = DEFAULT_MAX_FILE_SIZE,
+    compression: str = DEFAULT_COMPRESSION,
+) -> int:
+    """Compact a table directory's small files into ~target-sized ones,
+    preserving the reference ``<table>_<n>.parquet`` naming.  Incremental
+    appends accumulate one small file per run; this rewrite is the
+    standard maintenance pass (Delta OPTIMIZE / Iceberg rewrite_data_files
+    for plain parquet dirs).  One distributed read + one write; the
+    rows-per-file target reuses the exporter's sampled row-width
+    heuristic (A12).  Returns the resulting file count."""
+    df = spark.read.parquet(path)
+    sample = df.limit(SIZE_SAMPLE_ROWS)
+    tbl = sample.toArrow()
+    per_row = (tbl.nbytes / tbl.num_rows) if tbl.num_rows else 1000.0
+    rows_per_file = max(1, int(target_file_size / per_row))
+    n_files = max(1, (df.count() + rows_per_file - 1) // rows_per_file)
+
+    tmp = path.rstrip("/") + ".compact.tmp"
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(rows_per_file))
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, fname in enumerate(parts):
+        os.rename(os.path.join(path, fname), os.path.join(path, f"{table}_{i}.parquet"))
+    for entry in os.listdir(path):
+        if entry == "_SUCCESS" or entry.startswith(".") or entry.endswith(".crc"):
+            os.remove(os.path.join(path, entry))
+    return len(parts)
+
+
 def exporter(
     spark: SparkSession,
     source_path: str,

@@ -862,3 +862,42 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+RESERVOIR_K = 3
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, rn FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {RESERVOIR_K}
+    """,
+    tags=("dedup", "sample", "window"),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per group (the reproducible stand-in
+    for per-group reservoir sampling): rank rows by the md5 of their id
+    and keep the first {RESERVOIR_K} per lang.  The hash order is a
+    uniform-but-stable permutation, so the 'reservoir' is identical on
+    every run and every engine — eval-set construction needs exactly
+    this property, where true random reservoirs give unreproducible
+    picks.  One shuffle on the group key; the per-group sort is a
+    bounded top-k (rank <= {RESERVOIR_K}) that AQE executes with
+    per-partition heaps, not a full sort at scale."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= RESERVOIR_K)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )

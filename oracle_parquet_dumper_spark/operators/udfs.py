@@ -147,3 +147,42 @@ def udf_plain_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
     return o.select("o_orderkey", status_label("o_orderstatus").alias("status_label"))
+
+
+# --- Python UDTF (user-defined TABLE function, Spark 3.5+) -----------------
+
+@F.udtf(returnType="sent_idx int, sentence string, n_chars int")
+class SplitSentences:
+    """UDTF kernel: one input string -> N (index, sentence, length) rows.
+    The 1:N lateral shape for Python logic that produces rows, not
+    values — tokenizers, parsers, chunkers.  Runs row-at-a-time (UDTFs
+    are not Arrow-vectorized), so keep it OFF hot paths; the vectorized
+    equivalent is a mapInPandas fan-out (operators/multimodal.py
+    sample_frames)."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, raw in enumerate(text.split(".")):
+            s = raw.strip()
+            if s:
+                yield i, s, len(s)
+
+
+@query("udf_python_udtf", tags=("udf", "text", "generator"))
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: split each document into sentence
+    rows.  Completes the Python-extension surface next to scalar/
+    grouped/applyInPandas/plain UDFs.  Rows-only check (the UDTF API has
+    no SQL oracle); equality with the pure-JVM split+posexplode plan is
+    asserted in tests/test_olap.py."""
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -14,10 +14,12 @@ from oracle_parquet_dumper_spark.plans.registry import (  # noqa: F401
 from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
     cleaning,
     dedup,
+    events_analytics,
     graph,
     iterative,
     multimodal,
     pipeline_prep,
+    profiling,
     relational,
     scalars,
     setops,
@@ -31,10 +33,12 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
 OPERATOR_MODULES = [
     cleaning,
     dedup,
+    events_analytics,
     graph,
     iterative,
     multimodal,
     pipeline_prep,
+    profiling,
     relational,
     scalars,
     setops,

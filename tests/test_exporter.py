@@ -369,3 +369,91 @@ def test_incremental_export_timestamp_watermark(spark, tmp_path):
     r2 = exp.export_tables_incremental({"LOG": "ts"})
     assert [x.rows for x in r2] == [1]
     assert spark.read.parquet(str(out / "main" / "LOG")).count() == 4
+
+
+def test_cli_incremental_flag(spark, tmp_path):
+    """--incremental TABLE:COLUMN routes through the watermark path: a
+    second identical run appends nothing."""
+    import json
+
+    from oracle_parquet_dumper_spark.cli import main, parse_incremental
+
+    assert parse_incremental(["EVT:id", "LOG:ts"]) == {"EVT": "id", "LOG": "ts"}
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        parse_incremental(["noseparator"])
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "v": pa.array(["a", "b"])}),
+        src / "EVT.parquet",
+    )
+    argv = ["--source-path", str(src), "--output-path", str(out), "--incremental", "EVT:id"]
+    assert main(argv) == 0
+    assert json.load(open(out / "_incremental_state.json")) == {"main.EVT": "2"}
+    files_1 = sorted(os.listdir(out / "main" / "EVT"))
+    assert main(argv) == 0  # no new rows, no new files
+    assert sorted(os.listdir(out / "main" / "EVT")) == files_1
+    assert main(["--source-path", str(src), "--output-path", str(out), "--incremental", "bad"]) == 2
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Many small appended files compact into few target-sized ones with
+    identical content and reference naming."""
+    from oracle_parquet_dumper_spark.exporter import compact_table
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+    )
+    # five incremental runs -> at least five small files
+    for hi in range(10, 60, 10):
+        pq.write_table(
+            pa.table({"id": pa.array(list(range(hi)), pa.int64()),
+                      "v": pa.array([f"row{i}" for i in range(hi)])}),
+            src / "T.parquet",
+        )
+        exp.export_tables_incremental({"T": "id"})
+    target = out / "main" / "T"
+    before = [f for f in os.listdir(target) if f.endswith(".parquet")]
+    assert len(before) >= 5
+    n = compact_table(spark, str(target), "T")
+    after = sorted(f for f in os.listdir(target) if f.endswith(".parquet"))
+    assert n == len(after) < len(before)
+    assert after == [f"T_{i}.parquet" for i in range(len(after))]
+    got = {(r.id, r.v) for r in spark.read.parquet(str(target)).collect()}
+    assert got == {(i, f"row{i}") for i in range(50)}
+
+
+def test_schema_drift_detection(spark, tmp_path):
+    """Drift report catches added, removed, and retyped columns between
+    an old export's footers and the source's current schema."""
+    from oracle_parquet_dumper_spark.exporter import check_export_drift, schema_drift
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "v": pa.array(["a"])}),
+        src / "T.parquet",
+    )
+    exported = tmp_path / "exported"
+    spark.createDataFrame(
+        [(1, 1.5, "x")], "id long, gone double, v string"
+    ).write.parquet(str(exported))
+
+    cat = ParquetDirectoryCatalog(spark, str(src))
+    drift = check_export_drift(spark, cat, "main", "T", str(exported))
+    assert drift.changed
+    assert drift.added == [] and drift.removed == ["gone"] and drift.retyped == []
+
+    old = spark.createDataFrame([(1,)], "id int").schema
+    new = spark.createDataFrame([(1,)], "id bigint").schema
+    assert schema_drift(old, new).retyped == ["id: int -> bigint"]
+    assert not schema_drift(new, new).changed

@@ -44,3 +44,26 @@ def test_exporter_catalog_introspection(spark, smoke_sf_dir):
     assert exp.get_tables("main") == ["lineitem", "nation"]
     cols = exp.get_columns("main", "nation")
     assert cols == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_udtf_matches_jvm_split_plan(spark, sf_dir):
+    """The Python UDTF sentence splitter must agree row-for-row with the
+    pure-JVM split + posexplode + trim/filter plan."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    got = {
+        (r.doc_id, r.sent_idx, r.sentence, r.n_chars)
+        for r in REGISTRY["udf_python_udtf"].fn(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    jvm = (
+        d.select("doc_id", F.posexplode(F.split("text", "\\.")).alias("sent_idx", "raw"))
+        .select("doc_id", "sent_idx", F.trim("raw").alias("sentence"))
+        .where(F.length("sentence") > 0)
+        .select("doc_id", "sent_idx", "sentence", F.length("sentence").alias("n_chars"))
+    )
+    want = {(r.doc_id, r.sent_idx, r.sentence, r.n_chars) for r in jvm.collect()}
+    assert got == want
