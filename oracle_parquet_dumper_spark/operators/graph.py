@@ -134,6 +134,7 @@ def _pagerank_oracle() -> str:
     "graph_pagerank",
     oracle=_pagerank_oracle(),
     tags=("join", "graph", "iterative", "flagship"),
+    bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PR_TOP} suppliers by PageRank over the order-co-occurrence
@@ -149,4 +150,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select(F.col("node").cast("long").alias("node"), "pr")
         .orderBy(F.col("pr").desc(), "node")
         .limit(PR_TOP)
+    )
+
+
+HIER_MAX_ROUNDS = 6
+
+
+@query(
+    "graph_hierarchy_depth",
+    oracle="""
+    WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+    walk(node, cur, depth) AS (
+      SELECT user_id, user_id, 0 FROM users
+      UNION ALL
+      SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 0
+    )
+    SELECT node AS user_id, depth FROM walk WHERE cur = 0
+    """,
+    tags=("join", "graph", "iterative"),
+)
+def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (depth to root) by POINTER DOUBLING — the
+    scalable form of a recursive CTE.  The synthetic tree is
+    parent(u) = u div 2 over event users (root 0), so the DuckDB twin is
+    a plain WITH RECURSIVE walk.
+
+    A naive walk takes O(tree depth) join rounds; pointer doubling
+    composes each node's ancestor pointer with the ANCESTOR'S pointer,
+    doubling the jump per round — O(log depth) rounds of self-join on
+    the node key, the standard trick for deep hierarchies (org charts,
+    BOM explosions, thread ancestry) where depth can reach thousands.
+    Depths are integers, so the oracle comparison is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    ptr = users.select(
+        F.col("user_id").alias("node"),
+        F.expr("user_id div 2").alias("anc"),
+        F.when(F.col("user_id") > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
+    )
+    for _ in range(HIER_MAX_ROUNDS):
+        # compose jumps: node -> anc (d1) with anc -> anc2 (d2)
+        nxt = (
+            ptr.alias("a")
+            .join(ptr.alias("b"), F.col("a.anc") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+        )
+        from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+
+        ptr = truncate_lineage(nxt, None)
+        if ptr.where(F.col("anc") != 0).limit(1).count() == 0:
+            break
+    return ptr.select("node", "depth").select(
+        F.col("node").alias("user_id"), F.col("depth").cast("long").alias("depth")
     )

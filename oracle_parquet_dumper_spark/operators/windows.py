@@ -360,3 +360,94 @@ def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "window_count_distinct_running",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_types_so_far
+    FROM events
+    WHERE user_id < 20
+    """,
+    tags=("window", "events"),
+)
+def window_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — a real Spark gap: DISTINCT
+    aggregates are not allowed in window functions, so the engine
+    expresses it as size(collect_set() OVER w), which is semantically
+    identical (set semantics, growing frame).  State per frame is the
+    distinct-value set — fine for low-cardinality columns like
+    event_type; for high-cardinality use the HLL sketch union instead
+    (agg_sketch_panel shows the mergeable form)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_so_far"),
+    )
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+@query(
+    "window_sessionize_30min",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > {SESSION_GAP_SECONDS} * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("window", "events", "sessionize"),
+    bench=True,
+)
+def window_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts after a
+    >{SESSION_GAP_SECONDS}s silence; session_id = running sum of
+    new-session flags (the lag + cumulative-flag composition, same
+    per-user ordering both passes so ONE shuffle+sort serves lag and the
+    running sum).  This is the batch twin of the state-store
+    ``session_window`` stream (streaming/ops.py) with identical gap
+    semantics; output is the per-session event count."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(wo), F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = flagged.select(
+        "user_id", F.sum("new_session").over(wsum).cast("long").alias("session_id")
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -94,3 +94,38 @@ def test_sort_within_partitions_no_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sort_within_partitions")
     assert "Sort" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_profile_single_scan_single_aggregate(spark, sf_dir):
+    """The column profiler must read the table ONCE: one scan feeding
+    one (expanded, for the distincts) aggregation — never a scan per
+    column."""
+    plan = plan_of(spark, sf_dir, "profile_columns_customer")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan  # the multi-count_distinct rewrite
+
+
+def test_sessionize_single_sort_for_both_windows(spark, sf_dir):
+    """Both window passes (lag flag + running sum) share the same
+    (user_id; ts, event_id) ordering, so the plan must contain exactly
+    one Exchange for the window stage plus the final aggregation's —
+    never a second sort-shuffle pair for the second window."""
+    plan = plan_of(spark, sf_dir, "window_sessionize_30min")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert plan.count("Window") >= 1
+
+
+def test_quantized_topk_is_heap_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_topk_quantized_int8")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_retention_joins_on_user_key(spark, sf_dir):
+    """The cohort join must be keyed by user_id (shuffle-key reuse with
+    the first-seen reduction) — not a broadcast of the event log."""
+    plan = plan_of(spark, sf_dir, "events_retention_cohorts")
+    assert "user_id" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
