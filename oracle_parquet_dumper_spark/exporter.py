@@ -53,6 +53,12 @@ DEFAULT_COMPRESSION = "zstd"
 DEFAULT_BATCH_SIZE = 10_000
 COMPRESSION_CHOICES = ("none", "snappy", "gzip", "zstd")
 SIZE_SAMPLE_ROWS = 2_000
+# Watermark types whose str() round-trip preserves ordering under
+# ``> CAST(lit AS type)``; string is deliberately absent (lexicographic).
+_ORDERABLE_WATERMARK_TYPES = frozenset(
+    {"byte", "short", "integer", "long", "float", "double", "decimal",
+     "date", "timestamp", "timestamp_ntz"}
+)
 
 
 @dataclass
@@ -235,14 +241,35 @@ class SparkParquetExporter:
         self, schema: str, table: str, watermark_col: str
     ) -> ExportResult:
         t0 = time.perf_counter()
+        os.makedirs(self.output_path, exist_ok=True)
+        self._recover_pending()
         key = f"{schema}.{table}"
         state = self._load_state()
         last = state.get(key)
 
         df = self.catalog.read_table(schema, table)
+        # Resolve the watermark column case-insensitively (Spark resolves
+        # columns case-insensitively; df.schema[...] does not) and reject
+        # types whose str() round-trip is not order-preserving: a string
+        # watermark would compare lexicographically ('9' > '10'), silently
+        # dropping or double-exporting rows.
+        matches = [f for f in df.schema.fields if f.name.lower() == watermark_col.lower()]
+        if not matches:
+            raise ValueError(
+                f"Watermark column {watermark_col!r} not found in {schema}.{table}; "
+                f"available columns: {[f.name for f in df.schema.fields]}"
+            )
+        wm_field = matches[0]
+        watermark_col = wm_field.name
+        if wm_field.dataType.typeName() not in _ORDERABLE_WATERMARK_TYPES:
+            raise ValueError(
+                f"Watermark column {watermark_col!r} has type "
+                f"{wm_field.dataType.simpleString()}; incremental export requires a "
+                f"numeric, date or timestamp watermark (string watermarks compare "
+                f"lexicographically and would corrupt the high-water mark)"
+            )
         if last is not None:
-            wm_type = df.schema[watermark_col].dataType
-            df = df.where(F.col(watermark_col) > F.lit(last).cast(wm_type))
+            df = df.where(F.col(watermark_col) > F.lit(last).cast(wm_field.dataType))
         projected = self._project(df)
         if projected is None:
             return ExportResult(
@@ -262,17 +289,86 @@ class SparkParquetExporter:
         observed = projected.observe(
             obs, F.count(F.lit(1)).alias("rows"), F.max(wm_out).alias("wm")
         )
+        # Crash-consistent append: write the delta to a staging dir, then
+        # commit via a pending manifest (atomic os.replace) that lists every
+        # file move and the new watermark.  A crash anywhere replays cleanly:
+        #   - before the manifest: staging is garbage, state unchanged — the
+        #     next run recomputes the same delta and overwrites staging;
+        #   - after the manifest: _recover_pending() finishes the moves
+        #     (each move is idempotent — skip if already done) and advances
+        #     the watermark BEFORE the next delta is computed.
+        # Without this, append-then-save-state double-exports the delta if
+        # the process dies between the two steps.
+        staging = target + ".delta.tmp"
         (
-            observed.write.mode("append")
+            observed.write.mode("overwrite")
             .option("compression", self.compression_method)
             .option("maxRecordsPerFile", str(self._rows_per_file(projected)))
-            .parquet(target)
+            .parquet(staging)
         )
         rows = int(obs.get["rows"])
-        state[key] = str(obs.get["wm"])
-        self._save_state(state)
-        files = self._finalize_layout(target, out_table)
+        new_wm = str(obs.get["wm"])
+        os.makedirs(target, exist_ok=True)
+        existing = re.compile(re.escape(out_table) + r"_(\d+)\.parquet$")
+        taken = [
+            int(m.group(1)) for f in os.listdir(target) if (m := existing.match(f))
+        ]
+        start = max(taken) + 1 if taken else 0
+        parts = sorted(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        moves = {p: f"{out_table}_{start + i}.parquet" for i, p in enumerate(parts)}
+        manifest = {"key": key, "target": target, "staging": staging,
+                    "watermark": new_wm, "moves": moves}
+        mtmp = self._pending_path() + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(mtmp, self._pending_path())
+        files = self._commit_pending(manifest, state)
         return ExportResult(schema, table, rows, files, time.perf_counter() - t0)
+
+    def _pending_path(self) -> str:
+        return os.path.join(self.output_path, "_incremental_pending.json")
+
+    def _commit_pending(self, manifest: dict, state: dict) -> list[str]:
+        """Apply a pending manifest: move staged files into the table dir
+        (idempotent — a file already moved is skipped), advance the
+        watermark, then drop the manifest and staging dir.  Called both on
+        the happy path and from :meth:`_recover_pending` after a crash."""
+        staging, target = manifest["staging"], manifest["target"]
+        files = []
+        for part, final in sorted(manifest["moves"].items()):
+            src, dst = os.path.join(staging, part), os.path.join(target, final)
+            if os.path.exists(src):
+                os.replace(src, dst)
+            elif not os.path.exists(dst):
+                raise RuntimeError(
+                    f"Incremental commit lost file {part!r}: neither staged "
+                    f"({src}) nor committed ({dst}) copy exists"
+                )
+            files.append(final)
+        state[manifest["key"]] = manifest["watermark"]
+        self._save_state(state)
+        os.remove(self._pending_path())
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        return files
+
+    def _recover_pending(self) -> None:
+        """Finish a commit interrupted by a crash: if a pending manifest
+        exists, its delta was fully staged but possibly only partially
+        moved — complete the moves and watermark advance before computing
+        any new delta (otherwise the same rows would export twice)."""
+        if not os.path.exists(self._pending_path()):
+            return
+        with open(self._pending_path()) as fh:
+            manifest = json.load(fh)
+        logger.warning(
+            "Recovering interrupted incremental export for %s (%d files)",
+            manifest["key"], len(manifest["moves"]),
+        )
+        self._commit_pending(manifest, self._load_state())
 
     def export_tables_incremental(
         self, watermarks: dict[str, str]
@@ -282,16 +378,27 @@ class SparkParquetExporter:
         clears the output directory — it appends new deltas and advances
         the per-table high-water marks in ``_incremental_state.json``."""
         os.makedirs(self.output_path, exist_ok=True)
+        self._recover_pending()
         results: list[ExportResult] = []
+        matched: set[str] = set()
         schemas = self.schemas or self.catalog.list_schemas()
         for schema in schemas:
             for table in self.catalog.list_tables(
                 schema, self.table_name_include_pattern, self.table_name_exclude_pattern
             ):
                 if table in watermarks:
+                    matched.add(table)
                     results.append(
                         self.export_table_incremental(schema, table, watermarks[table])
                     )
+        # A typo'd or schema-filtered watermark key would otherwise vanish
+        # silently — the caller would read "no result row" as "up to date".
+        unmatched = sorted(set(watermarks) - matched)
+        if unmatched:
+            logger.warning(
+                "Watermark entries matched no exported table (typo or filtered "
+                "out by schema/include/exclude?): %s", unmatched
+            )
         return results
 
     # -- driver loop (reference export_tables, main.py:219-263) -------------
@@ -375,6 +482,16 @@ def compact_table(
     for plain parquet dirs).  One distributed read + one write; the
     rows-per-file target reuses the exporter's sampled row-width
     heuristic (A12).  Returns the resulting file count."""
+    # Startup recovery: a crash mid-swap leaves ``<path>.compact.old``
+    # holding the (complete) pre-compaction data.  If the live dir is
+    # missing, restore it before proceeding; if both exist, the swap
+    # completed and the old copy is stale garbage.
+    stale = path.rstrip("/") + ".compact.old"
+    if os.path.exists(stale):
+        if not os.path.exists(path):
+            os.rename(stale, path)
+        else:
+            shutil.rmtree(stale)
     df = spark.read.parquet(path)
     sample = df.limit(SIZE_SAMPLE_ROWS)
     tbl = sample.toArrow()
@@ -390,8 +507,23 @@ def compact_table(
         .option("maxRecordsPerFile", str(rows_per_file))
         .parquet(tmp)
     )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # Atomic-ish swap: never leave a window where the live dir is gone.
+    # rmtree-then-rename would lose the table entirely if we crash between
+    # the two (the incremental state still records the high-water mark, so
+    # the next run would append only the delta on top of nothing).  Instead
+    # move the live dir aside, rename tmp into place, then delete the old
+    # copy; a crash at any point leaves either the old or the new data
+    # present, and a leftover ``.compact.old`` is recovered on re-run.
+    old = path.rstrip("/") + ".compact.old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the live dir
+        raise
+    shutil.rmtree(old)
     parts = sorted(
         f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
     )

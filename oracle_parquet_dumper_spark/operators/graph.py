@@ -180,13 +180,27 @@ def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling the jump per round — O(log depth) rounds of self-join on
     the node key, the standard trick for deep hierarchies (org charts,
     BOM explosions, thread ancestry) where depth can reach thousands.
-    Depths are integers, so the oracle comparison is exact."""
+    Depths are integers, so the oracle comparison is exact.
+
+    The node set is the CLOSURE of user_ids under parent() — the inner
+    self-join ``a.anc == b.node`` drops any node whose ancestor is
+    missing from the relation, so pointer doubling over just the raw
+    user_ids would silently lose nodes whose synthetic parent
+    (``user_id div 2``) never appears as a user_id.  The closure is
+    built in one explode (u >> i for i in 0..62), no iteration."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
-    ptr = users.select(
-        F.col("user_id").alias("node"),
-        F.expr("user_id div 2").alias("anc"),
-        F.when(F.col("user_id") > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
+    # closure under div-2: every prefix of the binary representation,
+    # down to the root 0 — guarantees the self-join is total.
+    nodes = users.select(
+        F.explode(
+            F.expr("transform(sequence(0, 62), i -> shiftright(user_id, i))")
+        ).alias("node")
+    ).distinct()
+    ptr = nodes.select(
+        "node",
+        F.expr("node div 2").alias("anc"),
+        F.when(F.col("node") > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
     )
     for _ in range(HIER_MAX_ROUNDS):
         # compose jumps: node -> anc (d1) with anc -> anc2 (d2)
@@ -204,6 +218,14 @@ def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ptr = truncate_lineage(nxt, None)
         if ptr.where(F.col("anc") != 0).limit(1).count() == 0:
             break
-    return ptr.select("node", "depth").select(
+    else:
+        remaining = ptr.where(F.col("anc") != 0).count()
+        if remaining:
+            raise RuntimeError(
+                f"graph_hierarchy_depth did not converge in {HIER_MAX_ROUNDS} "
+                f"pointer-doubling rounds: {remaining} nodes still above root "
+                f"(reachable depth cap is 2**rounds; raise HIER_MAX_ROUNDS)"
+            )
+    return ptr.join(users, ptr["node"] == users["user_id"], "left_semi").select(
         F.col("node").alias("user_id"), F.col("depth").cast("long").alias("depth")
     )

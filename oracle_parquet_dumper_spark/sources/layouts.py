@@ -117,6 +117,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits * n > 63:
+        # bit b of column i lands at position b*n+i in a signed long; past
+        # bit 62 the sign bit flips and high keys sort FIRST, silently
+        # breaking the Morton ordering (and the file-skipping it exists for).
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits}*{n} = {bits * n} exceeds 63 "
+            f"(signed-long overflow would corrupt the sort order); "
+            f"use bits <= {63 // n} for {n} columns"
+        )
     mins_maxes = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"_mx_{i}") for i, c in enumerate(cols)],

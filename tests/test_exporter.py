@@ -457,3 +457,176 @@ def test_schema_drift_detection(spark, tmp_path):
     new = spark.createDataFrame([(1,)], "id bigint").schema
     assert schema_drift(old, new).retyped == ["id: int -> bigint"]
     assert not schema_drift(new, new).changed
+
+
+def _mini_src(tmp_path, n=3):
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array(list(range(1, n + 1)), pa.int64()),
+                  "v": pa.array([f"r{i}" for i in range(1, n + 1)])}),
+        src / "EVT.parquet",
+    )
+    return src
+
+
+def _inc_exporter(spark, src, out):
+    return SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+    )
+
+
+def test_incremental_watermark_rejects_string_type(spark, tmp_path):
+    """A string watermark compares lexicographically ('9' > '10') and
+    would corrupt the high-water mark — rejected up front."""
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "v": pa.array(["a"])}),
+        src / "EVT.parquet",
+    )
+    exp = _inc_exporter(spark, src, tmp_path / "out")
+    with pytest.raises(ValueError, match="lexicographically"):
+        exp.export_table_incremental("main", "EVT", "v")
+
+
+def test_incremental_watermark_case_insensitive_and_missing(spark, tmp_path):
+    """Spark resolves columns case-insensitively; the watermark lookup
+    must too — and a misspelled column gets a clear error, not KeyError."""
+    import json
+
+    src = _mini_src(tmp_path)
+    out = tmp_path / "out"
+    exp = _inc_exporter(spark, src, out)
+    r = exp.export_table_incremental("main", "EVT", "ID")  # actual column: id
+    assert r.rows == 3
+    assert json.load(open(out / "_incremental_state.json")) == {"main.EVT": "3"}
+    with pytest.raises(ValueError, match="not found"):
+        exp.export_table_incremental("main", "EVT", "nope")
+
+
+def test_incremental_unmatched_watermark_warns(spark, tmp_path, caplog):
+    """A typo'd watermark key must not vanish silently."""
+    import logging
+
+    src = _mini_src(tmp_path)
+    exp = _inc_exporter(spark, src, tmp_path / "out")
+    with caplog.at_level(logging.WARNING, logger="oracle_parquet_dumper_spark.exporter"):
+        results = exp.export_tables_incremental({"EVT": "id", "TYPO_TBL": "id"})
+    assert [x.rows for x in results] == [3]
+    assert any("TYPO_TBL" in rec.getMessage() for rec in caplog.records)
+
+
+def test_incremental_crash_between_stage_and_commit(spark, tmp_path):
+    """Crash AFTER the pending manifest is written but BEFORE any file
+    move: recovery completes the commit — no lost rows, no duplicates."""
+    import json
+
+    src = _mini_src(tmp_path, n=3)
+    out = tmp_path / "out"
+    exp = _inc_exporter(spark, src, out)
+    exp.export_tables_incremental({"EVT": "id"})
+
+    # new source rows arrive
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array(["r1", "r2", "r3", "r4", "r5"])}),
+        src / "EVT.parquet",
+    )
+    # simulate the crash: run the export but die right before the commit
+    real_commit = SparkParquetExporter._commit_pending
+    try:
+        SparkParquetExporter._commit_pending = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash")
+        )
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            exp.export_table_incremental("main", "EVT", "id")
+    finally:
+        SparkParquetExporter._commit_pending = real_commit
+    # manifest exists, watermark NOT advanced, delta only staged
+    assert os.path.exists(out / "_incremental_pending.json")
+    assert json.load(open(out / "_incremental_state.json")) == {"main.EVT": "3"}
+
+    # re-run: recovery commits the staged delta FIRST, then finds no new rows
+    r = exp.export_tables_incremental({"EVT": "id"})
+    assert [x.skipped for x in r] == ["up_to_date"]
+    assert not os.path.exists(out / "_incremental_pending.json")
+    assert json.load(open(out / "_incremental_state.json")) == {"main.EVT": "5"}
+    got = sorted(
+        (r.id, r.v) for r in spark.read.parquet(str(out / "main" / "EVT")).collect()
+    )
+    assert got == [(i, f"r{i}") for i in range(1, 6)]
+
+
+def test_incremental_crash_mid_move(spark, tmp_path):
+    """Crash partway through the file moves (some staged files moved,
+    some not): recovery is idempotent — every file lands exactly once."""
+    import json
+
+    src = _mini_src(tmp_path, n=3)
+    out = tmp_path / "out"
+    exp = _inc_exporter(spark, src, out)
+    exp.export_tables_incremental({"EVT": "id"})
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array(["r1", "r2", "r3", "r4", "r5"])}),
+        src / "EVT.parquet",
+    )
+    real_commit = SparkParquetExporter._commit_pending
+    try:
+        SparkParquetExporter._commit_pending = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash")
+        )
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            exp.export_table_incremental("main", "EVT", "id")
+    finally:
+        SparkParquetExporter._commit_pending = real_commit
+    # hand-apply HALF the moves, as if we died mid-loop
+    manifest = json.load(open(out / "_incremental_pending.json"))
+    moves = sorted(manifest["moves"].items())
+    for part, final in moves[: len(moves) // 2 or 1]:
+        os.replace(
+            os.path.join(manifest["staging"], part),
+            os.path.join(manifest["target"], final),
+        )
+
+    r = exp.export_tables_incremental({"EVT": "id"})
+    assert [x.skipped for x in r] == ["up_to_date"]
+    assert json.load(open(out / "_incremental_state.json")) == {"main.EVT": "5"}
+    got = sorted(
+        (r.id, r.v) for r in spark.read.parquet(str(out / "main" / "EVT")).collect()
+    )
+    assert got == [(i, f"r{i}") for i in range(1, 6)]
+    names = sorted(
+        f for f in os.listdir(out / "main" / "EVT") if f.endswith(".parquet")
+    )
+    assert names == [f"EVT_{i}.parquet" for i in range(len(names))]
+
+
+def test_compact_table_crash_recovery(spark, tmp_path):
+    """compact_table's swap never leaves the table dir missing: a crash
+    after moving the live dir aside is recovered on the next call."""
+    import shutil
+
+    from oracle_parquet_dumper_spark.exporter import compact_table
+
+    src = _mini_src(tmp_path, n=20)
+    out = tmp_path / "out"
+    exp = _inc_exporter(spark, src, out)
+    exp.export_tables_incremental({"EVT": "id"})
+    target = str(out / "main" / "EVT")
+
+    # simulate the worst crash window: live dir moved aside, new dir not yet in place
+    os.rename(target, target + ".compact.old")
+    n = compact_table(spark, target, "EVT")
+    assert n >= 1
+    assert not os.path.exists(target + ".compact.old")
+    got = {(r.id, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(i, f"r{i}") for i in range(1, 21)}
+
+    # stale .old alongside a live dir (crash after swap) is garbage-collected
+    shutil.copytree(target, target + ".compact.old")
+    compact_table(spark, target, "EVT")
+    assert not os.path.exists(target + ".compact.old")

@@ -131,3 +131,16 @@ def test_zorder_tightens_file_ranges_on_both_dims(spark, tmp_path):
     assert lin_b > 0.9, lin_b  # linear layout can't skip on the second dim
     # round-trip completeness
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_bits_overflow_raises(spark):
+    """bits*len(cols) past 63 would put high bits on the sign bit, making
+    large Morton keys sort FIRST — rejected up front."""
+    import pytest
+
+    from oracle_parquet_dumper_spark.sources.layouts import zorder_key
+
+    df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(df, ["a", "b", "c", "d"], bits=16)
+    assert zorder_key(df, ["a", "b", "c", "d"], bits=15).count() == 4
