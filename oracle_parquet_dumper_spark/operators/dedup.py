@@ -755,14 +755,29 @@ def split_train_dev_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_bernoulli", tags=("sample", "pipeline"))
+@query(
+    "sample_bernoulli",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+    """,
+    tags=("sample", "pipeline"),
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling (df.sample): the inspection/debug
-    primitive at 100 TB — evaluated at the scan, no shuffle, no
-    materialized index.  Sampler internals are Spark-specific ->
-    rows-only check; determinism and bounds are unit-tested."""
+    """Deterministic 20% Bernoulli-style sample via the engine-portable
+    md5 gate (same convention as split_train_dev_test): evaluated at the
+    scan, no shuffle, no materialized index, reproducible across
+    re-ingestions AND engines — so membership is oracle-checked exactly.
+    Spark's native ``df.sample(fraction, seed)`` is the built-in
+    equivalent when cross-engine reproducibility isn't needed (its
+    sampler internals are Spark-specific and can't be hash-diffed)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.where(bucket < 20).select("doc_id", "lang")
 
 
 @query("dedup_label_propagation", tags=("dedup", "graph", "iterative"))

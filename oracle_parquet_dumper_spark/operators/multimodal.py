@@ -143,35 +143,50 @@ FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_hash", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
     ]
 )
 
 
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB video frame sampler: emits ceil(n_bytes/128) 'frames' per
-    payload (1:N fan-out through mapInPandas, the UDTF shape)."""
+    """STUB video frame sampler: emits one 'frame' per 128 characters of
+    the decoded payload (1:N fan-out through mapInPandas, the UDTF
+    shape); frame_hash is the md5 of each chunk.  Character-based
+    framing + md5 keep the kernel deterministic AND expressible in SQL,
+    so the fan-out is oracle-checked end to end."""
+    import hashlib
+
     for pdf in batches:
         rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            n_frames = max(1, (len(b) + 127) // 128)
+            s = bytes(payload).decode("utf-8")
+            n_frames = max(1, (len(s) + 127) // 128)
             for i in range(n_frames):
-                chunk = b[i * 128 : (i + 1) * 128]
-                h = 0
-                for by in chunk:
-                    h = (h * 131 + by) % 1_000_000_007
+                chunk = s[i * 128 : (i + 1) * 128]
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(i)
-                rows["frame_hash"].append(h)
+                rows["frame_hash"].append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
         yield pd.DataFrame(rows)
 
 
-@query("mm_frame_sample", tags=("multimodal", "pandas_udf"))
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx,
+           md5(substring(d.text, t.i * 128 + 1, 128)) AS frame_hash
+    FROM d, LATERAL unnest(range(0, (d.n + 127) // 128)) AS t(i)
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (one payload -> N frame rows) via
     mapInPandas; the 1:N generator shape used for video/audio chunking.
-    Rows-only check."""
+    The payload round-trips text through binary (with_payload), so the
+    SQL twin frames the text column directly."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(sample_frames, FRAME_SCHEMA)

@@ -15,14 +15,17 @@ UDF plumbing works, (b) document WHEN each form is appropriate:
 - plain ``udf``           : last resort — row-at-a-time Python,
                             ~10-100x slower than pandas_udf
 
-The scalar kernel is pure per-element IEEE arithmetic, so it is
-bit-reproducible in SQL and oracle-checked; the aggregating kernels
-accumulate floats in numpy order and are rows-only checks.
+Every kernel here is oracle-checked: the scalar kernel is pure
+per-element IEEE arithmetic, and the aggregating kernels accumulate in
+EXACT decimal (order-independent, matching the engine-wide decimal-sum
+convention) rather than numpy float order, so even grouped Python
+aggregation stays differentially testable against DuckDB.
 """
 
 from __future__ import annotations
 
 import sys as _sys
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pandas as pd
@@ -38,6 +41,23 @@ from oracle_parquet_dumper_spark.sources.tables import load_table
 # Ship kernels by value — workers must not need this package importable
 # (see operators/multimodal.py).
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+_Q6 = Decimal("0.000001")
+
+
+def _round6(x: float) -> float:
+    """Python replica of Spark's ``F.round(double, 6)``: HALF_UP on the
+    shortest decimal repr (BigDecimal.valueOf semantics).  Used inside
+    Python kernels so their output is bit-identical to the SQL mirror."""
+    return float(Decimal(repr(float(x))).quantize(_Q6, ROUND_HALF_UP))
+
+
+def _dec6(x: float) -> Decimal:
+    """Python replica of Spark's ``CAST(double AS DECIMAL(25,6))`` —
+    the engine-wide exact-sum convention.  Summing these is
+    order-independent, which is what makes a Python aggregation kernel
+    hash-comparable with a SQL twin."""
+    return Decimal(repr(float(x))).quantize(_Q6, ROUND_HALF_UP)
 
 
 @F.pandas_udf(T.DoubleType())
@@ -73,16 +93,36 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.DoubleType())
 def median_agg(v: pd.Series) -> float:
-    """Grouped-agg pandas_udf kernel: exact median of the group."""
-    return float(np.median(v.values))
+    """Grouped-agg pandas_udf kernel: exact median of the group, with
+    percentile_cont's interpolation (lo + (hi - lo)*0.5, not (lo+hi)/2 —
+    the two differ in the last ulp) and the engine round convention, so
+    the result hash-matches the SQL twin."""
+    vals = np.sort(v.values)
+    n = len(vals)
+    if n % 2:
+        m = float(vals[n // 2])
+    else:
+        lo, hi = float(vals[n // 2 - 1]), float(vals[n // 2])
+        m = lo + (hi - lo) * 0.5
+    return _round6(m)
 
 
-@query("udf_grouped_agg_pandas", tags=("udf", "pandas_udf"))
+@query(
+    "udf_grouped_agg_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+             AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "pandas_udf"),
+)
 def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas_udf: one call per (group, column chunk).
-    Rows-only check (numpy's median interpolation on even counts uses
-    its own float path); the built-in exact percentile is the checked
-    counterpart (agg_percentile_exact)."""
+    Median is a sort-then-pick statistic — order-independent by
+    construction — so with the interpolation formula pinned to
+    percentile_cont's the Python kernel is oracle-checked exactly."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(median_agg("l_extendedprice").alias("median_price"))
 
@@ -98,26 +138,56 @@ NORMALIZED_SCHEMA = T.StructType(
 
 
 def normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: z-score prices within the group."""
-    prices = pdf["l_extendedprice"].values
-    mu = prices.mean()
-    sd = prices.std(ddof=1) or 1.0
+    """applyInPandas kernel: z-score prices within the group.  The group
+    moments are EXACT decimal sums (``_dec6`` per value, then integer
+    decimal addition) — order-independent, unlike ``prices.mean()``,
+    whose float accumulation depends on shuffle arrival order.  The
+    scalar tail (mu, variance, sqrt, per-row z) is plain IEEE double
+    arithmetic that the SQL twin reproduces operation-for-operation."""
+    prices = [float(x) for x in pdf["l_extendedprice"].values]
+    n = len(prices)
+    sx = float(sum(_dec6(x) for x in prices))
+    sxx = float(sum(_dec6(x * x) for x in prices))
+    mu = sx / n
+    var = (sxx - n * mu * mu) / (n - 1) if n > 1 else 0.0
+    sd = var**0.5 if var > 0 else 1.0
     return pd.DataFrame(
         {
             "l_returnflag": pdf["l_returnflag"],
             "l_orderkey": pdf["l_orderkey"],
             "l_linenumber": pdf["l_linenumber"],
-            "price_z": np.round((prices - mu) / sd, 6),
+            "price_z": [_round6((x - mu) / sd) for x in prices],
         }
     )
 
 
-@query("udf_apply_in_pandas", tags=("udf", "pandas_udf"))
+@query(
+    "udf_apply_in_pandas",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+           round((l.l_extendedprice - s.sx / s.n) /
+                 (CASE WHEN s.n > 1
+                        AND (s.sxx - s.n * (s.sx / s.n) * (s.sx / s.n)) / (s.n - 1) > 0
+                       THEN sqrt((s.sxx - s.n * (s.sx / s.n) * (s.sx / s.n)) / (s.n - 1))
+                       ELSE 1.0 END), 6) AS price_z
+    FROM lineitem l JOIN s USING (l_returnflag)
+    """,
+    tags=("udf", "pandas_udf"),
+)
 def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: whole-group normalization (each group
     becomes one pandas DataFrame on an executor).  The group key must
     have bounded cardinality per-group at scale — salt wide groups.
-    Rows-only check (group-mean accumulation order)."""
+    Oracle-checked: the kernel's decimal-exact moments make the Python
+    path hash-identical to the windowed-SQL formulation."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
@@ -169,13 +239,35 @@ class SplitSentences:
                 yield i, s, len(s)
 
 
-@query("udf_python_udtf", tags=("udf", "text", "generator"))
+@query(
+    "udf_python_udtf",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, '.') AS parts
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    e AS (
+      SELECT doc_id,
+             generate_subscripts(parts, 1) - 1 AS sent_idx,
+             trim(unnest(parts), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+               AS sentence
+      FROM d
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+           CAST(length(sentence) AS INT) AS n_chars
+    FROM e WHERE sentence <> ''
+    """,
+    tags=("udf", "text", "generator"),
+)
 def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF in a LATERAL join: split each document into sentence
     rows.  Completes the Python-extension surface next to scalar/
-    grouped/applyInPandas/plain UDFs.  Rows-only check (the UDTF API has
-    no SQL oracle); equality with the pure-JVM split+posexplode plan is
-    asserted in tests/test_olap.py."""
+    grouped/applyInPandas/plain UDFs.  Oracle-checked: the split is
+    deterministic string work DuckDB mirrors with string_split +
+    generate_subscripts (sent_idx counts RAW '.'-segments, pre-filter,
+    exactly like the kernel's enumerate-then-strip); equality with the
+    pure-JVM split+posexplode plan is additionally asserted in
+    tests/test_olap.py."""
     spark.udtf.register("split_sentences", SplitSentences)
     load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 50 == 0
