@@ -4,7 +4,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is materialized with the no-op sink so the measured time is
-scan+compute+shuffle, not result transfer to the driver.
+scan+compute+shuffle, not result transfer to the driver.  Each query
+runs REPS times and reports the per-query MEDIAN (single-shot timings
+showed ~3x phantom swings on byte-identical plans round over round);
+"value" is the sum of medians.
 """
 
 from __future__ import annotations
@@ -40,11 +43,15 @@ def main() -> None:
         load_table(spark, SF_DIR, t).count()
 
     specs = plans.bench_queries()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        materialize(spec.fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            materialize(spec.fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(

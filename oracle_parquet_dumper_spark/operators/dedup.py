@@ -204,26 +204,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", tags=("dedup", "simhash"))
+def _simhash_oracle() -> str:
+    """SQL twin of dedup_simhash: the 64-bit token hash is md5 split
+    into two 32-bit halves (both engines parse 8 hex digits exactly);
+    vote sums and the sign-threshold assembly mirror the Spark
+    expressions term for term, with the HUGEINT two's-complement fold
+    for the sign bit."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i if i < 32 else i - 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS HUGEINT) << {i} ELSE CAST(0 AS HUGEINT) END)"
+        for i in range(64)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS lo
+      FROM tok
+    ),
+    v AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                     THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS simhash
+    FROM (SELECT doc_id, CAST({terms} AS HUGEINT) AS hu FROM v)
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures: per token-hash, each bit votes +1/-1;
-    the signature sign-thresholds the 64 vote sums.  Computed as one
-    aggregate over the token-hash array (no explode, no shuffle until the
-    final output).  Near-dups = small Hamming distance; rows-only check,
-    unit-tested on permuted/edited texts."""
+    the signature sign-thresholds the 64 vote sums.  Near-dups = small
+    Hamming distance; unit-tested on permuted/edited texts.
+
+    The token hash is md5 split into two 32-bit halves (hi/lo) — the
+    engine-portable digest convention — so the full signature pipeline
+    is oracle-checked bit for bit.  The explode formulation computes the
+    token-hash stream ONCE, then 64 partial-aggregated vote sums
+    (Catalyst would otherwise duplicate the tokenization into each of
+    the 64 fold branches)."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
-    # Explode formulation: the token-hash stream is computed ONCE, then
-    # 64 partial-aggregated vote sums (Catalyst would otherwise duplicate
-    # the tokenization into each of the 64 fold branches).
-    tok = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    md = F.md5(F.col("t").cast("binary"))
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+            ).alias("t"),
+        )
+        .select("doc_id", md.alias("md"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("md", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("md", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
     one = F.lit(1).cast("long")
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(one) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright("lo" if i < 32 else "hi", i if i < 32 else i - 32)
+                    .bitwiseAND(one) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
@@ -249,7 +305,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE jaccard(a.t, b.t) >= 0.9
     """,
-    tags=("dedup", "jaccard"),
+    tags=("dedup", "jaccard", "demo"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-set Jaccard similarity join, blocked by language and a
@@ -291,7 +347,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p WHERE cos >= 0.3
     GROUP BY label
     """,
-    tags=("dedup", "embedding"),
+    tags=("dedup", "embedding", "demo"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, blocked by label (the
@@ -407,7 +463,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s a JOIN s b ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 3
     """,
-    tags=("dedup", "fuzzy"),
+    tags=("dedup", "fuzzy", "demo"),
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: Levenshtein edit distance under a
@@ -617,15 +673,18 @@ def connected_components(
 
 
 @query("dedup_clusters", tags=("dedup", "graph", "iterative"), bench=True)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Duplicate clusters: MinHash-LSH candidate pairs -> connected
     components -> one row per cluster with its canonical (min doc_id)
     keeper and size.  The full near-dedup pipeline a training-data run
     executes: survivors = all docs minus (cluster members - keepers).
     Iterative algorithm -> rows-only check; pinned by a planted-cluster
-    unit test."""
+    unit test.  ``checkpoint_dir`` switches lineage truncation to
+    reliable checkpoints (executor-loss tolerance on a real cluster)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return (
         comps.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keeper_id"))
@@ -635,7 +694,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("pipeline_curation", tags=("dedup", "pipeline", "flagship"), bench=True)
-def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_curation(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """End-to-end training-data curation pass over ``documents``:
 
     1. quality gate   — drop empty/short docs (cheap column filter first);
@@ -647,7 +708,9 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage order is the cost order: each stage shrinks the data the next
     (more expensive) stage sees.  Output is the per-language summary a
     curation run reports.  Iterative CC -> rows-only check; the stagewise
-    row-count monotonicity is unit-tested."""
+    row-count monotonicity is unit-tested.  ``checkpoint_dir`` switches
+    every lineage truncation (the shared exact-dedup set and the CC
+    rounds) to reliable checkpoints — both modes are pytest-exercised."""
     d = load_table(spark, sf_dir, "documents")
 
     # 1. quality gate
@@ -661,7 +724,9 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The exact-deduped set feeds BOTH the signature pipeline and the
     # final survivor join — checkpoint it once instead of recomputing
     # the scan+hash+semi-join per consumer.
-    exact = quality.join(keepers_exact, "doc_id", "left_semi").localCheckpoint(eager=True)
+    exact = truncate_lineage(
+        quality.join(keepers_exact, "doc_id", "left_semi"), checkpoint_dir
+    )
 
     # 3. near dedup: LSH pairs over the exact-deduped set -> CC -> drop
     # non-keepers.  Reuse the registered pair finder on a filtered view
@@ -691,7 +756,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     drop = comps.groupBy("component").agg(F.min("node").alias("keeper"))
     non_keepers = comps.join(drop, comps.component == drop.component).where(
         F.col("node") != F.col("keeper")

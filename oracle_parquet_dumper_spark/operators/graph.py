@@ -67,18 +67,26 @@ def pagerank(
     # which imports this module — a module-level import would be circular
     from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
 
-    edges = truncate_lineage(edges, checkpoint_dir)  # round-invariant: compute once
+    # Round-invariant relation: materialize ONCE, hash-partitioned by the
+    # join key, with the out-degree denormalized onto each edge.  Every
+    # round's edges⋈ranks join then reuses this partitioning (only the
+    # small ranks side moves) and the old per-round edges⋈deg join
+    # disappears entirely — 2 shuffles/round instead of 4 (the module
+    # docstring's bucket-by-src design, now actually in the plan).
+    edges = truncate_lineage(edges.repartition("src"), checkpoint_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))  # 1-row, stays in-plan
+    edges_deg = truncate_lineage(
+        edges.join(deg, "src").select("src", "dst", "deg").repartition("src"),
+        checkpoint_dir,
+    )
 
     ranks = deg.crossJoin(F.broadcast(n1)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr")
     )
     for _ in range(iters):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select("dst", F.round(F.col("pr") / F.col("deg"), 12).alias("c"))
+        contribs = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            "dst", F.round(F.col("pr") / F.col("deg"), 12).alias("c")
         )
         ranks = (
             contribs.groupBy("dst")

@@ -80,16 +80,17 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- decode stubs (the only not-real part; see module docstring) -----------
 def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB image decode: deterministic fake dims + 4-dim feature from
-    the payload bytes.  Replace with a real codec (PIL etc.) in prod —
-    signature and batch shape stay identical."""
-    h = 0
-    for by in payload[:64]:
-        h = (h * 31 + by) % 1_000_003
+    the payload.  Replace with a real codec (PIL etc.) in prod —
+    signature and batch shape stay identical.  The fake is derived from
+    md5 of the first 64 characters (the engine-portable digest), so the
+    whole decode-and-featurize pass is oracle-checked in SQL."""
+    import hashlib
+
+    s = payload.decode("utf-8")[:64]
+    h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
     width = 64 + (h % 192)
     height = 64 + ((h // 192) % 192)
-    feat = [
-        round(((h >> (8 * i)) & 0xFF) / 255.0, 6) if i < 4 else 0.0 for i in range(4)
-    ]
+    feat = [round(((h >> (8 * i)) & 0xFF) / 255.0, 6) for i in range(4)]
     return width, height, feat
 
 
@@ -130,10 +131,31 @@ def decode_and_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(out)
 
 
-@query("mm_image_features", tags=("multimodal", "pandas_udf"))
+@query(
+    "mm_image_features",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(substring(text, 1, 64)), 1, 8)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 + hv % 192 AS INT) AS width,
+           CAST(64 + (hv // 192) % 192 AS INT) AS height,
+           round(CAST(64 + hv % 192 AS DOUBLE) / (64 + (hv // 192) % 192), 6) AS aspect,
+           round((hv % 256) / 255.0, 6) AS f0,
+           round(((hv // 256) % 256) / 255.0, 6) AS f1,
+           round(((hv // 65536) % 256) / 255.0, 6) AS f2,
+           round(((hv // 16777216) % 256) / 255.0, 6) AS f3
+    FROM h
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract pipeline over binary payloads via
-    mapInPandas (stubbed codec, real plumbing).  Rows-only check."""
+    mapInPandas (stubbed codec, real plumbing).  Oracle-checked: the
+    stub derives dims/features from the md5 digest, which DuckDB
+    replays exactly."""
     d = load_table(spark, sf_dir, "documents")
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(decode_and_featurize, IMAGE_FEATURES_SCHEMA)
@@ -197,7 +219,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n,
-           round(CAST(SUM(CAST(embedding[1] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1
+           round(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1
     FROM embeddings
     GROUP BY label
     """,
@@ -210,7 +232,7 @@ def mm_grouped_embed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.element_at("embedding", 1).cast("decimal(25,6)")).cast("double")
+            F.sum(F.element_at("embedding", 1).cast("double").cast("decimal(25,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("centroid_d1"),
@@ -230,17 +252,20 @@ PHASH_HAMMING_MAX = 6
 
 
 def payload_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB perceptual hash (dHash): 65 byte-region sums over the first
-    260 payload bytes, bit_i = region_i > region_{i+1}.  With a real
-    image codec the regions are downsampled grayscale pixels (the actual
-    dHash algorithm); the signature, 64-bit output, and batch shape are
-    identical.  Local edits perturb few region sums, so near-identical
-    payloads land within a small Hamming distance."""
+    """STUB perceptual hash (dHash): 65 region sums (4 codepoints each)
+    over the first 260 characters of the decoded payload, bit_i =
+    region_i > region_{i+1}.  With a real image codec the regions are
+    downsampled grayscale pixels (the actual dHash algorithm); the
+    signature, 64-bit output, and batch shape are identical.  Local
+    edits perturb few region sums, so near-identical payloads land
+    within a small Hamming distance.  Codepoint regions (not raw bytes)
+    keep the hash SQL-replayable, so the whole near-dup pass is
+    oracle-checked."""
     for pdf in batches:
         out = {"doc_id": [], "phash": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            buf = (bytes(payload)[:260] + b"\x00" * 260)[:260]
-            regions = [sum(buf[i * 4 : (i + 1) * 4]) for i in range(65)]
+            cps = [ord(ch) for ch in bytes(payload).decode("utf-8")[:260]]
+            regions = [sum(cps[i * 4 : (i + 1) * 4]) for i in range(65)]
             h = 0
             for i in range(64):
                 if regions[i] > regions[i + 1]:
@@ -252,7 +277,45 @@ def payload_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@query("mm_phash_neardup", tags=("multimodal", "dedup", "lsh", "pandas_udf"))
+@query(
+    "mm_phash_neardup",
+    # The oracle is the BRUTE-FORCE Hamming-threshold join: the banded
+    # join is exact (full recall) by the pigeonhole argument in the
+    # docstring, so banded-Spark == brute-force-SQL is precisely the
+    # property worth checking.
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(string_split(substring(text, 1, 260), ''),
+                            x -> unicode(x)) AS cps
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             list_transform(range(0, 65),
+                            i -> coalesce(list_sum(list_slice(cps, i*4 + 1, i*4 + 4)), 0)) AS regs
+      FROM c
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                       THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END AS BIGINT) AS phash
+      FROM (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> CASE WHEN regs[i+1] > regs[i+2]
+                              THEN CAST(1 AS HUGEINT) << i
+                              ELSE CAST(0 AS HUGEINT) END)) AS HUGEINT) AS hu
+        FROM r
+      )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    """,
+    tags=("multimodal", "dedup", "lsh", "pandas_udf"),
+)
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media detection by perceptual hash: Python touches
     each payload exactly once (the mapInPandas dHash stub); candidate
@@ -263,10 +326,10 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     By pigeonhole, any pair within Hamming distance {PHASH_BANDS}-1 = 7
     shares at least one clean band, so at threshold {PHASH_HAMMING_MAX}
     the banded join is EXACT (full recall), not approximate — asserted
-    against a brute-force pass in tests.  At 100 TB the (band, value)
-    key bucket-partitions like every other LSH key here; per-candidate
-    verification is one XOR+popcount.  Rows-only check (the hash stub is
-    not SQL-replayable)."""
+    against a brute-force pass in tests AND against the brute-force SQL
+    oracle (codepoint-region dHash is DuckDB-replayable).  At 100 TB the
+    (band, value) key bucket-partitions like every other LSH key here;
+    per-candidate verification is one XOR+popcount."""
     d = load_table(spark, sf_dir, "documents")
     p = with_payload(d).select("doc_id", "payload")
     hashes = p.mapInPandas(payload_dhash, PHASH_SCHEMA).localCheckpoint(eager=False)
@@ -321,30 +384,83 @@ EMBED_SCHEMA = T.StructType(
 
 
 def embed_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB embedding model: deterministic 8-dim vector from payload
-    bytes (replace with a real encoder; batch shape is the contract)."""
+    """STUB embedding model: deterministic 8-dim vector from the decoded
+    payload (replace with a real encoder; batch shape is the contract).
+    Dim i hashes every 8th character starting at i (first 32 of them)
+    with md5 — strided so local edits move several dims, md5 so DuckDB
+    replays the embedding bit-for-bit (the fake stays oracle-checkable
+    through the downstream cosine match)."""
+    import hashlib
+
     for pdf in batches:
         out = {"doc_id": [], "fake_embedding": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
+            s = bytes(payload).decode("utf-8")
             vec = []
             for i in range(EMBED_DIM):
-                h = 17
-                for by in b[i::EMBED_DIM][:32]:
-                    h = (h * 31 + by) % 1_000_003
-                vec.append(round((h % 2001 - 1000) / 1000.0, 6))
+                chunk = s[i::EMBED_DIM][:32]
+                h = int(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:8], 16)
+                vec.append((h % 2001 - 1000) / 1000.0)
             out["doc_id"].append(doc_id)
             out["fake_embedding"].append(vec)
         yield pd.DataFrame(out)
 
 
-@query("mm_embed_and_match", tags=("multimodal", "pandas_udf", "similarity"))
+def _embed_component_sql(j: int) -> str:
+    """DuckDB twin of one ``embed_payloads`` dimension: md5 of the
+    strided character subsequence, mapped into [-1, 1]."""
+    strided = (
+        "array_to_string(list_slice(list_filter(string_split(text, ''), "
+        f"(x, i) -> (i - 1) % {EMBED_DIM} = {j}), 1, 32), '')"
+    )
+    return (
+        f"(CAST(('0x' || substring(md5({strided}), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0"
+    )
+
+
+def _embed_match_oracle() -> str:
+    fe = "[" + ", ".join(_embed_component_sql(j) for j in range(EMBED_DIM)) + "]"
+    cen = ", ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{j + 1}] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)"
+        for j in range(EMBED_DIM)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT doc_id, {fe} AS fe
+      FROM documents WHERE length(text) > 0
+    ),
+    cen AS (
+      SELECT label, [{cen}] AS centroid FROM embeddings GROUP BY label
+    ),
+    scored AS (
+      SELECT e.doc_id, c.label,
+             round(list_dot_product(e.fe, c.centroid) /
+                   (sqrt(list_dot_product(e.fe, e.fe)) *
+                    sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cos
+      FROM emb e CROSS JOIN cen c
+    ),
+    r AS (
+      SELECT doc_id, label, cos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cos DESC, label) AS rn
+      FROM scored
+    )
+    SELECT doc_id, label AS best_label, cos FROM r WHERE rn = 1
+    """
+
+
+@query(
+    "mm_embed_and_match",
+    oracle=_embed_match_oracle(),
+    tags=("multimodal", "pandas_udf", "similarity"),
+)
 def mm_embed_and_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed-then-search composition: binary payloads -> mapInPandas
     embedding stub -> nearest centroid by cosine (centroids = per-label
     means of the first EMBED_DIM dims of the embeddings table).  The
     multimodal -> similarity pipeline shape: decode/embed is the only
-    Python stage; matching stays JVM-side.  Rows-only check."""
+    Python stage; matching stays JVM-side.  Oracle-checked end to end:
+    md5-derived fake embeddings + decimal-mean centroids + rounded
+    cosine are all engine-portable."""
     from oracle_parquet_dumper_spark.functions.vectors import cosine
 
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
@@ -358,7 +474,7 @@ def mm_embed_and_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     (
-                        F.sum(F.element_at("embedding", i + 1).cast("decimal(25,6)")).cast("double")
+                        F.sum(F.element_at("embedding", i + 1).cast("double").cast("decimal(25,6)")).cast("double")
                         / F.count(F.lit(1))
                     )
                     for i in range(EMBED_DIM)

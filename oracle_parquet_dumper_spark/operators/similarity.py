@@ -80,7 +80,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {cosine_rounded_sql('a.embedding', 'b.embedding')} >= 0.2
     GROUP BY a.label
     """,
-    tags=("similarity", "join"),
+    tags=("similarity", "join", "demo"),
 )
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise similarity join with threshold, blocked by label —
@@ -178,24 +178,58 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_expr(vec_col):
-    """Sign-LSH bucket id: concat of sign bits of <vec, plane_i>."""
+    """Sign-LSH bucket id: concat of sign bits of the ROUNDED <vec,
+    plane_i> dot product (6 digits) — the cross-engine sign convention
+    proven by functions/lsh.py, which makes the bucket assignment (and
+    hence the whole ANN result) reproducible in DuckDB."""
     bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
+        F.when(F.round(dot(vec_col, F.array(*[F.lit(v) for v in plane])), 6) >= 0, "1").otherwise("0")
         for plane in HYPERPLANES
     ]
     return F.concat(*bits)
 
 
-@query("sim_ann_lsh", tags=("similarity", "lsh"))
+def _bucket_sql(vec_expr: str) -> str:
+    """DuckDB twin of ``_bucket_expr``, built from the same plane
+    literals (repr round-trips bit-exactly)."""
+    bits = [
+        "CASE WHEN round(list_dot_product("
+        + vec_expr + ", [" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]), 6) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for plane in HYPERPLANES
+    ]
+    return " || ".join(bits)
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {{bucket}} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT emb AS qvec, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id, b.bucket,
+           round(list_dot_product(b.emb, q.qvec) /
+                 (sqrt(list_dot_product(b.emb, b.emb)) *
+                  sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos
+    FROM b, q
+    WHERE b.bucket = q.qbucket AND b.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id
+    LIMIT {TOP_K}
+    """.replace("{bucket}", _bucket_sql("embedding::DOUBLE[]")),
+    tags=("similarity", "lsh"),
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-LSH: 8 fixed hyperplanes -> 8-bit bucket;
     search = exact cosine re-rank *within the query's bucket only*.
 
     At scale the bucket id is a precomputed partition/bucket column, so a
     query touches 1/256th of the data; recall is tuned by plane count
-    and multi-probe.  Rows-only check (sign boundaries are not robust
-    to cross-engine fp differences); recall vs brute force is asserted
-    in tests/test_similarity.py."""
+    and multi-probe.  Oracle-checked: rounded-dot sign bits make bucket
+    assignment engine-portable (the lsh.py convention); recall vs brute
+    force is additionally asserted in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.select("vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket"))
     q = bucketed.where(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -210,7 +244,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_coarse", tags=("similarity", "ivf"))
+@query(
+    "sim_ivf_coarse",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec, label AS qcell FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label, {cosine_rounded_sql('e.embedding', 'q.qvec')} AS cos
+    FROM embeddings e, q
+    WHERE (e.label = q.qcell OR e.label = (q.qcell + 1) % 10)
+      AND e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity", "ivf"),
+)
 def sim_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer = the label column (stand-in for
     k-means centroid ids, which at scale are trained offline); search =
@@ -233,7 +280,26 @@ def sim_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_multiprobe", tags=("similarity", "lsh"))
+@query(
+    "sim_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {{bucket}} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT emb AS qvec, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id, b.bucket,
+           round(list_dot_product(b.emb, q.qvec) /
+                 (sqrt(list_dot_product(b.emb, b.emb)) *
+                  sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos
+    FROM b, q
+    WHERE hamming(b.bucket, q.qbucket) <= 1 AND b.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id
+    LIMIT {TOP_K}
+    """.replace("{bucket}", _bucket_sql("embedding::DOUBLE[]")),
+    tags=("similarity", "lsh"),
+)
 def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH: probe the query's bucket PLUS every
     Hamming-distance-1 neighbor (flip one of the 8 sign bits).  With 8
@@ -245,8 +311,10 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded and broadcast, so the base table is scanned once with a
     broadcast-hash semi-style join on the precomputable bucket column;
     at 100 TB the bucket is a partition key and the 9 probes prune to 9
-    partitions.  Rows-only check (sign boundaries are fp-sensitive);
-    recall-vs-bruteforce superset of single-probe asserted in tests."""
+    partitions.  Oracle-checked (rounded-dot sign bits; the SQL twin
+    states the same probe set declaratively as hamming(bucket, qbucket)
+    <= 1); recall-vs-bruteforce superset of single-probe asserted in
+    tests."""
     e = load_table(spark, sf_dir, "embeddings")
     nbits = len(HYPERPLANES)
     bucketed = e.select("vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket"))
@@ -271,7 +339,22 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf_rerank_pandas", tags=("similarity", "ivf", "pandas_udf"))
+@query(
+    "sim_ann_ivf_rerank_pandas",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qvec, label AS qcell FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos
+    FROM embeddings e, q
+    WHERE e.label = q.qcell AND e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity", "ivf", "pandas_udf"),
+)
 def sim_ann_ivf_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse prune + Arrow-batched numpy re-rank: the candidate set
     is pruned JVM-side to the query's cell (partition-prunable at scale),
@@ -281,9 +364,11 @@ def sim_ann_ivf_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     plugs into.  Scoring stays distributed; only the final top-k heap
     merge (TakeOrderedAndProject) touches the driver.
 
-    Rows-only check (numpy pairwise summation vs sequential fold can
-    differ in the last ulp); equality with the JVM-expression re-rank on
-    the same candidate set is asserted in tests."""
+    Oracle-checked: BLAS matvec and the sequential double fold agree to
+    within 1 ulp, and 6-digit rounding absorbs that (the boundary-
+    straddle probability is ~1e-10 per value); equality with the
+    JVM-expression re-rank on the same candidate set is additionally
+    asserted in tests."""
     import sys as _sys
 
     import numpy as np

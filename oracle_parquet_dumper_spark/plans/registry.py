@@ -47,6 +47,11 @@ def query(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if bench and "demo" in tags:
+            # demo = deliberately-naive form kept for pedagogy (e.g.
+            # quadratic-within-block pair scoring); its LSH/bucketed
+            # flagship twin is the benchable scale path.
+            raise ValueError(f"demo-tagged query {name!r} cannot be a bench query")
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, doc=fn.__doc__ or ""
         )

@@ -484,3 +484,33 @@ def test_phash_locality_planted_edit(spark, tmp_path):
     ham = lambda a, b: bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
     assert ham(0, 1) <= PHASH_HAMMING_MAX
     assert ham(0, 2) > PHASH_HAMMING_MAX
+
+
+def test_curation_and_clusters_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """The flagship pipelines produce identical results with reliable
+    (on-disk) checkpoints as with localCheckpoint, and the checkpoint
+    dir is actually written — executor-loss tolerance is exercised, not
+    doc-only."""
+    import os
+
+    from oracle_parquet_dumper_spark.operators.dedup import (
+        dedup_clusters,
+        pipeline_curation,
+    )
+
+    ckpt = tmp_path / "ckpt_curation"
+    base = {tuple(r) for r in pipeline_curation(spark, sf_dir).collect()}
+    reli = {
+        tuple(r)
+        for r in pipeline_curation(spark, sf_dir, checkpoint_dir=str(ckpt)).collect()
+    }
+    assert base == reli
+    assert [f for _, _, fs in os.walk(ckpt) for f in fs], "no checkpoint files written"
+
+    ckpt2 = tmp_path / "ckpt_clusters"
+    base_c = {tuple(r) for r in dedup_clusters(spark, sf_dir).collect()}
+    reli_c = {
+        tuple(r)
+        for r in dedup_clusters(spark, sf_dir, checkpoint_dir=str(ckpt2)).collect()
+    }
+    assert base_c == reli_c
