@@ -11,11 +11,12 @@ North-star extension (SURVEY.md §2 Part B "Dedup").  Design for 100 TB:
 - pairwise-exact variants are *blocked* (same lang / sampled ids) —
   the only honest way to run exact pair scoring at scale.
 
-All hashing is Spark built-in (xxhash64/md5) — deterministic, seeded,
-JVM-side.  MinHash/SimHash internals can't be replayed in DuckDB
-(different hash functions), so those are rows-only checks; their
-correctness is pinned by unit tests on planted near-duplicates
-(tests/test_dedup.py).
+All hashing is JVM-side and engine-portable: md5 prefixes parsed into
+BIGINT plus affine universal permutations mod the 31-bit Mersenne prime
+(exact integer arithmetic DuckDB reproduces), so MinHash/SimHash and the
+LSH-banded pipelines are oracle-checked bit for bit, not just
+rows-only; planted near-duplicate semantics are additionally pinned by
+unit tests (tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations
@@ -29,6 +30,33 @@ from oracle_parquet_dumper_spark.sources.tables import load_table
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows/band -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
+
+# Engine-portable MinHash: token/shingle ids are 60-bit md5 prefixes
+# (both engines parse 15 hex digits into a BIGINT) and the N_MINHASH
+# permutations are affine universal hashes (a*x + b) mod p over the
+# 31-bit Mersenne prime — products stay under 2^62, so the arithmetic
+# is exact in BIGINT on both engines (ANSI long overflow would throw on
+# Spark; DuckDB would upcast to HUGEINT and diverge).  Seeded constants
+# (SURVEY.md §7: seeded randomness only).
+MINHASH_P = 2_147_483_647
+_mh_rng = __import__("numpy").random.default_rng(13)
+MINHASH_A = [int(x) for x in _mh_rng.integers(1, MINHASH_P, N_MINHASH)]
+MINHASH_B = [int(x) for x in _mh_rng.integers(0, MINHASH_P, N_MINHASH)]
+
+
+def _md5_long(col) -> "F.Column":
+    """First 15 hex digits of md5 as a 60-bit long — the portable
+    64-bit-ish hash both Spark (conv) and DuckDB ('0x' cast) compute
+    identically."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def _md5_long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _affine_min_sql(i: int, sh_expr: str) -> str:
+    return f"MIN(({MINHASH_A[i]} * ({sh_expr} % {MINHASH_P}) + {MINHASH_B[i]}) % {MINHASH_P})"
 
 
 @query(
@@ -85,11 +113,23 @@ def shingles(col, k: int = 3):
 def _seeded_min_hash(shingle_col, seed: int):
     # NB: the lambda must take exactly one arg — a second arg would be
     # interpreted by transform() as the array index, not a closure var.
-    return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(F.lit(seed), s)))
+    a, b = MINHASH_A[seed], MINHASH_B[seed]
+    return F.array_min(
+        F.transform(
+            shingle_col,
+            lambda s: (
+                F.lit(a)
+                * (F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P)
+                + F.lit(b)
+            )
+            % MINHASH_P,
+        )
+    )
 
 
 def minhash_signature(shingle_col):
-    """N_MINHASH independent min-hashes as one array expression.
+    """N_MINHASH independent min-hashes as one array expression (md5 +
+    affine permutations, same family as ``minhash_signatures_df``).
 
     WARNING: only for small inputs/tests — Catalyst does NOT common-
     subexpression-eliminate the shingle array across the N array_min
@@ -103,39 +143,39 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -
     with window ``lead`` (tokenization runs exactly once per document —
     array-lambda formulations re-evaluate it per shingle because
     higher-order functions are interpreted, not codegen'd), then
-    N_MINHASH min() aggregates over xxhash64(seed, shingle).
+    N_MINHASH affine-permutation min() aggregates over the md5-derived
+    shingle id (engine-portable; see the MINHASH_P note).
 
     The window and the final groupBy share the doc_id hash partitioning,
     so the whole signature computation costs ONE shuffle."""
     from pyspark.sql import Window as W
 
     toks = F.filter(F.split(F.lower(text_col), " "), lambda t: F.length(t) > 0)
-    # Hash each token to a long ONCE; the k-gram shingle hash is then a
-    # multi-column hash of k longs (string concat + 16 string hashes per
-    # shingle would do ~k*len(token) byte work 16x over).
+    # Hash each token to a long ONCE; the k-gram shingle id is then one
+    # md5 over the k joined token-hash longs (a ~60-char string, vs
+    # re-hashing ~k full tokens 16x in the naive formulation).
     tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "t")).select(
-        "doc_id", "pos", F.xxhash64("t").alias("th")
+        "doc_id", "pos", _md5_long(F.col("t")).alias("th")
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, k)]
     with_sh = tok.select(
         "doc_id",
         "pos",
-        F.xxhash64(*leads).alias("shingle_hash"),
+        _md5_long(F.concat_ws("_", *[l.cast("string") for l in leads])).alias("shingle_hash"),
         leads[-1].isNotNull().alias("full"),
     )
     # full k-grams, plus the single partial shingle (pos=0) for docs
-    # shorter than k tokens (same semantics as shingles(); xxhash64
+    # shorter than k tokens (same semantics as shingles(); concat_ws
     # skips null inputs, so the partial hash covers available tokens).
     sh = with_sh.where(F.col("full") | ((F.col("pos") == 0) & ~F.col("full")))
-    # 16 seed hashes re-hash the ONE shingle long with the seed — 16
-    # fixed-width (8-byte) hashes per shingle, vs 16 variable-length
-    # string hashes in the naive formulation.  (Arithmetic wraparound
-    # families would be cheaper still, but ANSI mode makes long
-    # overflow throw.)
+    # The 16 'permutations' are affine maps of the ONE shingle id —
+    # 2 multiplies + 2 mods each, cheaper than 16 re-hashes, and exact
+    # BIGINT arithmetic both engines reproduce (see MINHASH_P note).
+    shm = F.col("shingle_hash") % MINHASH_P
     agg = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle_hash"))).alias(f"h{i}")
+            F.min((F.lit(MINHASH_A[i]) * shm + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
     )
@@ -144,19 +184,87 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -
     )
 
 
-@query("dedup_minhash_lsh", tags=("dedup", "lsh"), bench=True)
+def _minhash_sig_sql(source_cte: str = "documents") -> str:
+    """SQL twin of ``minhash_signatures_df`` over ``source_cte`` (a
+    relation with doc_id, text): tokenize -> md5 token ids -> window-lead
+    shingles -> md5 shingle ids -> 16 affine min-aggregates.  Returns a
+    CTE body producing (doc_id, h0..h15)."""
+    mins = ",\n             ".join(
+        _affine_min_sql(i, "s") + f" AS h{i}" for i in range(N_MINHASH)
+    )
+    return f"""
+    mh_tok AS (
+      SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+             {_md5_long_sql("unnest(tl)")} AS th
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS tl
+            FROM {source_cte} WHERE length(text) > 0)
+    ),
+    mh_sh0 AS (
+      SELECT doc_id, pos, th,
+             LEAD(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS th2,
+             LEAD(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS th3
+      FROM mh_tok
+    ),
+    mh_sh AS (
+      SELECT doc_id,
+             {_md5_long_sql("concat_ws('_', th, th2, th3)")} AS s
+      FROM mh_sh0
+      WHERE th3 IS NOT NULL OR (pos = 0 AND th3 IS NULL)
+    ),
+    mh_sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM mh_sh GROUP BY doc_id
+    )"""
+
+
+def _minhash_pairs_sql(source_cte: str = "documents") -> str:
+    """(a, b, est_jaccard) candidate pairs: any of the N_BANDS bands
+    fully agreeing, verified by the fraction of agreeing minhashes.  The
+    SQL twin states band collision declaratively (OR over band-equality
+    conjunctions); Spark's explode+equi-join computes the same set."""
+    rpb = N_MINHASH // N_BANDS
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.h{b * rpb + r} = b.h{b * rpb + r}" for r in range(rpb)) + ")"
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH))
+    return f"""
+    mh_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ({agree}) / {float(N_MINHASH)} AS est_jaccard
+      FROM mh_sig a JOIN mh_sig b ON a.doc_id < b.doc_id AND ({band_eq})
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    {_minhash_pairs_sql()}
+    SELECT a, b, est_jaccard FROM mh_pairs
+    WHERE est_jaccard >= 0.5
+    ORDER BY a, b
+    """,
+    tags=("dedup", "lsh"),
+    bench=True,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs.
 
     shingle(3-gram) -> 16 minhashes -> 4 bands x 4 rows; docs colliding
     on any band's hash become candidates; candidates are verified with
     the exact signature-estimated Jaccard (fraction of agreeing
-    minhashes).  The shuffle key is (band_id, band_hash) — at 100 TB no
+    minhashes).  The shuffle key is (band_id, band_key) — at 100 TB no
     all-pairs comparison ever materializes; cost is bounded by bucket
     occupancy (salt or re-band if a bucket explodes).
 
-    Rows-only driver check (xxhash64 is Spark-specific); semantics are
-    unit-tested on planted near-duplicates.
+    Oracle-checked end to end: md5 token/shingle ids + affine
+    permutations are exact integer arithmetic both engines reproduce;
+    the SQL twin re-derives the same signatures and states band
+    collision declaratively.  Planted near-duplicate semantics are
+    additionally unit-tested.
     """
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
@@ -170,8 +278,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -672,7 +784,32 @@ def connected_components(
     return labels
 
 
-@query("dedup_clusters", tags=("dedup", "graph", "iterative"), bench=True)
+_CLOSURE_SQL = """
+    cc_edges AS (SELECT a AS x, b AS y FROM cc_e0 UNION SELECT b AS x, a AS y FROM cc_e0),
+    cc_reach AS (
+      SELECT x, y FROM cc_edges
+      UNION
+      SELECT r.x, e.y FROM cc_reach r JOIN cc_edges e ON r.y = e.x
+    ),
+    cc_comp AS (SELECT x AS node, LEAST(MIN(y), x) AS component FROM cc_reach GROUP BY x)"""
+
+
+@query(
+    "dedup_clusters",
+    # Iterative min-label propagation's fixpoint IS the transitive
+    # closure, which SQL states directly as a recursive CTE — near-dup
+    # clusters are shallow, so the closure stays small.
+    oracle=f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    {_minhash_pairs_sql()},
+    cc_e0 AS (SELECT a, b FROM mh_pairs WHERE est_jaccard >= 0.5),
+    {_CLOSURE_SQL}
+    SELECT component, MIN(node) AS keeper_id, COUNT(*) AS cluster_size
+    FROM cc_comp GROUP BY component ORDER BY component
+    """,
+    tags=("dedup", "graph", "iterative"),
+    bench=True,
+)
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -680,8 +817,10 @@ def dedup_clusters(
     components -> one row per cluster with its canonical (min doc_id)
     keeper and size.  The full near-dedup pipeline a training-data run
     executes: survivors = all docs minus (cluster members - keepers).
-    Iterative algorithm -> rows-only check; pinned by a planted-cluster
-    unit test.  ``checkpoint_dir`` switches lineage truncation to
+    Oracle-checked: the distributed min-label iteration converges to the
+    same fixpoint as the oracle's recursive closure (integer labels, so
+    equality is exact); planted-cluster semantics additionally
+    unit-tested.  ``checkpoint_dir`` switches lineage truncation to
     reliable checkpoints (executor-loss tolerance on a real cluster)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
     comps = connected_components(pairs, checkpoint_dir=checkpoint_dir)
@@ -693,7 +832,38 @@ def dedup_clusters(
     )
 
 
-@query("pipeline_curation", tags=("dedup", "pipeline", "flagship"), bench=True)
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), x -> length(x) > 0)"
+
+
+@query(
+    "pipeline_curation",
+    oracle=f"""
+    WITH RECURSIVE quality AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE length(text) > 0 AND len({_WORDS_SQL}) >= 3
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    exact AS (SELECT q.* FROM quality q WHERE doc_id IN (SELECT doc_id FROM keep)),
+    {_minhash_sig_sql("exact")},
+    {_minhash_pairs_sql()},
+    cc_e0 AS (SELECT a, b FROM mh_pairs),
+    {_CLOSURE_SQL},
+    cc_keep AS (SELECT component, MIN(node) AS keeper FROM cc_comp GROUP BY component),
+    nonkeep AS (
+      SELECT c.node AS doc_id FROM cc_comp c
+      JOIN cc_keep k ON c.component = k.component
+      WHERE c.node != k.keeper
+    ),
+    survivors AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM nonkeep)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS token_budget
+    FROM survivors GROUP BY lang ORDER BY lang
+    """,
+    tags=("dedup", "pipeline", "flagship"),
+    bench=True,
+)
 def pipeline_curation(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -740,8 +910,12 @@ def pipeline_curation(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -845,7 +1019,47 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(bucket < 20).select("doc_id", "lang")
 
 
-@query("dedup_label_propagation", tags=("dedup", "graph", "iterative"))
+def _label_prop_oracle(rounds: int = 3) -> str:
+    """SQL twin of dedup_label_propagation: the fixed-round loop
+    unrolled into chained CTEs (the PageRank-oracle pattern), each round
+    one grouped vote + ROW_NUMBER winner + frozen-label union."""
+    ctes = []
+    prev = "lab0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""w{r} AS (
+      SELECT x AS doc_id, assigned, 'propagated' AS status FROM (
+        SELECT e.x, l.assigned,
+               ROW_NUMBER() OVER (PARTITION BY e.x ORDER BY COUNT(*) DESC, l.assigned) AS rn
+        FROM lp_edges e JOIN {prev} l ON e.y = l.doc_id
+        GROUP BY e.x, l.assigned
+      ) WHERE rn = 1
+    ),
+    lab{r} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT * FROM w{r} WHERE doc_id NOT IN (SELECT doc_id FROM {prev})
+    )""")
+        prev = f"lab{r}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    {_minhash_pairs_sql()},
+    lp_p AS (SELECT a, b FROM mh_pairs WHERE est_jaccard >= 0.5),
+    lp_edges AS (SELECT a AS x, b AS y FROM lp_p UNION ALL SELECT b AS x, a AS y FROM lp_p),
+    lab0 AS (
+      SELECT doc_id, lang AS assigned, 'seed' AS status
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    {chain}
+    SELECT coalesce(l.assigned, '__unlabeled__') AS assigned,
+           coalesce(l.status, 'unlabeled') AS status,
+           COUNT(*) AS n
+    FROM documents d LEFT JOIN {prev} l USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("dedup_label_propagation", oracle=_label_prop_oracle(), tags=("dedup", "graph", "iterative"))
 def dedup_label_propagation(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -859,8 +1073,10 @@ def dedup_label_propagation(
 
     Each round is one join + one aggregate on the node key; lineage is
     truncated per round (see connected_components).  Output: assigned
-    label x status histogram.  Iterative -> rows-only check; seed-
-    reachability is unit-tested."""
+    label x status histogram.  Oracle-checked: the fixed-round loop
+    unrolls into chained CTEs (votes are integer counts, ties broken
+    deterministically, so the unroll is bit-exact); seed-reachability is
+    additionally unit-tested."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")

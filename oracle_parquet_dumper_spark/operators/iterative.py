@@ -16,9 +16,12 @@ state, not data; this is exactly how MLlib's own KMeans iterates.  Data
 rows never reach the driver, and each round's lineage starts from the
 scan plus literals (no growing plan, no checkpoint needed).
 
-Both are rows-only queries (an SQL oracle would need the loop unrolled
-into k chained CTEs with order-sensitive float accumulation);
-``tests/test_iterative.py`` pins semantics instead — k-means against
+K-means is oracle-checked: the loop unrolls into chained CTEs (the
+PageRank-oracle pattern) with decimal-exact centroid means and the
+proven list_dot_product sequential fold for distances, so every round's
+assignment is bit-identical across engines.  BPE stays rows-only (each
+merge re-segments the corpus — stateful string scanning SQL cannot
+replay); ``tests/test_iterative.py`` additionally pins k-means
 invariants (monotone WCSS, partition counts) and BPE merge-for-merge
 against an independent pure-Python reference implementation.
 """
@@ -63,7 +66,65 @@ def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return base.select("vec_id", "vd", best["d"].alias("dist"), best["k"].alias("cluster"))
 
 
-@query("emb_kmeans_lloyd", tags=("embedding", "iterative", "flagship"))
+def _kmeans_oracle() -> str:
+    """SQL twin of emb_kmeans_lloyd: the Lloyd loop unrolled into
+    chained CTEs.  Distances reuse the proven list_dot_product
+    sequential fold over the per-dimension diffs (bit-identical to
+    Spark's zip_with + aggregate); centroid means are exact decimal
+    sums with double division; empty clusters keep the previous
+    centroid via COALESCE, mirroring the Spark driver loop."""
+    init_case = " ".join(f"WHEN {v} THEN {k}" for k, v in enumerate(KMEANS_INIT_IDS))
+    ids = ", ".join(str(v) for v in KMEANS_INIT_IDS)
+
+    def assign(r: int, cen_arr: str) -> str:
+        return f"""a{r} AS (
+      SELECT vec_id, vd, cluster, dist FROM (
+        SELECT vec_id, vd, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM (
+          SELECT e.vec_id, e.vd, c.cluster, list_dot_product(d.d, d.d) AS dist
+          FROM e CROSS JOIN {cen_arr} c,
+               LATERAL (SELECT list_transform(e.vd, (x, i) -> x - c.c[i]) AS d) d
+        )
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)",
+        f"""cenarr0 AS (
+      SELECT CASE vec_id {init_case} END AS cluster, vd AS c
+      FROM e WHERE vec_id IN ({ids})
+    )""",
+        """cenpos0 AS (
+      SELECT cluster, generate_subscripts(c, 1) - 1 AS pos, unnest(c) AS m FROM cenarr0
+    )""",
+    ]
+    for r in range(1, KMEANS_ITERS + 1):
+        parts.append(assign(r, f"cenarr{r - 1}"))
+        parts.append(f"""m{r} AS (
+      SELECT cluster, pos,
+             CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cluster, generate_subscripts(vd, 1) - 1 AS pos, unnest(vd) AS x FROM a{r})
+      GROUP BY cluster, pos
+    )""")
+        parts.append(f"""cenpos{r} AS (
+      SELECT p.cluster, p.pos, COALESCE(n.m, p.m) AS m
+      FROM cenpos{r - 1} p LEFT JOIN m{r} n ON p.cluster = n.cluster AND p.pos = n.pos
+    )""")
+        parts.append(f"""cenarr{r} AS (
+      SELECT cluster, list(m ORDER BY pos) AS c FROM cenpos{r} GROUP BY cluster
+    )""")
+    parts.append(assign(KMEANS_ITERS + 1, f"cenarr{KMEANS_ITERS}"))
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n_members,
+           round(CAST(SUM(CAST(dist AS DECIMAL(25,12))) AS DOUBLE), 6) AS wcss
+    FROM a{KMEANS_ITERS + 1} GROUP BY cluster
+    """
+
+
+@query("emb_kmeans_lloyd", oracle=_kmeans_oracle(), tags=("embedding", "iterative", "flagship"))
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means, {KMEANS_ITERS} rounds, K={K_CLUSTERS}, seeded from
     fixed vec_ids.  Per round: one distributed assign pass (argmin over
@@ -88,8 +149,10 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             assigned.select("cluster", F.posexplode("vd").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(
-                (F.sum(F.col("x").cast("decimal(25,12)")) / F.count(F.lit(1)))
-                .cast("double")
+                # exact decimal sum, then DOUBLE division (not decimal
+                # division — engines disagree on decimal-quotient scale
+                # rules, doubles are IEEE-identical everywhere)
+                (F.sum(F.col("x").cast("decimal(25,12)")).cast("double") / F.count(F.lit(1)))
                 .alias("m")
             )
             .collect()
