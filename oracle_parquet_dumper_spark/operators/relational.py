@@ -451,7 +451,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) + percentile_approx — sketch
     algorithms differ from DuckDB's, so this is a rows-only check; the
-    exact counterparts are covered by agg_basic_stats/window tests."""
+    exact counterparts are covered by agg_basic_stats/window tests, and
+    ``agg_kmv_distinct`` is the deterministic, oracle-checked sketch
+    alternative."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
@@ -460,6 +462,72 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash/sort the result — see harness convention in plans/registry.py
         F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
         F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
+    )
+
+
+KMV_K = 64
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u
+      FROM lineitem
+      GROUP BY l_returnflag, l_orderkey
+    ),
+    r AS (
+      SELECT l_returnflag, u,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+      FROM h
+    )
+    SELECT l_returnflag,
+           CAST(n_distinct AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN n_distinct < {KMV_K} THEN n_distinct
+                     ELSE CAST(round(({KMV_K} - 1) / u) AS BIGINT) END AS BIGINT) AS kmv_estimate
+    FROM r WHERE rn = least(n_distinct, {KMV_K})
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al.): hash each
+    key to (0,1], keep the K smallest per group, estimate distinct =
+    (K-1)/u_K.  Unlike HLL (agg_approx), KMV is DETERMINISTIC given the
+    hash — the md5-prefix hash both engines replay — so an approximate
+    sketch becomes oracle-checkable, with the exact count alongside for
+    error inspection.  At 100 TB the K-smallest fold is a partial
+    aggregate: every partition keeps at most K values (here via a
+    window top-K over pre-deduped keys; a production build uses an
+    ORDER-BY-limited aggregator), so the shuffle carries K doubles per
+    group, not keys."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # normalize the 60-bit md5 prefix into (0, 1]: u = h / 2^60
+    u = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        / F.lit(float(1 << 60))
+    )
+    h = li.select("l_returnflag", "l_orderkey").distinct().select("l_returnflag", u.alias("u"))
+    w = W.partitionBy("l_returnflag").orderBy("u")
+    wc = W.partitionBy("l_returnflag")
+    r = h.select(
+        "l_returnflag",
+        "u",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_distinct"),
+    )
+    est = F.when(F.col("n_distinct") < KMV_K, F.col("n_distinct")).otherwise(
+        F.round(F.lit(KMV_K - 1) / F.col("u")).cast("long")
+    )
+    return r.where(F.col("rn") == F.least(F.col("n_distinct"), F.lit(KMV_K))).select(
+        "l_returnflag",
+        F.col("n_distinct").cast("long").alias("exact_distinct"),
+        est.cast("long").alias("kmv_estimate"),
     )
 
 

@@ -1,0 +1,223 @@
+"""Data-quality validation operators: declarative constraint checking,
+distribution histograms, and partition-completeness auditing — the
+pre-flight gates a 100 TB ingest runs before (and after) every export.
+
+Design notes for scale:
+
+- The constraint report is a UNION of independent aggregates over ONE
+  table scan each; Catalyst collapses the scans it can share, and every
+  aggregate is a partial (map-side combine) so the shuffle carries one
+  row per constraint, not data.
+- Referential-integrity violation counting is a broadcast anti-join
+  when the dimension is small (customer here), a shuffle anti-join
+  otherwise — never a collect.
+- The equi-width histogram derives its bounds from an in-plan broadcast
+  1-row min/max aggregate (the zorder_key pattern, sources/layouts.py),
+  so bucketing is a single pass with no driver round-trip.
+- The equi-depth histogram is NTILE over a window — one sort-shuffle;
+  ties are ordered by a unique key so the tile assignment (and hence
+  the oracle comparison) is deterministic.
+- Partition completeness is a per-partition count joined against the
+  trailing window average — the freshness/volume anomaly gate of an
+  incremental pipeline (pairs with exporter.export_tables_incremental).
+
+The reference has no validation surface at all (it exports whatever the
+dictionary lists, main.py:219-263); this module is part of the Part-B
+capability extension and every query here is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.sources.tables import load_table
+
+N_HIST_BUCKETS = 10
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orderkey_not_null' AS constraint_name,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'status_in_accepted_set',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'custkey_references_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=("validation", "agg", "join"),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over ``orders``: not-null,
+    uniqueness, accepted value set, range, and referential integrity
+    against ``customer`` — one violation-count row per constraint (the
+    Deequ/dbt-test shape).  Each check is an independent aggregate; the
+    RI check is an anti-join that Spark broadcasts when the dimension
+    fits (asserted in tests/test_validation.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, violations) -> DataFrame:
+        return o.agg(
+            F.lit(name).alias("constraint_name"),
+            violations.cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one("orderkey_not_null", F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))),
+        one("orderkey_unique", F.count(F.lit(1)) - F.countDistinct("o_orderkey")),
+        one(
+            "status_in_accepted_set",
+            F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)),
+        ),
+        one("totalprice_positive", F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))),
+    ]
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(
+            F.lit("custkey_references_customer").alias("constraint_name"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+    )
+    out = checks[0]
+    for ch in checks[1:] + [orphans]:
+        out = out.unionByName(ch)
+    return out
+
+
+@query(
+    "dq_histogram_equiwidth",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    )
+    SELECT LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / {N_HIST_BUCKETS}.0) ) AS BIGINT),
+                 {N_HIST_BUCKETS - 1}) AS bucket,
+           COUNT(*) AS n,
+           round(MIN(o_totalprice), 2) AS lo,
+           round(MAX(o_totalprice), 2) AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("validation", "agg"),
+)
+def dq_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width value histogram over o_totalprice: bounds come from
+    an in-plan broadcast 1-row min/max (no driver round-trip — the
+    zorder_key pattern), bucketing is one scan + one partial-aggregated
+    groupBy.  The distribution-drift check a pipeline runs per
+    ingest."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / float(N_HIST_BUCKETS)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"),
+        F.lit(N_HIST_BUCKETS - 1),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "dq_histogram_equidepth",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile({N_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM orders
+    )
+    SELECT tile, COUNT(*) AS n,
+           round(MIN(o_totalprice), 2) AS lo,
+           round(MAX(o_totalprice), 2) AS hi
+    FROM t GROUP BY tile ORDER BY tile
+    """,
+    tags=("validation", "window", "agg"),
+)
+def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth (quantile) histogram via NTILE: each tile holds
+    ~1/{N} of the rows, so tile boundaries ARE the deciles.  One
+    sort-shuffle; the tie-break on the unique key makes tile assignment
+    deterministic, which is what lets the oracle hash-match exactly."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(N_HIST_BUCKETS).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("tile")
+    )
+
+
+@query(
+    "dq_partition_completeness",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT month, n,
+             AVG(CAST(n AS DOUBLE)) OVER (
+               ORDER BY month ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+             ) AS trailing_avg
+      FROM m
+    )
+    SELECT month, n,
+           round(coalesce(trailing_avg, CAST(n AS DOUBLE)), 2) AS trailing_avg,
+           CAST(trailing_avg IS NOT NULL AND n < 0.5 * trailing_avg AS BOOLEAN) AS anomaly
+    FROM w ORDER BY month
+    """,
+    tags=("validation", "window", "agg"),
+)
+def dq_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness audit: per-month row counts compared to
+    the trailing-3-month average; a month under 50% of its trailing
+    average is flagged.  The volume-anomaly gate an incremental export
+    pipeline (exporter.export_tables_incremental) runs after each
+    watermark advance — a sudden drop means the upstream feed broke,
+    not that the data got quiet.  Counts are integers and the trailing
+    mean is a fixed-order window fold over at most 3 values, so the
+    check is oracle-exact."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("month").rowsBetween(-3, -1)
+    trailing = F.avg(F.col("n").cast("double")).over(w)
+    return m.select(
+        "month",
+        "n",
+        F.round(F.coalesce(trailing, F.col("n").cast("double")), 2).alias("trailing_avg"),
+        (trailing.isNotNull() & (F.col("n") < 0.5 * trailing)).alias("anomaly"),
+    ).orderBy("month")

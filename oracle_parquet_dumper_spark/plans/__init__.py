@@ -27,6 +27,7 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
     streaming_batch,
     text,
     udfs,
+    validation,
     windows,
 )
 
@@ -46,5 +47,6 @@ OPERATOR_MODULES = [
     streaming_batch,
     text,
     udfs,
+    validation,
     windows,
 ]
