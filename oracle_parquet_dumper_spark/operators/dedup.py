@@ -151,18 +151,18 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -
     from pyspark.sql import Window as W
 
     toks = F.filter(F.split(F.lower(text_col), " "), lambda t: F.length(t) > 0)
-    # Hash each token to a long ONCE; the k-gram shingle id is then one
-    # md5 over the k joined token-hash longs (a ~60-char string, vs
-    # re-hashing ~k full tokens 16x in the naive formulation).
-    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "t")).select(
-        "doc_id", "pos", _md5_long(F.col("t")).alias("th")
-    )
+    # ONE md5 per shingle, over the \\x1f-joined raw tokens (the
+    # shingles() separator convention).  Hashing tokens to longs first
+    # and re-hashing the longs measured ~60% SLOWER — that trick paid
+    # off when 16 per-shingle hashes existed, but with affine
+    # permutations there is only one hash per shingle left to save.
+    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
     w = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, k)]
+    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
     with_sh = tok.select(
         "doc_id",
         "pos",
-        _md5_long(F.concat_ws("_", *[l.cast("string") for l in leads])).alias("shingle_hash"),
+        _md5_long(F.concat_ws("\x1f", *leads)).alias("shingle_hash"),
         leads[-1].isNotNull().alias("full"),
     )
     # full k-grams, plus the single partial shingle (pos=0) for docs
@@ -194,23 +194,22 @@ def _minhash_sig_sql(source_cte: str = "documents") -> str:
     )
     return f"""
     mh_tok AS (
-      SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
-             {_md5_long_sql("unnest(tl)")} AS th
+      SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos, unnest(tl) AS t
       FROM (SELECT doc_id,
                    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS tl
             FROM {source_cte} WHERE length(text) > 0)
     ),
     mh_sh0 AS (
-      SELECT doc_id, pos, th,
-             LEAD(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS th2,
-             LEAD(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS th3
+      SELECT doc_id, pos, t,
+             LEAD(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+             LEAD(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
       FROM mh_tok
     ),
     mh_sh AS (
       SELECT doc_id,
-             {_md5_long_sql("concat_ws('_', th, th2, th3)")} AS s
+             {_md5_long_sql("concat_ws(chr(31), t, t2, t3)")} AS s
       FROM mh_sh0
-      WHERE th3 IS NOT NULL OR (pos = 0 AND th3 IS NULL)
+      WHERE t3 IS NOT NULL OR (pos = 0 AND t3 IS NULL)
     ),
     mh_sig AS (
       SELECT doc_id,

@@ -210,7 +210,10 @@ def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("anc"),
         F.when(F.col("node") > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
     )
-    for _ in range(HIER_MAX_ROUNDS):
+    from pyspark.sql import Observation
+
+    remaining = None
+    for r in range(HIER_MAX_ROUNDS):
         # compose jumps: node -> anc (d1) with anc -> anc2 (d2)
         nxt = (
             ptr.alias("a")
@@ -223,17 +226,21 @@ def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
 
-        ptr = truncate_lineage(nxt, None)
-        if ptr.where(F.col("anc") != 0).limit(1).count() == 0:
+        # The convergence probe rides the eager checkpoint's own job via
+        # observe() — one job per round, not two (checkpoint + count).
+        obs = Observation(f"hier_round_{r}")
+        ptr = truncate_lineage(
+            nxt.observe(obs, F.sum((F.col("anc") != 0).cast("long")).alias("live")), None
+        )
+        remaining = int(obs.get["live"])
+        if remaining == 0:
             break
-    else:
-        remaining = ptr.where(F.col("anc") != 0).count()
-        if remaining:
-            raise RuntimeError(
-                f"graph_hierarchy_depth did not converge in {HIER_MAX_ROUNDS} "
-                f"pointer-doubling rounds: {remaining} nodes still above root "
-                f"(reachable depth cap is 2**rounds; raise HIER_MAX_ROUNDS)"
-            )
+    if remaining:
+        raise RuntimeError(
+            f"graph_hierarchy_depth did not converge in {HIER_MAX_ROUNDS} "
+            f"pointer-doubling rounds: {remaining} nodes still above root "
+            f"(reachable depth cap is 2**rounds; raise HIER_MAX_ROUNDS)"
+        )
     return ptr.join(users, ptr["node"] == users["user_id"], "left_semi").select(
         F.col("node").alias("user_id"), F.col("depth").cast("long").alias("depth")
     )

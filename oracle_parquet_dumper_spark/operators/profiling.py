@@ -83,3 +83,93 @@ def profile_columns_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     export-validation / layout-selection primitive (see module doc)."""
     c = load_table(spark, sf_dir, "customer")
     return profile_columns(c, list(CUSTOMER_COLS))
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH k AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+    s AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_per_key,
+             round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_per_key
+      FROM k
+    )
+    SELECT n_keys, n_rows, max_per_key, avg_per_key,
+           round(max_per_key / avg_per_key, 6) AS skew_factor
+    FROM s
+    """,
+    tags=("agg", "profiling", "skew"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: per-key cardinality rolled into
+    (key count, row count, max rows per key, mean, max/mean skew
+    factor).  The pre-flight a 100 TB join runs to decide between a
+    plain shuffle join, AQE skew handling, or explicit salting (see
+    join_skew_planted_* for the cure); two partial-aggregate passes,
+    nothing leaves the executors but five numbers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    avg = F.sum("n").cast("double") / F.count(F.lit(1))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_per_key"),
+        F.round(avg, 6).alias("avg_per_key"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_per_key",
+        "avg_per_key",
+        F.round(F.col("max_per_key") / F.col("avg_per_key"), 6).alias("skew_factor"),
+    )
+
+
+@query(
+    "profile_mutual_information",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM j),
+    pa AS (SELECT a, SUM(n) AS na FROM j GROUP BY a),
+    pb AS (SELECT b, SUM(n) AS nb FROM j GROUP BY b)
+    SELECT round(SUM(CAST((j.n / t.total) * ln((j.n / t.total) /
+                 ((pa.na / t.total) * (pb.nb / t.total))) AS DECIMAL(25,12))), 6) AS mi_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM j, t
+    JOIN pa ON j.a = pa.a
+    JOIN pb ON j.b = pb.b
+    """,
+    tags=("agg", "profiling", "stats"),
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (order status
+    x priority) — the redundancy/association probe feature selection and
+    layout design use (high MI => one column nearly determines the
+    other, so cluster by the finer one).  Cell and marginal counts are
+    exact integers; each cell's p*ln(p/(pa*pb)) term is identical IEEE
+    double work in both engines, and the decimal-sum convention makes
+    the reduction order-independent, so MI is oracle-exact to 6
+    digits."""
+    o = load_table(spark, sf_dir, "orders")
+    j = o.groupBy(
+        F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = j.agg(F.sum("n").cast("double").alias("total"))
+    pa = j.groupBy("a").agg(F.sum("n").alias("na"))
+    pb = j.groupBy("b").agg(F.sum("n").alias("nb"))
+    term = (F.col("n") / F.col("total")) * F.log(
+        (F.col("n") / F.col("total"))
+        / ((F.col("na") / F.col("total")) * (F.col("nb") / F.col("total")))
+    )
+    return (
+        j.crossJoin(F.broadcast(t))
+        .join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .agg(
+            F.round(F.sum(term.cast("decimal(25,12)")), 6).alias("mi_nats"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )

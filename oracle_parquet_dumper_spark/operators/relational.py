@@ -584,6 +584,51 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INC_AGG_CUTOFF_DAY = 15
+
+
+@query(
+    "agg_incremental_merge",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "incremental", "pipeline"),
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a 'yesterday' aggregate state
+    (rows up to day {INC_AGG_CUTOFF_DAY}) MERGED with today's delta
+    equals the full recompute — which is exactly what the oracle runs.
+    Works because count/decimal-sum states form a commutative monoid
+    (Spark's own partial-aggregation algebra); at 100 TB this is the
+    difference between re-scanning the corpus per refresh and touching
+    only the watermark delta (pairs with export_tables_incremental).
+    The merge is a re-aggregation of the unioned states — no raw delta
+    row ever joins the historical data."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth(F.col("ts"))
+
+    def state(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("psum"),
+        )
+
+    old_state = state(ev.where(day <= INC_AGG_CUTOFF_DAY))
+    delta_state = state(ev.where(day > INC_AGG_CUTOFF_DAY))
+    return (
+        old_state.unionByName(delta_state)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.sum("psum").cast("double"), 6).alias("sum_value"),
+        )
+    )
+
+
 N_JOIN_SALTS = 8
 
 
