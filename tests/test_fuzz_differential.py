@@ -244,3 +244,77 @@ def fuzz_env3(spark):
         f"CREATE VIEW customer AS SELECT * FROM read_parquet('{table_path(SMOKE_DIR, 'customer')}')"
     )
     return spark, con
+
+
+@st.composite
+def fuzz_window_query(draw) -> str:
+    """Window functions over a deterministic total order: rank family,
+    offsets, and decimal running totals — tie-break includes the unique
+    (l_orderkey, l_linenumber) key wherever output depends on row
+    identity, so both engines are forced to one answer."""
+    pred = draw(predicates())
+    g = draw(st.sampled_from(GROUP_COLS))
+    # The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    # pairs, so offset/row-identity functions need a TOTAL order over
+    # every payload column; remaining exact-duplicate rows are
+    # interchangeable and leave the output multiset unchanged.
+    order = ("l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+             "l_partkey, l_suppkey, l_discount, l_tax")
+    wf = draw(
+        st.sampled_from(
+            [
+                f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {order})",
+                f"RANK() OVER (PARTITION BY {g} ORDER BY l_quantity)",
+                f"DENSE_RANK() OVER (PARTITION BY {g} ORDER BY l_quantity)",
+                f"LAG(l_quantity, 1) OVER (PARTITION BY {g} ORDER BY {order})",
+                f"LEAD(l_quantity, 2) OVER (PARTITION BY {g} ORDER BY {order})",
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER "
+                f"(PARTITION BY {g} ORDER BY {order} "
+                "ROWS UNBOUNDED PRECEDING) AS DOUBLE)",
+            ]
+        )
+    )
+    return (
+        f"SELECT l_orderkey, l_linenumber, {wf} AS w "
+        f"FROM lineitem WHERE {pred}"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=fuzz_window_query())
+def test_random_window_queries_agree(fuzz_env, sql):
+    spark, con = fuzz_env
+    rep = compare("fuzz_window", spark.sql(sql), con, sql)
+    assert rep.match, f"{sql}\n{rep.detail}"
+
+
+@st.composite
+def fuzz_setop_query(draw) -> str:
+    """Set operations with bag (ALL) and set semantics over projections
+    of the same relation under two random predicates."""
+    p1, p2 = draw(predicates()), draw(predicates())
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    g = draw(st.sampled_from(GROUP_COLS))
+    return (
+        f"SELECT {g} AS k, l_linenumber FROM lineitem WHERE {p1} "
+        f"{op} "
+        f"SELECT {g} AS k, l_linenumber FROM lineitem WHERE {p2}"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=fuzz_setop_query())
+def test_random_setop_queries_agree(fuzz_env, sql):
+    spark, con = fuzz_env
+    rep = compare("fuzz_setop", spark.sql(sql), con, sql)
+    assert rep.match, f"{sql}\n{rep.detail}"
