@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Export only rows past the saved watermark of COLUMN for TABLE "
         "(repeatable; state kept in <output>/_incremental_state.json).",
     )
+    p.add_argument(
+        "--validate",
+        action="store_true",
+        default=env("VALIDATE_EXPORT", "").lower() == "true",
+        help="After exporting, read every table back and verify row counts "
+        "and schema presence; exit 1 on any mismatch.",
+    )
     return p
 
 
@@ -170,6 +177,18 @@ def main(argv: list[str] | None = None) -> int:
         results = exporter.export_tables()
     skipped = [r for r in results if r.skipped]
     logger.info("Exported %d tables (%d skipped)", len(results) - len(skipped), len(skipped))
+    if args.validate:
+        from oracle_parquet_dumper_spark.exporter import validate_export
+
+        report = validate_export(
+            spark, args.output_path, results, incremental=bool(watermarks)
+        )
+        bad = [v for v in report if not v.ok]
+        for v in bad:
+            logger.error("Validation failed for %s.%s: %s", v.schema, v.table, v.issues)
+        logger.info("Validated %d tables (%d failed)", len(report), len(bad))
+        if bad:
+            return 1
     return 0
 
 

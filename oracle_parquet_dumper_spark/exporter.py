@@ -72,6 +72,54 @@ class ExportResult:
 
 
 @dataclass
+class TableValidation:
+    schema: str
+    table: str
+    ok: bool
+    issues: list[str] = field(default_factory=list)
+
+
+def validate_export(
+    spark: SparkSession,
+    output_path: str,
+    results: list[ExportResult],
+    incremental: bool = False,
+) -> list[TableValidation]:
+    """Post-export read-back audit: every non-skipped table's parquet
+    output must (a) exist, (b) read back with the exported row count
+    (>= for incremental appends), (c) carry at least one column.  This
+    catches the failure exports silently tolerate — a sink that wrote
+    fewer rows than it claimed — by paying one cheap count() per table
+    against the parquet footers.  The per-table DQ operators
+    (operators/validation.py) are the deeper, schema-aware layer."""
+    out: list[TableValidation] = []
+    for r in results:
+        if r.skipped:
+            continue
+        issues: list[str] = []
+        target = os.path.join(output_path, r.schema.lower(), r.table.lower())
+        if not os.path.isdir(target):
+            target = os.path.join(output_path, r.schema, r.table)
+        if not os.path.isdir(target):
+            issues.append("output directory missing")
+        else:
+            try:
+                df = spark.read.parquet(target)
+                if not df.columns:
+                    issues.append("no columns in output")
+                n = df.count()
+                if incremental:
+                    if n < r.rows:
+                        issues.append(f"read-back rows {n} < exported rows {r.rows}")
+                elif n != r.rows:
+                    issues.append(f"read-back rows {n} != exported rows {r.rows}")
+            except Exception as exc:  # unreadable/empty dir counts as failed
+                issues.append(f"unreadable output: {type(exc).__name__}")
+        out.append(TableValidation(r.schema, r.table, not issues, issues))
+    return out
+
+
+@dataclass
 class SparkParquetExporter:
     """Constructor parameters mirror the reference's (main.py:32-50);
     connection parameters are replaced by a ``catalog`` (parquet-dir or

@@ -630,3 +630,36 @@ def test_compact_table_crash_recovery(spark, tmp_path):
     shutil.copytree(target, target + ".compact.old")
     compact_table(spark, target, "EVT")
     assert not os.path.exists(target + ".compact.old")
+
+
+def test_validate_export_read_back(spark, source_dir, tmp_path):
+    """--validate read-back: clean export passes; a tampered output
+    (deleted data file) is caught with a row-count mismatch."""
+    from oracle_parquet_dumper_spark.cli import main
+    from oracle_parquet_dumper_spark.exporter import validate_export
+
+    out = tmp_path / "out"
+    rc = main(["--source-path", source_dir, "--output-path", str(out), "--validate"])
+    assert rc == 0
+
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, source_dir),
+        output_path=str(out),
+        overwrite=True,
+    )
+    results = exp.export_tables()
+    report = validate_export(spark, str(out), results)
+    assert report and all(v.ok for v in report)
+
+    # tamper: drop one data file from a multi-row table
+    target = out / "main" / "NATION"
+    victim = sorted(f for f in os.listdir(target) if f.endswith(".parquet"))[0]
+    os.remove(target / victim)
+    report2 = validate_export(spark, str(out), results)
+    bad = [v for v in report2 if not v.ok]
+    assert any(
+        v.table == "NATION"
+        and ("read-back rows" in v.issues[0] or "unreadable output" in v.issues[0])
+        for v in bad
+    )
