@@ -134,3 +134,30 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the streaming builder on batch frames (withWatermark is a
     # no-op in batch mode) - one definition, two execution modes
     return interval_join_purchases_views(purchases, views)
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS nc FROM customer)
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_value
+    FROM events e
+    CROSS JOIN n
+    JOIN customer c ON c.c_custkey = e.user_id % n.nc + 1
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join", "agg"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static enrichment join: events mapped to
+    customers (user_id mod |customer| + 1), broadcast-joined to the
+    static dimension, aggregated per market segment.  The same
+    ``enrich_with_dimension`` builder runs in both modes;
+    tests/test_streaming.py asserts stream == batch."""
+    from oracle_parquet_dumper_spark.streaming.ops import enrich_with_dimension
+
+    ev = load_table(spark, sf_dir, "events").drop("props")
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()  # dimension cardinality: bounded driver scalar
+    return enrich_with_dimension(ev, cust, n)

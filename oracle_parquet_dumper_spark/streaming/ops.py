@@ -148,3 +148,29 @@ def interval_join_purchases_views(
     return p.join(v, cond, "inner").select(
         "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts", "view_value"
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame, dim: DataFrame, n_dim_rows: int, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment join + windowless aggregate: each event
+    is mapped onto a dimension key (user_id mod |dim| + 1, the synthetic
+    user->customer assignment) and broadcast-joined against the STATIC
+    dimension — no join state, no watermark on the static side; the
+    dimension is re-read per micro-batch, which is how slowly-changing
+    lookup tables stay fresh in long-running streams.  The aggregate
+    (count + decimal sum per segment) is the stateful part and is
+    bounded by segment cardinality."""
+    keyed = events.withWatermark("ts", watermark).withColumn(
+        "cust_key", (F.col("user_id") % F.lit(n_dim_rows)) + 1
+    )
+    enriched = keyed.join(
+        F.broadcast(dim.select(F.col("c_custkey"), F.col("c_mktsegment"))),
+        F.col("cust_key") == F.col("c_custkey"),
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6).alias(
+            "total_value"
+        ),
+    )

@@ -139,3 +139,19 @@ def test_foreach_batch_into_exporter_layout(spark, smoke_sf_dir, tmp_path):
     expect = load_table(spark, smoke_sf_dir, "events")
     assert written.count() == expect.count()
     assert set(written.columns) == set(expect.columns)
+
+
+def test_stream_static_enrich_equals_batch(spark, smoke_sf_dir):
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    cust = load_table(spark, smoke_sf_dir, "customer")
+    stream = ops.enrich_with_dimension(
+        ops.read_events_stream(spark, smoke_sf_dir), cust, cust.count()
+    )
+    ops.run_to_memory(stream, "t_enrich", output_mode="complete")
+    got = {tuple(r) for r in spark.table("t_enrich").collect()}
+    batch = {
+        tuple(r)
+        for r in REGISTRY["stream_static_enrich"].fn(spark, smoke_sf_dir).collect()
+    }
+    assert got == batch
