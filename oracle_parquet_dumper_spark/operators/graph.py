@@ -35,6 +35,14 @@ from oracle_parquet_dumper_spark.sources.tables import load_table
 PR_ITERS = 5
 PR_DAMPING = 0.85
 PR_TOP = 20
+# Rank mass is carried as INTEGER micro-units (1.0 == PR_SCALE): every
+# per-round operation — contribution split, damping, teleport — is exact
+# BIGINT arithmetic, so the loop is bit-identical across engines with NO
+# float rounding convention at all.  (round(double, 12) proved fragile:
+# Spark rounds HALF_UP on the shortest repr, DuckDB half-away on the
+# binary value, and at ~1k nodes x 5 rounds a 13-digit tie eventually
+# lands on the boundary.)  The damping factor 0.85 becomes *85 div 100.
+PR_SCALE = 1_000_000_000_000
 
 
 def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,47 +83,49 @@ def pagerank(
     # docstring's bucket-by-src design, now actually in the plan).
     edges = truncate_lineage(edges.repartition("src"), checkpoint_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))  # 1-row, stays in-plan
+    n1 = deg.agg(F.count(F.lit(1)).alias("nn"))  # 1-row, stays in-plan
     edges_deg = truncate_lineage(
         edges.join(deg, "src").select("src", "dst", "deg").repartition("src"),
         checkpoint_dir,
     )
 
+    d_num = int(round(damping * 100))  # 0.85 -> 85, exact integer damping
     ranks = deg.crossJoin(F.broadcast(n1)).select(
-        F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr")
+        F.col("src").alias("node"), F.expr(f"{PR_SCALE} div nn").alias("r")
     )
     for _ in range(iters):
         contribs = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
-            "dst", F.round(F.col("pr") / F.col("deg"), 12).alias("c")
+            "dst", F.expr("r div deg").alias("c")
         )
         ranks = (
             contribs.groupBy("dst")
-            .agg(F.sum(F.col("c").cast("decimal(25,12)")).cast("double").alias("sc"))
+            .agg(F.sum("c").alias("sc"))
             .crossJoin(F.broadcast(n1))
             .select(
                 F.col("dst").alias("node"),
-                F.round(
-                    F.lit(1.0 - damping) / F.col("nn") + F.lit(damping) * F.col("sc"), 12
-                ).alias("pr"),
+                F.expr(
+                    f"{(100 - d_num) * PR_SCALE} div (100 * nn) + ({d_num} * sc) div 100"
+                ).alias("r"),
             )
         )
         ranks = truncate_lineage(ranks, checkpoint_dir)
-    return ranks
+    return ranks.select("node", (F.col("r") / F.lit(float(PR_SCALE))).alias("pr"))
 
 
 def _pagerank_oracle() -> str:
     """SQL twin: the loop unrolled into chained CTEs, expression-for-
-    expression identical to the Spark plan (rounded contributions,
-    decimal sums, re-rounded ranks)."""
+    expression identical to the Spark plan — all-integer rank mass
+    (see PR_SCALE note), so the unroll is exact with no float
+    convention to align."""
+    d_num = int(round(PR_DAMPING * 100))
     rounds = []
     prev = "r0"
     for i in range(1, PR_ITERS + 1):
         rounds.append(
             f"""r{i} AS (
       SELECT e.dst AS node,
-             round((1.0 - {PR_DAMPING}) / (SELECT nn FROM n) + {PR_DAMPING} *
-                   CAST(SUM(CAST(round(r.pr / d.deg, 12) AS DECIMAL(25,12))) AS DOUBLE),
-                   12) AS pr
+             {(100 - d_num) * PR_SCALE} // (100 * (SELECT nn FROM n))
+               + ({d_num} * SUM(r.r // d.deg)) // 100 AS r
       FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON d.src = e.src
       GROUP BY e.dst
     )"""
@@ -129,10 +139,10 @@ def _pagerank_oracle() -> str:
       FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
     ),
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
-    r0 AS (SELECT src AS node, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+    n AS (SELECT COUNT(*) AS nn FROM deg),
+    r0 AS (SELECT src AS node, {PR_SCALE} // (SELECT nn FROM n) AS r FROM deg),
     {chain}
-    SELECT node, pr FROM {prev}
+    SELECT node, r / {float(PR_SCALE)} AS pr FROM {prev}
     ORDER BY pr DESC, node
     LIMIT {PR_TOP}
     """
@@ -148,11 +158,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PR_TOP} suppliers by PageRank over the order-co-occurrence
     graph, {PR_ITERS} synchronous rounds, damping {PR_DAMPING}.
 
-    The rare ORACLE-CHECKED iterative query: the decimal-sum rounding
-    convention makes each round order-independent, so the DuckDB twin
-    (the loop unrolled into CTEs, generated from the same constants)
-    hash-matches bit-for-bit.  Invariants (rank mass ≈ 1, uniform-degree
-    fixed point) are additionally pinned in tests/test_iterative.py."""
+    The rare ORACLE-CHECKED iterative query: rank mass is integer
+    micro-units (PR_SCALE), so every round is exact commutative BIGINT
+    arithmetic and the DuckDB twin (the loop unrolled into CTEs,
+    generated from the same constants) hash-matches bit-for-bit with no
+    float rounding convention at all.  Invariants (rank mass ≈ 1,
+    uniform-degree fixed point) are additionally pinned in
+    tests/test_iterative.py."""
     ranks = pagerank(supplier_edges(spark, sf_dir))
     return (
         ranks.select(F.col("node").cast("long").alias("node"), "pr")

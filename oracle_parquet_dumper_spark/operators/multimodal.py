@@ -77,6 +77,17 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _round6(x: float) -> float:
+    """Engine round convention (HALF_UP on the shortest decimal repr —
+    Spark F.round semantics, and DuckDB's half-away for positives).
+    Python's built-in round() is banker's and DIVERGES on dyadic ties
+    like 221/128 = 1.7265625, which width/height ratios with power-of-2
+    denominators do produce."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 # --- decode stubs (the only not-real part; see module docstring) -----------
 def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB image decode: deterministic fake dims + 4-dim feature from
@@ -90,7 +101,7 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
     h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
     width = 64 + (h % 192)
     height = 64 + ((h // 192) % 192)
-    feat = [round(((h >> (8 * i)) & 0xFF) / 255.0, 6) for i in range(4)]
+    feat = [_round6(((h >> (8 * i)) & 0xFF) / 255.0) for i in range(4)]
     return width, height, feat
 
 
@@ -125,7 +136,7 @@ def decode_and_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
-            out["aspect"].append(round(w / h, 6))
+            out["aspect"].append(_round6(w / h))
             for i in range(4):
                 out[f"f{i}"].append(feat[i])
         yield pd.DataFrame(out)

@@ -135,8 +135,9 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM j),
     pa AS (SELECT a, SUM(n) AS na FROM j GROUP BY a),
     pb AS (SELECT b, SUM(n) AS nb FROM j GROUP BY b)
-    SELECT round(SUM(CAST((j.n / t.total) * ln((j.n / t.total) /
-                 ((pa.na / t.total) * (pb.nb / t.total))) AS DECIMAL(25,12))), 6) AS mi_nats,
+    SELECT CAST(round(SUM(CAST((j.n / t.total) * ln((j.n / t.total) /
+                 ((pa.na / t.total) * (pb.nb / t.total))) AS DECIMAL(25,12))), 6) AS DOUBLE)
+             AS mi_nats,
            CAST(COUNT(*) AS BIGINT) AS n_cells
     FROM j, t
     JOIN pa ON j.a = pa.a
@@ -169,7 +170,10 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pa), "a")
         .join(F.broadcast(pb), "b")
         .agg(
-            F.round(F.sum(term.cast("decimal(25,12)")), 6).alias("mi_nats"),
+            # cast the rounded decimal to DOUBLE: a decimal result
+            # stringifies as '0.000032' where a double gives '3.2e-05',
+            # and the hash compare is string-typed
+            F.round(F.sum(term.cast("decimal(25,12)")), 6).cast("double").alias("mi_nats"),
             F.count(F.lit(1)).cast("long").alias("n_cells"),
         )
     )

@@ -247,53 +247,6 @@ def fuzz_env3(spark):
 
 
 @st.composite
-def fuzz_window_query(draw) -> str:
-    """Window functions over a deterministic total order: rank family,
-    offsets, and decimal running totals — tie-break includes the unique
-    (l_orderkey, l_linenumber) key wherever output depends on row
-    identity, so both engines are forced to one answer."""
-    pred = draw(predicates())
-    g = draw(st.sampled_from(GROUP_COLS))
-    # The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
-    # pairs, so offset/row-identity functions need a TOTAL order over
-    # every payload column; remaining exact-duplicate rows are
-    # interchangeable and leave the output multiset unchanged.
-    order = ("l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
-             "l_partkey, l_suppkey, l_discount, l_tax")
-    wf = draw(
-        st.sampled_from(
-            [
-                f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {order})",
-                f"RANK() OVER (PARTITION BY {g} ORDER BY l_quantity)",
-                f"DENSE_RANK() OVER (PARTITION BY {g} ORDER BY l_quantity)",
-                f"LAG(l_quantity, 1) OVER (PARTITION BY {g} ORDER BY {order})",
-                f"LEAD(l_quantity, 2) OVER (PARTITION BY {g} ORDER BY {order})",
-                "CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER "
-                f"(PARTITION BY {g} ORDER BY {order} "
-                "ROWS UNBOUNDED PRECEDING) AS DOUBLE)",
-            ]
-        )
-    )
-    return (
-        f"SELECT l_orderkey, l_linenumber, {wf} AS w "
-        f"FROM lineitem WHERE {pred}"
-    )
-
-
-@settings(
-    max_examples=12,
-    deadline=None,
-    derandomize=True,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
-)
-@given(sql=fuzz_window_query())
-def test_random_window_queries_agree(fuzz_env, sql):
-    spark, con = fuzz_env
-    rep = compare("fuzz_window", spark.sql(sql), con, sql)
-    assert rep.match, f"{sql}\n{rep.detail}"
-
-
-@st.composite
 def fuzz_setop_query(draw) -> str:
     """Set operations with bag (ALL) and set semantics over projections
     of the same relation under two random predicates."""
@@ -318,3 +271,31 @@ def test_random_setop_queries_agree(fuzz_env, sql):
     spark, con = fuzz_env
     rep = compare("fuzz_setop", spark.sql(sql), con, sql)
     assert rep.match, f"{sql}\n{rep.detail}"
+
+
+def test_float_decimal_cast_tie_convention(fuzz_env):
+    """Regression pin for a real cross-engine divergence: FLOAT->DECIMAL
+    casts round 7-digit shortest-repr ties differently (Spark HALF_UP on
+    the shortest repr, DuckDB HALF_EVEN), e.g. float -0.0701465.
+    Promoting to DOUBLE first makes the tie unrepresentable and the two
+    engines agree — the convention every embedding-column oracle in this
+    repo relies on."""
+    spark, con = fuzz_env
+    from pyspark.sql import functions as F
+
+    tie = -0.07014650106430054  # float32 -0.0701465 promoted to double
+    df = spark.createDataFrame([(tie,)], "v float")
+    spark_direct = df.select(F.col("v").cast("decimal(25,6)").cast("string")).first()[0]
+    spark_via_double = df.select(
+        F.col("v").cast("double").cast("decimal(25,6)").cast("string")
+    ).first()[0]
+    duck_direct = con.sql(
+        f"SELECT CAST(CAST(CAST({tie} AS FLOAT) AS DECIMAL(25,6)) AS VARCHAR)"
+    ).fetchone()[0]
+    duck_via_double = con.sql(
+        f"SELECT CAST(CAST(CAST(CAST({tie} AS FLOAT) AS DOUBLE) AS DECIMAL(25,6)) AS VARCHAR)"
+    ).fetchone()[0]
+    # the divergence this test documents:
+    assert float(spark_direct) != float(duck_direct)
+    # and the convention that fixes it:
+    assert float(spark_via_double) == float(duck_via_double) == -0.070147
