@@ -221,3 +221,46 @@ def dq_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(trailing, F.col("n").cast("double")), 2).alias("trailing_avg"),
         (trailing.isNotNull() & (F.col("n") < 0.5 * trailing)).alias("anomaly"),
     ).orderBy("month")
+
+
+@query(
+    "dq_table_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+             concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                            coalesce(CAST(o_custkey AS VARCHAR), '<null>'),
+                            coalesce(o_orderstatus, '<null>'),
+                            coalesce(CAST(o_totalprice AS VARCHAR), '<null>'))
+           ), 1, 15)) AS BIGINT)) AS VARCHAR) AS checksum
+    FROM orders
+    """,
+    tags=("validation", "agg"),
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: per-row md5 over a canonical
+    column serialization (null-sentineled), summed exactly — identical
+    no matter how the table is partitioned, sorted, or re-exported.
+    THE cheap source-vs-export integrity check at 100 TB: run on both
+    sides, compare two numbers; any dropped, duplicated, or mutated row
+    moves the sum.  One scan, one partial-aggregated number per side.
+    Doubles serialize via their shortest round-trip repr in both
+    engines, so the canonical string is engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    sentinel = F.lit("<null>")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_custkey").cast("string"), sentinel),
+        F.coalesce(F.col("o_orderstatus"), sentinel),
+        F.coalesce(F.col("o_totalprice").cast("string"), sentinel),
+    )
+    row_hash = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10).cast("long")
+    # 60-bit hashes summed over billions of rows overflow a long; the
+    # sum runs in exact DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and the
+    # checksum is emitted as a string — both engines stringify the exact
+    # integer identically.
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )
