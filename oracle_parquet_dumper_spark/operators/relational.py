@@ -285,13 +285,13 @@ def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(c_acctbal) AS n,
-           (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
-            - CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
-              * CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal))
+           (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal))
            / (COUNT(c_acctbal) - 1) AS var_samp,
-           sqrt((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
-            - CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
-              * CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(c_acctbal))
+           sqrt((CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal))
            / (COUNT(c_acctbal) - 1)) AS stddev_samp
     FROM customer
     GROUP BY c_mktsegment
@@ -299,14 +299,19 @@ def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
 )
 def agg_var_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample variance/stddev via exact decimal sums (sum-of-squares form)
-    so the result is order-independent and bit-identical to the oracle;
-    native stddev over doubles is order-dependent in the last ulp."""
+    """Sample variance/stddev via exact decimal sums (sum-of-squares
+    form) so the result is order-independent and bit-identical to the
+    oracle; native stddev over doubles is order-dependent in the last
+    ulp.  The square is a DECIMAL x DECIMAL product (the 2-decimal
+    acctbal casts exactly), not a double product cast to decimal — a
+    double x*x can land on a 7-digit rounding tie where the engines'
+    decimal casts disagree (found by the sf0.1 cross-engine sweep)."""
     c = load_table(spark, sf_dir, "customer")
     x = F.col("c_acctbal")
+    xd = x.cast("decimal(12,2)")
     n = F.count(x)
-    sx = F.sum(x.cast("decimal(25,6)")).cast("double")
-    sxx = F.sum((x * x).cast("decimal(25,6)")).cast("double")
+    sx = F.sum(xd).cast("double")
+    sxx = F.sum(xd * xd).cast("double")
     var = (sxx - sx * sx / n) / (n - 1)
     return c.groupBy("c_mktsegment").agg(
         n.alias("n"), var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
