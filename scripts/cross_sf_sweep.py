@@ -1,0 +1,76 @@
+"""Cross-scale oracle sweep: run EVERY oracle-checked query against its
+DuckDB twin at a given fixture directory and report hash mismatches.
+
+The driver's correctness gate runs at one scale factor; every
+cross-engine divergence found in round 3 (float->decimal cast ties,
+Python banker's rounding, iterated round-on-double ties, decimal vs
+double stringification) surfaced at only ONE of sf0.001/0.01/0.1 — so
+any new oracle should be swept at all three:
+
+    python scripts/cross_sf_sweep.py /root/testdata/sf0.001
+    python scripts/cross_sf_sweep.py /root/testdata/sf0.01
+    python scripts/cross_sf_sweep.py /root/testdata/sf0.1
+
+Exit code is the number of failing queries (0 = all green).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def row_hash(pdf) -> tuple[str, int, list[str]]:
+    """The driver's comparison: sort columns by name, stringify every
+    value, sort rows, md5 — strict string equality, no float tolerance."""
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(str(v) for v in r) for r in pdf[cols].itertuples(index=False, name=None)
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()[:12], len(rows), cols
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from oracle_parquet_dumper_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter
+
+    spark = get_spark("cross_sf_sweep")
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = sorted(only & set(oracles) if only else oracles)
+    bad = 0
+    for name in names:
+        try:
+            got = row_hash(queries[name](spark, sf_dir).toPandas())
+            want = row_hash(con.sql(oracles[name]).df())
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            print(f"{name}: ERR {type(exc).__name__}: {str(exc)[:160]}")
+            bad += 1
+            continue
+        if got != want:
+            print(f"{name}: MISMATCH spark={got} oracle={want}")
+            bad += 1
+    print(f"{sf_dir}: {len(names) - bad}/{len(names)} oracle queries ok")
+    return bad
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
