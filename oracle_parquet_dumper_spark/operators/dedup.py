@@ -1018,6 +1018,49 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(bucket < 20).select("doc_id", "lang")
 
 
+@query(
+    "sample_weighted_hash",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u,
+             LEAST(1.0, n_chars / 2000.0) AS w
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM g WHERE u < w
+    GROUP BY lang
+    """,
+    tags=("sample", "pipeline"),
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED sampling: each document's inclusion probability
+    is its own weight (here a length proxy, min(1, n_chars/2000) — in a
+    real mix, a quality-classifier score), gated by the deterministic
+    md5 uniform u in [0,1).  The training-mix upsampling/downsampling
+    primitive: high-quality documents keep probability ~1, thin ones are
+    thinned, and the decision is a per-row scan predicate — no shuffle,
+    reproducible across engines and re-ingestions, so exact membership
+    is oracle-checked (u and w are identical doubles on both sides)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.least(F.lit(1.0), F.col("n_chars") / 2000.0)
+    return (
+        d.where(u < w)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 def _label_prop_oracle(rounds: int = 3) -> str:
     """SQL twin of dedup_label_propagation: the fixed-round loop
     unrolled into chained CTEs (the PageRank-oracle pattern), each round
