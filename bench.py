@@ -43,7 +43,7 @@ def main() -> None:
         load_table(spark, SF_DIR, t).count()
 
     specs = plans.bench_queries()
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         runs = []
@@ -51,7 +51,10 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(spec.fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
+        runs.sort()
+        mid = len(runs) // 2
+        median = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        timings[name] = round(median, 4)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(

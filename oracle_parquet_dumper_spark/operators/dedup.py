@@ -117,12 +117,7 @@ def _seeded_min_hash(shingle_col, seed: int):
     return F.array_min(
         F.transform(
             shingle_col,
-            lambda s: (
-                F.lit(a)
-                * (F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % MINHASH_P)
-                + F.lit(b)
-            )
-            % MINHASH_P,
+            lambda s: (F.lit(a) * (_md5_long(s) % MINHASH_P) + F.lit(b)) % MINHASH_P,
         )
     )
 
@@ -760,6 +755,7 @@ def connected_components(
         .select(F.col("x").alias("node"), "component")
     )
     neighbors = both  # static topology
+    changed = 0
     for _ in range(max_iterations):
         # Each node adopts the min component among itself and neighbors.
         # The node's OWN row is tagged so its previous label rides through
@@ -780,6 +776,14 @@ def connected_components(
         labels = prop.select("node", "component")
         if changed == 0:
             break
+    if changed:
+        # Unconverged labels are non-minimal — silently returning them
+        # would keep wrong dedup keepers (and flap the closure oracle).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"min-label rounds (component diameter exceeds the budget); "
+            f"raise max_iterations or switch to star-contraction"
+        )
     return labels
 
 

@@ -211,10 +211,12 @@ def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
     # closure under div-2: every prefix of the binary representation,
-    # down to the root 0 — guarantees the self-join is total.
+    # down to the root 0 (shift 63 of any positive long IS 0, so the
+    # closure reaches the root even for 63-bit ids) — guarantees the
+    # self-join is total.
     nodes = users.select(
         F.explode(
-            F.expr("transform(sequence(0, 62), i -> shiftright(user_id, i))")
+            F.expr("transform(sequence(0, 63), i -> shiftright(user_id, i))")
         ).alias("node")
     ).distinct()
     ptr = nodes.select(

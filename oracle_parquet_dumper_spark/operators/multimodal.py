@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from oracle_parquet_dumper_spark.functions.rounding import round6 as _round6
 from oracle_parquet_dumper_spark.plans.registry import query
 from oracle_parquet_dumper_spark.sources.tables import load_table
 
@@ -75,17 +76,6 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("payload")).alias("content_hash"),
         "mime",
     )
-
-
-def _round6(x: float) -> float:
-    """Engine round convention (HALF_UP on the shortest decimal repr —
-    Spark F.round semantics, and DuckDB's half-away for positives).
-    Python's built-in round() is banker's and DIVERGES on dyadic ties
-    like 221/128 = 1.7265625, which width/height ratios with power-of-2
-    denominators do produce."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
 # --- decode stubs (the only not-real part; see module docstring) -----------

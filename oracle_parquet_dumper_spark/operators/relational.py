@@ -622,8 +622,12 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(25,6)")).alias("psum"),
         )
 
-    old_state = state(ev.where(day <= INC_AGG_CUTOFF_DAY))
-    delta_state = state(ev.where(day > INC_AGG_CUTOFF_DAY))
+    # NULL-safe split: a NULL ts makes both `day <= c` and `day > c`
+    # false, which would drop the row from BOTH states while the full
+    # recompute counts it.  NULL-ts rows belong to the historical state.
+    is_delta = F.coalesce(day > INC_AGG_CUTOFF_DAY, F.lit(False))
+    old_state = state(ev.where(~is_delta))
+    delta_state = state(ev.where(is_delta))
     return (
         old_state.unionByName(delta_state)
         .groupBy("event_type")

@@ -25,7 +25,6 @@ aggregation stays differentially testable against DuckDB.
 from __future__ import annotations
 
 import sys as _sys
-from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pandas as pd
@@ -35,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from oracle_parquet_dumper_spark.functions.rounding import round6 as _round6
 from oracle_parquet_dumper_spark.plans.registry import query
 from oracle_parquet_dumper_spark.sources.tables import load_table
 
@@ -42,22 +42,7 @@ from oracle_parquet_dumper_spark.sources.tables import load_table
 # (see operators/multimodal.py).
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
-_Q6 = Decimal("0.000001")
 
-
-def _round6(x: float) -> float:
-    """Python replica of Spark's ``F.round(double, 6)``: HALF_UP on the
-    shortest decimal repr (BigDecimal.valueOf semantics).  Used inside
-    Python kernels so their output is bit-identical to the SQL mirror."""
-    return float(Decimal(repr(float(x))).quantize(_Q6, ROUND_HALF_UP))
-
-
-def _dec6(x: float) -> Decimal:
-    """Python replica of Spark's ``CAST(double AS DECIMAL(25,6))`` —
-    the engine-wide exact-sum convention.  Summing these is
-    order-independent, which is what makes a Python aggregation kernel
-    hash-comparable with a SQL twin."""
-    return Decimal(repr(float(x))).quantize(_Q6, ROUND_HALF_UP)
 
 
 @F.pandas_udf(T.DoubleType())
@@ -139,15 +124,22 @@ NORMALIZED_SCHEMA = T.StructType(
 
 def normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: z-score prices within the group.  The group
-    moments are EXACT decimal sums (``_dec6`` per value, then integer
-    decimal addition) — order-independent, unlike ``prices.mean()``,
-    whose float accumulation depends on shuffle arrival order.  The
-    scalar tail (mu, variance, sqrt, per-row z) is plain IEEE double
-    arithmetic that the SQL twin reproduces operation-for-operation."""
+    moments are EXACT decimal sums — order-independent, unlike
+    ``prices.mean()``, whose float accumulation depends on shuffle
+    arrival order.  The square is an exact DECIMAL(12,2) x DECIMAL(12,2)
+    product (extendedprice is 2-decimal data, so the cast is exact and
+    tie-free) — a double x*x cast to decimal can land on a 7-digit
+    rounding tie where Spark and DuckDB disagree (the agg_var_stddev
+    lesson).  The scalar tail (mu, variance, sqrt, per-row z) is plain
+    IEEE double arithmetic the SQL twin reproduces op-for-op."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q2 = Decimal("0.01")
     prices = [float(x) for x in pdf["l_extendedprice"].values]
     n = len(prices)
-    sx = float(sum(_dec6(x) for x in prices))
-    sxx = float(sum(_dec6(x * x) for x in prices))
+    dec2 = [Decimal(repr(x)).quantize(q2, ROUND_HALF_UP) for x in prices]
+    sx = float(sum(dec2))
+    sxx = float(sum(d * d for d in dec2))
     mu = sx / n
     var = (sxx - n * mu * mu) / (n - 1) if n > 1 else 0.0
     sd = var**0.5 if var > 0 else 1.0
@@ -166,8 +158,9 @@ def normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     WITH s AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
              COUNT(*) AS n
       FROM lineitem
       GROUP BY l_returnflag
@@ -234,7 +227,11 @@ class SplitSentences:
         if text is None:
             return
         for i, raw in enumerate(text.split(".")):
-            s = raw.strip()
+            # strip the explicit ASCII whitespace set, not str.strip()'s
+            # full Unicode set — the SQL twin trims exactly these six
+            # chars, and e.g. a non-breaking space must round-trip
+            # identically through both engines
+            s = raw.strip(" \t\n\r\x0b\x0c")
             if s:
                 yield i, s, len(s)
 

@@ -104,8 +104,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
     )
-    SELECT LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / {N_HIST_BUCKETS}.0) ) AS BIGINT),
-                 {N_HIST_BUCKETS - 1}) AS bucket,
+    SELECT CASE WHEN mx = mn THEN 0
+                ELSE LEAST(CAST(floor((o_totalprice - mn) / ((mx - mn) / {N_HIST_BUCKETS}.0)) AS BIGINT),
+                           {N_HIST_BUCKETS - 1}) END AS bucket,
            COUNT(*) AS n,
            round(MIN(o_totalprice), 2) AS lo,
            round(MAX(o_totalprice), 2) AS hi
@@ -125,9 +126,13 @@ def dq_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     width = (F.col("mx") - F.col("mn")) / float(N_HIST_BUCKETS)
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"),
-        F.lit(N_HIST_BUCKETS - 1),
+    # constant column => zero width => 0/0 = NaN, which the engines cast
+    # differently (Spark 0, DuckDB NULL); degenerate to one bucket.
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"),
+            F.lit(N_HIST_BUCKETS - 1),
+        )
     )
     return (
         o.crossJoin(F.broadcast(bounds))
