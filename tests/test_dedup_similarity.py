@@ -514,3 +514,20 @@ def test_curation_and_clusters_reliable_checkpoint(spark, sf_dir, tmp_path):
         for r in dedup_clusters(spark, sf_dir, checkpoint_dir=str(ckpt2)).collect()
     }
     assert base_c == reli_c
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than the round budget must raise, not silently
+    return non-minimal labels (wrong dedup keepers + oracle flap)."""
+    import pytest
+
+    from oracle_parquet_dumper_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1)
+    comps = {
+        (r.node, r.component)
+        for r in connected_components(chain, max_iterations=10).collect()
+    }
+    assert comps == {(i, 0) for i in range(7)}
