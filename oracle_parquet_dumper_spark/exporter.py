@@ -69,6 +69,11 @@ class ExportResult:
     files: list[str]
     seconds: float
     skipped: str | None = None
+    # Resolved output directory actually written (None for skipped tables).
+    # validate_export audits exactly this path instead of re-deriving it —
+    # re-deriving guessed lowercase-first and could validate a stale
+    # directory left by a previous run with different casing settings.
+    target: str | None = None
 
 
 @dataclass
@@ -97,9 +102,11 @@ def validate_export(
         if r.skipped:
             continue
         issues: list[str] = []
-        target = os.path.join(output_path, r.schema.lower(), r.table.lower())
-        if not os.path.isdir(target):
-            target = os.path.join(output_path, r.schema, r.table)
+        target = r.target
+        if target is None:  # legacy results without a recorded path
+            target = os.path.join(output_path, r.schema.lower(), r.table.lower())
+            if not os.path.isdir(target):
+                target = os.path.join(output_path, r.schema, r.table)
         if not os.path.isdir(target):
             issues.append("output directory missing")
         else:
@@ -229,7 +236,7 @@ class SparkParquetExporter:
         files = [] if part_cols else self._finalize_layout(target, out_table)
         elapsed = time.perf_counter() - t0
         logger.info("Exported %s.%s in %.4f s", schema, table, elapsed)
-        return ExportResult(schema, table, rows, files, elapsed)
+        return ExportResult(schema, table, rows, files, elapsed, target=target)
 
     def _finalize_layout(self, target: str, table: str) -> list[str]:
         """Rename Spark's part-files to the reference layout
@@ -355,7 +362,21 @@ class SparkParquetExporter:
             .parquet(staging)
         )
         rows = int(obs.get["rows"])
-        new_wm = str(obs.get["wm"])
+        raw_wm = obs.get["wm"]
+        if raw_wm is None:
+            # Non-empty delta whose watermark column is entirely NULL: only
+            # possible on a first run (later runs filter `col > last`, which
+            # excludes NULLs).  str(None) would store the literal "None",
+            # which the next run casts to the watermark type — an ANSI error
+            # or a silent filter-everything.  The rows were staged but no
+            # manifest written, so aborting here is clean (staging is
+            # overwritten on the next attempt, state unchanged).
+            raise ValueError(
+                f"Watermark column {watermark_col!r} is NULL for every row of "
+                f"{schema}.{table}; incremental export needs at least one "
+                f"non-NULL watermark value to record a high-water mark"
+            )
+        new_wm = str(raw_wm)
         os.makedirs(target, exist_ok=True)
         existing = re.compile(re.escape(out_table) + r"_(\d+)\.parquet$")
         taken = [
@@ -374,7 +395,9 @@ class SparkParquetExporter:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         os.replace(mtmp, self._pending_path())
         files = self._commit_pending(manifest, state)
-        return ExportResult(schema, table, rows, files, time.perf_counter() - t0)
+        return ExportResult(
+            schema, table, rows, files, time.perf_counter() - t0, target=target
+        )
 
     def _pending_path(self) -> str:
         return os.path.join(self.output_path, "_incremental_pending.json")
@@ -407,16 +430,34 @@ class SparkParquetExporter:
         """Finish a commit interrupted by a crash: if a pending manifest
         exists, its delta was fully staged but possibly only partially
         moved — complete the moves and watermark advance before computing
-        any new delta (otherwise the same rows would export twice)."""
-        if not os.path.exists(self._pending_path()):
-            return
-        with open(self._pending_path()) as fh:
-            manifest = json.load(fh)
-        logger.warning(
-            "Recovering interrupted incremental export for %s (%d files)",
-            manifest["key"], len(manifest["moves"]),
-        )
-        self._commit_pending(manifest, self._load_state())
+        any new delta (otherwise the same rows would export twice).
+        Afterwards sweep staging directories no manifest references: a
+        crash *before* the manifest is written leaves ``*.delta.tmp``
+        garbage that would otherwise persist forever (and confuse
+        recursive parquet globs) unless the same table happened to run
+        incrementally again."""
+        if os.path.exists(self._pending_path()):
+            with open(self._pending_path()) as fh:
+                manifest = json.load(fh)
+            logger.warning(
+                "Recovering interrupted incremental export for %s (%d files)",
+                manifest["key"], len(manifest["moves"]),
+            )
+            self._commit_pending(manifest, self._load_state())
+        self._sweep_orphan_staging()
+
+    def _sweep_orphan_staging(self) -> None:
+        """Delete ``*.delta.tmp`` staging dirs under the output path.  Only
+        called when no pending manifest exists (recovery just completed or
+        none was needed) and before any new staging is written, so every
+        surviving staging dir is an orphan from a pre-manifest crash."""
+        for root, dirs, _files in os.walk(self.output_path):
+            for d in list(dirs):
+                if d.endswith(".delta.tmp"):
+                    orphan = os.path.join(root, d)
+                    logger.warning("Removing orphaned staging directory %s", orphan)
+                    shutil.rmtree(orphan)
+                    dirs.remove(d)
 
     def export_tables_incremental(
         self, watermarks: dict[str, str]
@@ -540,6 +581,30 @@ def compact_table(
             os.rename(stale, path)
         else:
             shutil.rmtree(stale)
+    # Refuse to compact while a crashed incremental commit is pending for
+    # this directory: compaction renumbers files from <table>_0, but the
+    # manifest's staged moves were computed against the PRE-compaction
+    # numbering — replaying them afterwards would overwrite compacted data
+    # files.  The manifest lives at the exporter's output root; probe the
+    # ancestors of the table dir (layout is <out>/<schema>/<table>).
+    probe = os.path.dirname(os.path.abspath(path.rstrip("/")))
+    for _ in range(3):
+        pending = os.path.join(probe, "_incremental_pending.json")
+        if os.path.exists(pending):
+            with open(pending) as fh:
+                manifest = json.load(fh)
+            if os.path.abspath(manifest.get("target", "")) == os.path.abspath(
+                path.rstrip("/")
+            ):
+                raise RuntimeError(
+                    f"A pending incremental commit targets {path}; run the "
+                    f"incremental exporter once to recover it before compacting"
+                )
+            break  # manifest found but for another table — safe
+        parent = os.path.dirname(probe)
+        if parent == probe:
+            break
+        probe = parent
     df = spark.read.parquet(path)
     sample = df.limit(SIZE_SAMPLE_ROWS)
     tbl = sample.toArrow()

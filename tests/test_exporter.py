@@ -663,3 +663,137 @@ def test_validate_export_read_back(spark, source_dir, tmp_path):
         and ("read-back rows" in v.issues[0] or "unreadable output" in v.issues[0])
         for v in bad
     )
+
+
+def test_incremental_all_null_watermark_raises(spark, tmp_path):
+    """A non-empty first delta whose watermark column is entirely NULL must
+    raise (not store the literal string "None" as the high-water mark, which
+    would poison every subsequent run), leave state unwritten, and let a
+    later run with real watermark values proceed cleanly."""
+    import json
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([None, None], pa.int64()),
+                  "v": pa.array(["a", "b"])}),
+        src / "EVT.parquet",
+    )
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+    )
+    with pytest.raises(ValueError, match="NULL for every row"):
+        exp.export_tables_incremental({"EVT": "id"})
+    assert not os.path.exists(out / "_incremental_state.json")
+    assert not os.path.exists(out / "_incremental_pending.json")
+
+    # Source fixed -> the next run succeeds and the earlier staging garbage
+    # does not interfere.
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "v": pa.array(["a", "b"])}),
+        src / "EVT.parquet",
+    )
+    r = exp.export_tables_incremental({"EVT": "id"})
+    assert [x.rows for x in r] == [2]
+    assert json.load(open(out / "_incremental_state.json")) == {"main.EVT": "2"}
+
+
+def test_compact_refuses_pending_manifest(spark, tmp_path):
+    """compact_table must refuse to renumber a directory that a crashed
+    incremental commit still targets: the pending moves were computed
+    against the pre-compaction numbering and replaying them afterwards
+    would overwrite compacted data files.  A manifest for a DIFFERENT
+    table must not block compaction."""
+    import json
+
+    from oracle_parquet_dumper_spark.exporter import compact_table
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+    )
+    for hi in (3, 6):
+        pq.write_table(
+            pa.table({"id": pa.array(list(range(hi)), pa.int64())}),
+            src / "T.parquet",
+        )
+        exp.export_tables_incremental({"T": "id"})
+    target = str(out / "main" / "T")
+
+    manifest = {"key": "main.T", "target": target,
+                "staging": target + ".delta.tmp", "watermark": "6",
+                "moves": {"part-x.parquet": "T_99.parquet"}}
+    with open(out / "_incremental_pending.json", "w") as fh:
+        json.dump(manifest, fh)
+    with pytest.raises(RuntimeError, match="pending incremental commit"):
+        compact_table(spark, target, "T")
+
+    manifest["target"] = str(out / "main" / "OTHER")
+    with open(out / "_incremental_pending.json", "w") as fh:
+        json.dump(manifest, fh)
+    assert compact_table(spark, target, "T") >= 1
+    got = sorted(r.id for r in spark.read.parquet(target).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_validate_export_exact_recorded_target(spark, tmp_path):
+    """validate_export audits the directory the export actually wrote
+    (threaded through ExportResult.target), not a lowercase-first guess —
+    a stale lowercased directory from some previous run must not be
+    validated in place of the real output."""
+    from oracle_parquet_dumper_spark.exporter import validate_export
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64())}), src / "EVT.parquet"
+    )
+    # Plant a stale lowercased dir with the WRONG row count where the old
+    # guess would have looked first.
+    stale = out / "main" / "evt"
+    stale.mkdir(parents=True)
+    pq.write_table(pa.table({"id": pa.array([9], pa.int64())}), stale / "evt_0.parquet")
+
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+        overwrite=True,
+    )
+    results = exp.export_tables()
+    (r,) = [x for x in results if x.table == "EVT"]
+    assert r.target == str(out / "main" / "EVT")
+    report = validate_export(spark, str(out), results)
+    assert all(v.ok for v in report), [v.issues for v in report]
+
+
+def test_orphan_staging_swept(spark, tmp_path):
+    """A *.delta.tmp staging dir with no pending manifest (crash before the
+    manifest write) is deleted at the start of the next incremental run
+    instead of persisting as permanent garbage."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}), src / "EVT.parquet"
+    )
+    orphan = out / "main" / "GONE.delta.tmp"
+    orphan.mkdir(parents=True)
+    (orphan / "part-junk.parquet").write_bytes(b"not parquet")
+
+    exp = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, str(src)),
+        output_path=str(out),
+    )
+    r = exp.export_tables_incremental({"EVT": "id"})
+    assert [x.rows for x in r] == [2]
+    assert not orphan.exists()
