@@ -134,48 +134,64 @@ def minhash_signature(shingle_col):
 
 
 def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Scalable MinHash: posexplode tokens once, build k-gram shingles
-    with window ``lead`` (tokenization runs exactly once per document —
-    array-lambda formulations re-evaluate it per shingle because
-    higher-order functions are interpreted, not codegen'd), then
-    N_MINHASH affine-permutation min() aggregates over the md5-derived
-    shingle id (engine-portable; see the MINHASH_P note).
+    """Scalable MinHash with ZERO shuffles: signatures are pure per-row
+    array expressions, staged so nothing is recomputed.
 
-    The window and the final groupBy share the doc_id hash partitioning,
-    so the whole signature computation costs ONE shuffle."""
-    from pyspark.sql import Window as W
+    Three chained projections — (1) tokenize once, (2) one md5 per
+    k-gram shingle built by array indexing into the materialized token
+    column, (3) sixteen affine-permutation ``array_min`` folds over the
+    materialized shingle-hash column.  Each stage's output is a column
+    the next stage references many times; Catalyst's CollapseProject
+    declines to inline non-trivial expressions referenced more than
+    once, so tokenization runs once per document and md5 once per
+    shingle (asserted by tests/test_plans.py).
 
+    Earlier rounds shuffled here (explode + min-agg in r2, window
+    ``lead`` + min-agg in r3).  Both moved every token/shingle row
+    through a doc_id exchange — O(corpus) shuffle bytes, plus a
+    per-partition sort for the window — where the per-row formulation
+    moves none.  At 100 TB the signature stage is now embarrassingly
+    parallel; the only shuffle left in LSH dedup is the band-bucket
+    join itself.
+
+    Documents with no whitespace-delimited tokens (empty or all-space
+    text) produce no signature row, matching the exploding formulations
+    and the SQL twin (``_minhash_sig_sql``).  Documents shorter than k
+    tokens contribute one whole-text shingle (the ``shingles()``
+    convention)."""
     toks = F.filter(F.split(F.lower(text_col), " "), lambda t: F.length(t) > 0)
-    # ONE md5 per shingle, over the \\x1f-joined raw tokens (the
-    # shingles() separator convention).  Hashing tokens to longs first
-    # and re-hashing the longs measured ~60% SLOWER — that trick paid
-    # off when 16 per-shingle hashes existed, but with affine
-    # permutations there is only one hash per shingle left to save.
-    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
-    with_sh = tok.select(
+    t1 = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    n = F.size("toks")
+    gram_idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            gram_idx,
+            lambda i: F.concat_ws(
+                "\x1f", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws("\x1f", F.col("toks"))))
+    # ONE md5 per shingle; the 16 'permutations' are affine maps of that
+    # single shingle id — 1 multiply + 2 mods each, exact BIGINT
+    # arithmetic both engines reproduce (a*s < 2^62, see MINHASH_P note).
+    t2 = t1.select(
+        "doc_id", F.transform(grams, lambda g: _md5_long(g) % MINHASH_P).alias("shm")
+    )
+    return t2.select(
         "doc_id",
-        "pos",
-        _md5_long(F.concat_ws("\x1f", *leads)).alias("shingle_hash"),
-        leads[-1].isNotNull().alias("full"),
-    )
-    # full k-grams, plus the single partial shingle (pos=0) for docs
-    # shorter than k tokens (same semantics as shingles(); concat_ws
-    # skips null inputs, so the partial hash covers available tokens).
-    sh = with_sh.where(F.col("full") | ((F.col("pos") == 0) & ~F.col("full")))
-    # The 16 'permutations' are affine maps of the ONE shingle id —
-    # 2 multiplies + 2 mods each, cheaper than 16 re-hashes, and exact
-    # BIGINT arithmetic both engines reproduce (see MINHASH_P note).
-    shm = F.col("shingle_hash") % MINHASH_P
-    agg = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * shm + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("sig")
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "shm",
+                        lambda s: (F.lit(MINHASH_A[i]) * s + F.lit(MINHASH_B[i]))
+                        % MINHASH_P,
+                    )
+                )
+                for i in range(N_MINHASH)
+            ]
+        ).alias("sig"),
     )
 
 
@@ -285,6 +301,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    # One explicit exchange on the join key, load-bearing twice over:
+    # (a) the signature pipeline is per-row (zero shuffles), so without
+    # an exchange the self-join would recompute tokenize+md5 for BOTH
+    # sides — an identical Exchange subplan is instead computed once and
+    # read twice (ReusedExchange); (b) hash partitioning on exactly
+    # (band, bucket) satisfies the join's ClusteredDistribution, so the
+    # join itself adds no further exchange.  Net: ONE shuffle of the
+    # exploded band rows, signatures computed once.
+    bands = bands.repartition("band", "bucket")
 
     left = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -926,6 +951,12 @@ def pipeline_curation(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # Same load-bearing exchange as dedup_minhash_lsh: signatures are now
+    # per-row expressions (no shuffle of their own), so without this the
+    # self-join would tokenize+hash the exact-deduped set twice; the
+    # (band, bucket) exchange is computed once, read twice, and already
+    # satisfies the join's required distribution.
+    bands = bands.repartition("band", "bucket")
     pairs = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])

@@ -129,3 +129,40 @@ def test_retention_joins_on_user_key(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_retention_cohorts")
     assert "user_id" in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_minhash_signatures_shuffle_free_and_staged(spark, sf_dir):
+    """The MinHash signature pipeline must be pure per-row expressions:
+    no Exchange, no Window, no explode of token rows — and the staged
+    projections must not be inlined by CollapseProject (tokenize once
+    per document: exactly one split(); hash once per shingle: exactly
+    one md5() in the optimized expression tree)."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.dedup import minhash_signatures_df
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    sig = minhash_signatures_df(d)
+    physical = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical
+    assert "Window" not in physical
+    assert "Generate" not in physical
+    optimized = sig._jdf.queryExecution().optimizedPlan().toString()
+    # one split() in the token projection + at most one more in the
+    # pushed-down `size(toks) > 0` row filter; NOT one per shingle
+    assert optimized.count("split(") <= 2
+    assert optimized.count("md5(") == 1
+
+
+def test_minhash_lsh_single_reused_band_exchange(spark, sf_dir):
+    """dedup_minhash_lsh's self-join must read ONE materialized band
+    exchange from both sides (signatures computed once), with no extra
+    join-side exchanges: the explicit (band, bucket) repartition already
+    satisfies the join's required distribution."""
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    df.collect()  # AQE applies exchange reuse at runtime — need the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "Window" not in plan
+    assert "ReusedExchange" in plan
