@@ -16,14 +16,15 @@ state, not data; this is exactly how MLlib's own KMeans iterates.  Data
 rows never reach the driver, and each round's lineage starts from the
 scan plus literals (no growing plan, no checkpoint needed).
 
-K-means is oracle-checked: the loop unrolls into chained CTEs (the
-PageRank-oracle pattern) with decimal-exact centroid means and the
-proven list_dot_product sequential fold for distances, so every round's
-assignment is bit-identical across engines.  BPE stays rows-only (each
-merge re-segments the corpus — stateful string scanning SQL cannot
-replay); ``tests/test_iterative.py`` additionally pins k-means
-invariants (monotone WCSS, partition counts) and BPE merge-for-merge
-against an independent pure-Python reference implementation.
+Both are oracle-checked: each loop unrolls into chained CTEs (the
+PageRank-oracle pattern).  K-means uses decimal-exact centroid means
+and the proven list_dot_product sequential fold for distances; BPE
+replays the greedy leftmost merge relationally (run-grouped match
+positions, odd-rank parity — see ``_bpe_oracle``), so every round is
+bit-identical across engines.  ``tests/test_iterative.py`` additionally
+pins k-means invariants (monotone WCSS, partition counts) and BPE
+merge-for-merge against an independent pure-Python reference
+implementation.
 """
 
 from __future__ import annotations
@@ -193,7 +194,78 @@ def _merge_pair(syms, left: str, right: str):
     )
 
 
-@query("text_bpe_merges", tags=("text", "tokenize", "iterative", "flagship"))
+def _bpe_oracle() -> str:
+    """SQL twin of text_bpe_merges: the merge loop unrolled into chained
+    CTEs (the _pagerank_oracle/_kmeans_oracle template).  The only
+    non-relational step — the greedy leftmost merge fold — is replayed
+    relationally: match positions -> consecutive-run grouping (pos minus
+    row_number) -> keep odd ranks within each run (a merge consumes its
+    right neighbour, blocking the next overlapping match) -> rebuild the
+    symbol list, dropping consumed positions.  Counts are integers and
+    the top-1 tiebreak (count desc, pair-string asc) is binary-collation
+    string order in both engines, so every round is exactly
+    reproducible."""
+    parts = [
+        """w0 AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS w
+        FROM documents WHERE length(text) > 0
+      ) GROUP BY w
+    )""",
+        f"""v1 AS (
+      SELECT w AS word, freq,
+             list_append(list_transform(range(1, length(w) + 1), i -> w[i]), '{END_MARK}') AS syms
+      FROM w0
+    )""",
+    ]
+    for r in range(1, N_BPE_MERGES + 1):
+        parts.append(f"""u{r} AS (
+      SELECT word, freq, generate_subscripts(syms, 1) AS pos, unnest(syms) AS s FROM v{r}
+    )""")
+        parts.append(f"""uu{r} AS (
+      SELECT word, freq, pos, s, LEAD(s) OVER (PARTITION BY word ORDER BY pos) AS s2 FROM u{r}
+    )""")
+        parts.append(f"""top{r} AS (
+      SELECT string_split(p, ' ')[1] AS l, string_split(p, ' ')[2] AS r, cnt FROM (
+        SELECT s || ' ' || s2 AS p, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM uu{r} WHERE s2 IS NOT NULL GROUP BY p
+      ) ORDER BY cnt DESC, p ASC LIMIT 1
+    )""")
+        if r < N_BPE_MERGES:
+            parts.append(f"""sel{r} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn FROM (
+          SELECT uu.word, uu.pos,
+                 uu.pos - ROW_NUMBER() OVER (PARTITION BY uu.word ORDER BY uu.pos) AS grp
+          FROM uu{r} uu, top{r} t WHERE uu.s = t.l AND uu.s2 = t.r
+        )
+      ) WHERE rn % 2 = 1
+    )""")
+            parts.append(f"""v{r + 1} AS (
+      SELECT u.word, u.freq,
+             list(CASE WHEN sh.pos IS NOT NULL THEN t.l || t.r ELSE u.s END ORDER BY u.pos) AS syms
+      FROM u{r} u
+      CROSS JOIN top{r} t
+      LEFT JOIN sel{r} sh ON u.word = sh.word AND u.pos = sh.pos
+      LEFT JOIN sel{r} sp ON u.word = sp.word AND u.pos = sp.pos + 1
+      WHERE sp.pos IS NULL
+      GROUP BY u.word, u.freq, t.l, t.r
+    )""")
+    chain = ",\n    ".join(parts)
+    unions = "\n      UNION ALL ".join(
+        f'SELECT {r - 1} AS step, l AS "left", r AS "right", l || r AS merged, '
+        f"cnt AS pair_count FROM top{r}"
+        for r in range(1, N_BPE_MERGES + 1)
+    )
+    return f"""
+    WITH {chain}
+    SELECT * FROM (
+      {unions}
+    ) ORDER BY step
+    """
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(), tags=("text", "tokenize", "iterative", "flagship"))
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first {N_BPE_MERGES} BPE merges (Sennrich et al. 2016)
     over the documents vocabulary.  The corpus collapses to (distinct
