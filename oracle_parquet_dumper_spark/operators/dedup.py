@@ -751,23 +751,35 @@ def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFr
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    strategy: str = "min_label",
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components over undirected (a, b) pair rows.  Returns
+    (node, component) where component is the minimum reachable node id.
 
-    ``edges``: (a, b) undirected pair rows.  Returns (node, component)
-    where component is the minimum node id reachable.
+    ``strategy="min_label"`` (default): iterative min-label propagation —
+    one join + one aggregate per round, O(component diameter) rounds.
+    Near-dup clusters are shallow (stars/chains of a few hops), so 3-5
+    rounds suffice; a diameter above ``max_iterations`` raises instead
+    of returning non-minimal labels.
 
-    Each iteration is one join + one aggregate (both on the node key);
-    convergence takes O(component diameter) iterations — near-dup
-    clusters are shallow (stars/chains of a few hops), so 3-5 rounds
-    suffice in practice.  This is the standard large-graph CC under the
-    "small diameter" regime; for adversarial graphs switch to
-    alternating large/small-star (Kiveris et al.) with the same join
-    primitive.  The loop is driver-side control flow over fully
-    distributed steps — no data ever visits the driver except the
-    1-row convergence count.
+    ``strategy="star"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log^2 n) rounds regardless of diameter, the right
+    choice when the pair graph may contain long chains.  Costs ~2x the
+    per-round shuffles of min_label, which is why it is the fallback
+    rather than the default for near-dup graphs.
+
+    Both loops are driver-side control flow over fully distributed
+    steps — no data ever visits the driver except a 1-row convergence
+    probe per round.
     """
+    if strategy == "star":
+        return _star_contraction_components(edges, max_iterations, checkpoint_dir)
+    if strategy != "min_label":
+        raise ValueError(f"strategy must be 'min_label' or 'star', got {strategy!r}")
     both = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
@@ -807,9 +819,87 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"min-label rounds (component diameter exceeds the budget); "
-            f"raise max_iterations or switch to star-contraction"
+            f"raise max_iterations or switch to strategy='star'"
         )
     return labels
+
+
+def _sym(half: DataFrame) -> DataFrame:
+    """Symmetrize a canonical (x < y) half-edge set into both directions."""
+    return half.unionByName(
+        half.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+
+
+def _canon(directed: DataFrame) -> DataFrame:
+    """Canonicalize rewired (u, v) edges: drop self-loops, order each
+    pair as (x, y) with x < y, dedup."""
+    return (
+        directed.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+        .distinct()
+    )
+
+
+def _large_star(half: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-larger neighbors to
+    the minimum of its neighborhood (incl. itself)."""
+    e = _sym(half)
+    m = e.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("m"))
+    return _canon(
+        e.where(F.col("y") > F.col("x"))
+        .join(m, "x")
+        .select(F.col("y").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(half: DataFrame) -> DataFrame:
+    """Small-star: every node connects itself and its smaller neighbors
+    to the minimum of those smaller neighbors."""
+    sm = _sym(half).where(F.col("y") < F.col("x"))
+    m = sm.groupBy("x").agg(F.min("y").alias("m"))
+    rew = (
+        sm.join(m, "x")
+        .select(F.col("y").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select(F.col("x").alias("u"), F.col("m").alias("v")))
+    )
+    return _canon(rew)
+
+
+def _star_contraction_components(
+    edges: DataFrame, max_iterations: int, checkpoint_dir: str | None
+) -> DataFrame:
+    """Kiveris alternating-star CC (see connected_components docstring).
+
+    State is the canonical half-edge set; each round applies large-star
+    then small-star and stops when the round is a no-op (exact
+    set-equality probe via two anti-join EXCEPTs — both sets are
+    distinct by construction).  At the fixpoint every component is a
+    star rooted at its minimum node, so the final labels fall out of one
+    neighborhood-min aggregate."""
+    half = truncate_lineage(
+        _canon(edges.select(F.col("a").alias("u"), F.col("b").alias("v"))),
+        checkpoint_dir,
+    )
+    converged = False
+    for _ in range(max_iterations):
+        nxt = truncate_lineage(_small_star(_large_star(half)), checkpoint_dir)
+        changed = (
+            nxt.exceptAll(half).limit(1).count()
+            or half.exceptAll(nxt).limit(1).count()
+        )
+        half = nxt
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star-contraction did not converge in {max_iterations} rounds "
+            f"(theoretical bound is O(log^2 n) — raise max_iterations)"
+        )
+    return _sym(half).groupBy("x").agg(
+        F.least(F.min("y"), F.first("x")).alias("component")
+    ).select(F.col("x").alias("node"), "component")
 
 
 _CLOSURE_SQL = """
