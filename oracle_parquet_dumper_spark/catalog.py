@@ -121,6 +121,22 @@ class JdbcCatalog:
     ``option("query", ...)`` so filtering happens server-side, exactly
     like the reference's bind-variable REGEXP_LIKE predicates
     (main.py:195-214).
+
+    NUMBER/DECIMAL mapping policy (pinned by
+    tests/test_jdbc_roundtrip.py::test_jdbc_decimal_fidelity_roundtrip):
+    SQL ``DECIMAL(p, s)`` with declared precision maps to Spark
+    ``DecimalType(p, s)`` verbatim (p <= 38) and parquet stores the
+    exact unscaled integer — no digit is rounded anywhere on the JDBC ->
+    Spark -> parquet -> reader path, NULLs and max/min boundary values
+    included.  The one lossy case is Oracle ``NUMBER`` with NO declared
+    precision/scale: Spark's OracleDialect defaults it to
+    ``decimal(38, 10)``, so values needing more than 10 fractional
+    digits (or > 28 integer digits) would be rounded/overflowed at read
+    time.  Declare precision in the source DDL, or pre-cast in a view,
+    for such columns.  (The reference is lossier still: it builds arrow
+    arrays straight from oracledb fetches, main.py:156-175, and oracledb
+    returns unconstrained NUMBER as Python float unless fetch_decimals
+    is set.)
     """
 
     DEFAULT_DRIVER = "oracle.jdbc.OracleDriver"

@@ -130,3 +130,121 @@ def test_jdbc_export_end_to_end(spark, derby, tmp_path):
     t = pq.read_table(path)
     assert t.num_rows == N_ROWS
     assert t.column_names == ["id", "name", "price"]
+
+
+def test_jdbc_partitioned_read_identical_to_serial(spark, derby, tmp_path):
+    """VERDICT r3 #5: the partitioned range read must return exactly the
+    serial read's rows — full row width, not just the key set — including
+    rows AT the bounds (Spark's first/last partition predicates are
+    open-ended, so boundary rows must not drop or duplicate)."""
+    serial = derby.read_table("APP", "ITEMS")
+    kwargs = derby.plan_partitioned_read("APP", "ITEMS", "ID", 5)
+    parted = derby.read_table("APP", "ITEMS", **kwargs)
+    assert parted.rdd.getNumPartitions() == 5
+    assert serial.schema == parted.schema
+    s_rows = sorted(tuple(r) for r in serial.collect())
+    p_rows = sorted(tuple(r) for r in parted.collect())
+    assert s_rows == p_rows
+
+    # And through the full exporter pipeline: parquet written from the
+    # partitioned read carries identical content to the serial export.
+    out_s, out_p = str(tmp_path / "serial"), str(tmp_path / "parted")
+    serial.write.parquet(out_s)
+    parted.write.parquet(out_p)
+    back_s = sorted(tuple(r) for r in spark.read.parquet(out_s).collect())
+    back_p = sorted(tuple(r) for r in spark.read.parquet(out_p).collect())
+    assert back_s == back_p == s_rows
+
+
+@pytest.fixture(scope="module")
+def derby_decimals(spark, tmp_path_factory):
+    """A table of high-precision DECIMAL columns at Derby's maximum
+    precision (31 — Oracle NUMBER goes to 38, same mapping rule) with
+    boundary values: max/min representable, smallest increment, NULL."""
+    db = str(tmp_path_factory.mktemp("derby_dec") / "decdb")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE DECIMALS (ID INT NOT NULL, D31 DECIMAL(31,10), "
+        "D18 DECIMAL(18,0), D5 DECIMAL(5,2))"
+    )
+    vals = [
+        (0, "999999999999999999999.9999999999", "999999999999999999", "999.99"),
+        (1, "-999999999999999999999.9999999999", "-999999999999999999", "-999.99"),
+        (2, "0.0000000001", "0", "0.01"),
+        (3, "-0.0000000001", "-1", "-0.01"),
+        (4, "123456789012345678901.1234567890", "42", "3.14"),
+        (5, None, None, None),
+    ]
+    ps = conn.prepareStatement("INSERT INTO DECIMALS VALUES (?, ?, ?, ?)")
+    for i, d31, d18, d5 in vals:
+        ps.setInt(1, i)
+        for pos, v in ((2, d31), (3, d18), (4, d5)):
+            if v is None:
+                ps.setNull(pos, jvm.java.sql.Types.DECIMAL)
+            else:
+                ps.setBigDecimal(pos, jvm.java.math.BigDecimal(v))
+        ps.addBatch()
+    ps.executeBatch()
+    st.close()
+    conn.close()
+    cat = DerbyCatalog(
+        spark, url=f"jdbc:derby:{db}", driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    return cat, vals
+
+
+def test_jdbc_decimal_fidelity_roundtrip(spark, derby_decimals, tmp_path):
+    """VERDICT r3 #6 (SURVEY §7 hard part 3): DECIMAL(p,s) must survive
+    JDBC -> Spark -> parquet -> DuckDB with exact unscaled values.
+
+    Pinned mapping policy (catalog.py): Spark's JDBC reader maps SQL
+    DECIMAL(p,s) to DecimalType(p,s) verbatim for p <= 38; parquet
+    stores the exact unscaled integer (fixed-len binary), so no digit is
+    ever rounded.  Oracle NUMBER with no declared precision is the one
+    lossy case (dialect default decimal(38,10)) — documented, not
+    silently accepted, in JdbcCatalog."""
+    import decimal
+
+    import duckdb
+
+    cat, vals = derby_decimals
+    df = cat.read_table("APP", "DECIMALS")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {
+        "ID": "int",
+        "D31": "decimal(31,10)",
+        "D18": "decimal(18,0)",
+        "D5": "decimal(5,2)",
+    }
+
+    ctx = decimal.Context(prec=50)  # default 28 can't quantize 31-digit values
+
+    def canon(s, scale):
+        return None if s is None else decimal.Decimal(s).quantize(
+            decimal.Decimal(1).scaleb(-scale), context=ctx
+        )
+
+    expected = {
+        i: (canon(d31, 10), canon(d18, 0), canon(d5, 2)) for i, d31, d18, d5 in vals
+    }
+
+    got = {r.ID: (r.D31, r.D18, r.D5) for r in df.collect()}
+    assert got == expected
+
+    # through parquet
+    out = str(tmp_path / "dec_parquet")
+    df.write.parquet(out)
+    back = {r.ID: (r.D31, r.D18, r.D5) for r in spark.read.parquet(out).collect()}
+    assert back == expected
+
+    # cross-engine: DuckDB reads the same parquet to identical decimals
+    con = duckdb.connect()
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            f"SELECT ID, D31, D18, D5 FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert duck == expected
