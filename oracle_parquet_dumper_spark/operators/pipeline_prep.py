@@ -231,6 +231,94 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target training-mixture weights over the language axis (integer
+# percents summing to 100 — integer arithmetic keeps the whole plan
+# bit-exact across engines).
+MIXTURE_PCT = (("en", 40), ("de", 15), ("es", 15), ("fr", 15), ("zh", 15))
+
+
+@query(
+    "pipeline_domain_mixture",
+    oracle=f"""
+    WITH w(lang, pct) AS (VALUES {", ".join(f"('{l}', {p})" for l, p in MIXTURE_PCT)}),
+    counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    sc AS (SELECT MIN(CAST(floor(n * 100 / pct) AS BIGINT)) AS s
+           FROM counts JOIN w USING (lang)),
+    keep AS (SELECT lang, n, pct, CAST(floor(pct * s / 100.0) AS BIGINT) AS keep_n
+             FROM counts JOIN w USING (lang) CROSS JOIN sc),
+    ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents),
+    kept AS (SELECT r.lang, r.doc_id
+             FROM ranked r JOIN keep k ON r.lang = k.lang AND r.rk <= k.keep_n),
+    tot AS (SELECT COUNT(*) AS t FROM kept)
+    SELECT k.lang AS lang,
+           CAST(ke.n AS BIGINT) AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(ke.pct AS BIGINT) AS target_pct,
+           CAST(SUM(k.doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(floor(COUNT(*) * 1000000.0 / t) AS BIGINT) AS achieved_ppm
+    FROM kept k JOIN keep ke ON k.lang = ke.lang CROSS JOIN tot
+    GROUP BY k.lang, ke.n, ke.pct, t
+    """,
+    tags=("pipeline", "mixture"),
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample each language to hit a
+    target training mixture (MIXTURE_PCT) WITHOUT upsampling — the
+    bottleneck language pins the achievable corpus size
+    (scale = min_l floor(n_l*100/w_l), keep_l = floor(w_l*scale/100)),
+    and each language keeps its first keep_l docs in content-stable
+    md5(doc_id) order, so reruns and engines agree doc-for-doc
+    (doc_id_sum is the per-language selection checksum).
+
+    All arithmetic is integer (percents, floors), so the oracle is
+    bit-exact.  Scale shape: the counts/scale/keep relations are
+    O(#languages) rows and broadcast back; the only per-doc work is one
+    row_number window partitioned by lang.  At 100 TB a per-lang sort is
+    still the honest exact form (it parallelizes across languages); the
+    approximate alternative — keep if hash-fraction < keep_l/n_l — is
+    shuffle-free and lands within sampling error, the same trade
+    documented in sample_bernoulli."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.create_map(*[F.lit(x) for lp in MIXTURE_PCT for x in lp])
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).where(
+        F.element_at(w, F.col("lang")).isNotNull()
+    ).withColumn("pct", F.element_at(w, F.col("lang")))
+    sc = counts.select(
+        F.min(F.floor(F.col("n") * 100 / F.col("pct")).cast("long")).alias("s")
+    )
+    keep = counts.crossJoin(F.broadcast(sc)).select(
+        "lang", "n", "pct",
+        F.floor(F.col("pct") * F.col("s") / 100.0).cast("long").alias("keep_n"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+    )
+    ranked = d.select("doc_id", "lang").withColumn("rk", rk)
+    kept = ranked.join(F.broadcast(keep), "lang").where(F.col("rk") <= F.col("keep_n"))
+    tot = kept.select(F.count(F.lit(1)).alias("t"))
+    return (
+        kept.groupBy("lang", "n", "pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_before"),
+            F.col("n_kept").cast("long"),
+            F.col("pct").cast("long").alias("target_pct"),
+            F.col("doc_id_sum").cast("long"),
+            F.floor(F.col("n_kept") * 1000000.0 / F.col("t")).cast("long").alias("achieved_ppm"),
+        )
+    )
+
+
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 DIGIT_RUN_RE = "[0-9]{4,}"
 
