@@ -1364,3 +1364,100 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= RESERVOIR_K)
         .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
     )
+
+
+CONTAIN_THRESHOLD = 0.7
+
+
+@query(
+    "dedup_containment_lsh",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    {_minhash_pairs_sql()},
+    csets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM mh_sh GROUP BY doc_id)
+    SELECT p.a, p.b,
+           CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) AS n_inter,
+           CAST(len(x.ss) AS BIGINT) AS n_a,
+           CAST(len(y.ss) AS BIGINT) AS n_b,
+           round(len(list_intersect(x.ss, y.ss)) * 1.0 / len(x.ss), 6) AS cont_a,
+           round(len(list_intersect(x.ss, y.ss)) * 1.0 / len(y.ss), 6) AS cont_b
+    FROM mh_pairs p
+    JOIN csets x ON x.doc_id = p.a
+    JOIN csets y ON y.doc_id = p.b
+    WHERE greatest(len(list_intersect(x.ss, y.ss)) * 1.0 / len(x.ss),
+                   len(list_intersect(x.ss, y.ss)) * 1.0 / len(y.ss))
+          >= {CONTAIN_THRESHOLD}
+    """,
+    tags=("dedup", "lsh", "containment"),
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT scoring on LSH candidates:
+    C(A->B) = |S_A ∩ S_B| / |S_A| over distinct word-3-gram shingle
+    sets — the signal that catches quotes/excerpts/supersets, where a
+    short doc embedded in a long one has high containment but low
+    symmetric Jaccard (so a Jaccard-threshold dedup pass keeps both).
+
+    Candidates come from the same banded-minhash exchange as
+    dedup_minhash_lsh; each candidate is then verified EXACTLY against
+    the two docs' distinct shingle-hash sets (array_intersect on
+    per-row arrays — no shuffle beyond fetching the two sets).  Recall
+    caveat, stated honestly: banded minhash recalls by SYMMETRIC
+    Jaccard, so an extreme-ratio containment pair may never band-collide;
+    the production fix is prefix filtering or banding over the smaller
+    doc's shingle sample, same verification stage.  All counts are md5
+    shingle-id set sizes — integer, bit-exact across engines."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    sig = minhash_signatures_df(d)
+
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = bands.repartition("band", "bucket")
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(F.transform(shingles(F.col("text")), _md5_long)).alias("ss"),
+    )
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("ss").alias("ssa"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("ss").alias("ssb"))
+    inter = F.size(F.array_intersect("ssa", "ssb"))
+    cont_a = inter / F.size("ssa")
+    cont_b = inter / F.size("ssb")
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .where(F.greatest(cont_a, cont_b) >= CONTAIN_THRESHOLD)
+        .select(
+            "a",
+            "b",
+            inter.cast("long").alias("n_inter"),
+            F.size("ssa").cast("long").alias("n_a"),
+            F.size("ssb").cast("long").alias("n_b"),
+            F.round(cont_a, 6).alias("cont_a"),
+            F.round(cont_b, 6).alias("cont_b"),
+        )
+    )

@@ -258,3 +258,114 @@ def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptr.join(users, ptr["node"] == users["user_id"], "left_semi").select(
         F.col("node").alias("user_id"), F.col("depth").cast("long").alias("depth")
     )
+
+
+TRI_TOP = 15
+
+
+def _triangle_oracle() -> str:
+    # Part (not supplier) co-occurrence: the supplier graph is ~91%
+    # complete at sf0.1 (1000 nodes, 907k of 999k directed pairs) and
+    # DENSIFIES with scale — triangle count on it degenerates to
+    # O(n^3).  The part graph keeps average degree constant as SF grows
+    # (order size is bounded, part count scales), which is the regime
+    # the degree-ordered algorithm is for.
+    return f"""
+    WITH su AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    o AS (
+      SELECT e.src AS u, e.dst AS v
+      FROM edges e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node
+      WHERE (du.d, e.src) < (dv.d, e.dst)
+    ),
+    tri AS (
+      SELECT p.u AS a, p.v AS b, q.v AS c
+      FROM o p JOIN o q ON p.v = q.u
+               JOIN o r ON r.u = p.u AND r.v = q.v
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM per_node ORDER BY n_triangles DESC, node LIMIT {TRI_TOP}
+    """
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_triangle_oracle(),
+    tags=("join", "graph"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRI_TOP} suppliers by triangle participation in the order
+    co-occurrence graph, via DEGREE-ORDERED edge orientation ("compact
+    forward" / node-iterator++): orient every symmetric edge from its
+    lower-(degree, id) endpoint to the higher one, join oriented paths
+    u->v->w, and keep those closed by an oriented edge u->w.  Each
+    triangle is counted exactly once with no orientation-dependent
+    double counting.
+
+    Scale shape: orientation bounds every node's out-neighborhood by
+    O(sqrt(m)) on any graph (high-degree hubs only receive edges from
+    even-higher-degree nodes), so the wedge join — the only superlinear
+    stage — generates O(m^1.5) rows worst case instead of the
+    O(sum deg^2) a naive neighbor self-join pays; this is the standard
+    distributed triangle algorithm (Suri & Vassilvitskii, WWW'11).  All
+    three joins are equi-joins on node keys (shuffle-partitionable);
+    degrees join back as a broadcast when #nodes is dim-sized, and the
+    closing join keys on (u, v) pairs.  Counts are integers — bit-exact
+    oracle.
+
+    The graph is PART co-occurrence (same edge construction as
+    supplier_edges but keyed on l_partkey): the supplier graph is ~91%
+    complete at sf0.1 and densifies with scale — a near-clique makes
+    triangle counting O(n^3) by construction — while the part graph
+    keeps average degree constant as SF grows (bounded order size,
+    scaling part count), the sparse regime this algorithm targets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    a = su.select("o", F.col("s").alias("src"))
+    b = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+    oriented = (
+        edges.join(F.broadcast(du), "src")
+        .join(F.broadcast(dv), "dst")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    paths = (
+        oriented.alias("p")
+        .join(oriented.alias("q"), F.col("p.v") == F.col("q.u"))
+        .select(F.col("p.u").alias("a"), F.col("p.v").alias("b"), F.col("q.v").alias("c"))
+    )
+    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = paths.join(closing, ["a", "c"], "left_semi")
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(TRI_TOP)
+    )

@@ -861,28 +861,85 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_regr",
     oracle="""
+    WITH agg AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             SUM(CAST(c_custkey AS HUGEINT)) AS sx,
+             SUM(CAST(round(c_acctbal * 100) AS HUGEINT)) AS sy,
+             SUM(CAST(c_custkey AS HUGEINT) * CAST(round(c_acctbal * 100) AS HUGEINT)) AS sxy,
+             SUM(CAST(c_custkey AS HUGEINT) * CAST(c_custkey AS HUGEINT)) AS sxx,
+             SUM(CAST(round(c_acctbal * 100) AS HUGEINT) * CAST(round(c_acctbal * 100) AS HUGEINT)) AS syy
+      FROM customer GROUP BY c_mktsegment
+    ),
+    m AS (
+      SELECT c_mktsegment, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             CAST(n * syy - sy * sy AS DOUBLE) AS c,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM agg
+    )
     SELECT c_mktsegment,
-           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
-           round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS covar_bal_key,
-           round(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS slope,
-           round(regr_intercept(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS intercept
-    FROM customer
-    GROUP BY c_mktsegment
+           a / sqrt(b * c) + 0.0 AS corr_bal_key,
+           a / (n * (n - 1)) / 100.0 + 0.0 AS covar_bal_key,
+           a / b / 100.0 + 0.0 AS slope,
+           syd / n / 100.0 - (a / b / 100.0) * (sxd / n) + 0.0 AS intercept
+    FROM m
     """,
     tags=("agg", "stats"),
 )
 def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlation / covariance / linear-regression aggregates
-    (single-pass moment formulas; rounded to 6 — the per-engine
-    accumulation order differs in the last ulp)."""
+    """Correlation / covariance / regression from EXACT INTEGER moments.
+
+    Two portability traps, both caught by the cross-SF sweep at sf1
+    (custkey domain ~1e9 after key-shifted replication):
+
+    1. built-in corr/covar_samp + round(.,6) diverged — the centered
+       moments reach ~1e12, so 6-digit rounding stops absorbing engine
+       accumulation-order noise, and any rounding of an inexact double
+       reintroduces tie hazards at whatever digit is kept;
+    2. casting full-mantissa product doubles to DECIMAL is itself
+       non-portable: Spark rounds the SHORTEST DECIMAL REPR of the
+       double (BigDecimal.valueOf) while DuckDB rounds the binary
+       value, so one row in millions casts differently.
+
+    The fix removes floats from the aggregation entirely: c_custkey is
+    integral, c_acctbal has exact cents (round(y*100) is integral, and
+    integral doubles cast exactly on both engines), so n, Σx, Σy, Σxy,
+    Σx², Σy² are exact integers (DECIMAL(38,0) in Spark, HUGEINT in
+    DuckDB — headroom to x~1e11 per row and ~1e9 rows per group).  The
+    textbook identities n·Σxy − ΣxΣy etc. are then computed EXACTLY (no
+    cancellation — this beats the two-pass centered form, which still
+    pays a per-row double product), cast once to double, and combined
+    with identical IEEE /,*,sqrt — bit-identical outputs with no
+    rounding convention at all.  + 0.0 normalizes IEEE negative zero,
+    which the engines stringify differently.  Single pass, partial
+    aggregation, 5-row result."""
     c = load_table(spark, sf_dir, "customer")
-    x = F.col("c_custkey").cast("double")
-    y = F.col("c_acctbal")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.corr(y, x), 6).alias("corr_bal_key"),
-        F.round(F.covar_samp(y, x), 6).alias("covar_bal_key"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+    xc = F.col("c_custkey").cast("decimal(38,0)")
+    yc = F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * yc).alias("sxy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+    )
+    n = F.col("n")
+    a = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    b = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cc = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    m = agg.select("c_mktsegment", n, a.alias("a"), b.alias("b"), cc.alias("c"),
+                   sxd.alias("sxd"), syd.alias("syd"))
+    slope = F.col("a") / F.col("b") / 100.0
+    return m.select(
+        "c_mktsegment",
+        (F.col("a") / F.sqrt(F.col("b") * F.col("c")) + 0.0).alias("corr_bal_key"),
+        (F.col("a") / (n * (n - 1)) / 100.0 + 0.0).alias("covar_bal_key"),
+        (slope + 0.0).alias("slope"),
+        (F.col("syd") / n / 100.0 - slope * (F.col("sxd") / n) + 0.0).alias("intercept"),
     )
 
 

@@ -465,6 +465,119 @@ def sim_topk_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_QUERY_SET_SIZE = 16
 
 
+def _recall_eval_oracle() -> str:
+    bucket = _bucket_sql("embedding::DOUBLE[]")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket FROM b
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {KNN_QUERY_SET_SIZE}),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {cosine_rounded_sql('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e JOIN q ON e.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {cosine_rounded_sql('b.embedding', 'q.qvec')} DESC, b.vec_id) AS rn
+        FROM b JOIN q ON hamming(b.bucket, q.qbucket) <= 1 AND b.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(floor(COUNT(a.vec_id) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+    GROUP BY t.qid
+    """
+
+
+@query(
+    "sim_recall_eval",
+    oracle=_recall_eval_oracle(),
+    tags=("similarity", "lsh", "eval"),
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@{TOP_K} of the multi-probe
+    sign-LSH index against exact brute-force ground truth, per query in
+    the capped {KNN_QUERY_SET_SIZE}-query batch — the evaluation loop an
+    index deployment runs before trusting an approximate path, expressed
+    as one engine query.
+
+    Truth side = one broadcast scan + per-qid top-k window (the
+    sim_knn_join shape); ANN side = the Hamming<=1 probe join of
+    sim_ann_lsh_multiprobe generalized to a query batch (9 probes per
+    query, broadcast as |Q|x9 rows, base table scanned once).  Recall is
+    an exact integer ppm so the oracle is bit-exact.  At 100 TB the
+    truth pass runs over a sampled slice (ground truth is the expensive
+    side — that is the point being measured) while the probe side prunes
+    by bucket partition; both sides stay one scan each here."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
+    nbits = len(HYPERPLANES)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        as_double("embedding").alias("v"),
+        norm("embedding").alias("nv"),
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    q = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(KNN_QUERY_SET_SIZE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    # 9 probe buckets per query (exact + all Hamming-1 flips), broadcast.
+    probes = [F.col("qbucket")] + [
+        F.concat(
+            F.substring("qbucket", 1, i),
+            F.when(F.substring("qbucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring("qbucket", i + 2, nbits - i - 1),
+        )
+        for i in range(nbits)
+    ]
+    probe_df = q.select("qid", "qv", "nq", F.explode(F.array(*probes)).alias("bucket"))
+    ann = (
+        e.join(F.broadcast(probe_df), "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("hit_id"))
+    )
+    joined = truth.join(
+        ann,
+        (truth["qid"] == ann["qid"]) & (truth["vec_id"] == ann["hit_id"]),
+        "left",
+    ).select(truth["qid"], "vec_id", "hit_id")
+    n_hit = F.count("hit_id")
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        n_hit.alias("n_hit"),
+        F.floor(n_hit * 1000000.0 / F.count(F.lit(1))).cast("long").alias("recall_ppm"),
+    )
+
+
 @query(
     "sim_knn_join",
     oracle=f"""
