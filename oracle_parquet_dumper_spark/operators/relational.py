@@ -537,6 +537,120 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_kmv_intersection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT CAST(substring(source, 4) AS INT) >= 10 AS side_b, t
+      FROM (SELECT source,
+                   unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS t
+            FROM documents WHERE length(text) > 0)
+    ),
+    hs AS (SELECT side_b, t,
+                  CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                    / 1152921504606846976.0 AS u
+           FROM toks),
+    ka AS (SELECT u FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn
+                          FROM (SELECT DISTINCT u FROM hs WHERE NOT side_b))
+           WHERE rn <= {KMV_K}),
+    kb AS (SELECT u FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn
+                          FROM (SELECT DISTINCT u FROM hs WHERE side_b))
+           WHERE rn <= {KMV_K}),
+    kab AS (SELECT u FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn
+                           FROM (SELECT u FROM ka UNION SELECT u FROM kb))
+            WHERE rn <= {KMV_K}),
+    uk AS (SELECT max(u) AS uk, COUNT(*) AS m FROM kab),
+    rho AS (SELECT COUNT(*) AS sketch_overlap
+            FROM kab JOIN ka USING (u) JOIN kb USING (u)),
+    ex AS (SELECT
+      (SELECT COUNT(DISTINCT t) FROM toks WHERE NOT side_b) AS n_a,
+      (SELECT COUNT(DISTINCT t) FROM toks WHERE side_b) AS n_b,
+      (SELECT COUNT(DISTINCT t) FROM toks) AS exact_union,
+      (SELECT COUNT(*) FROM (SELECT t FROM toks WHERE NOT side_b
+                             INTERSECT SELECT t FROM toks WHERE side_b)) AS exact_inter)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(CASE WHEN m < {KMV_K} THEN exact_union
+                     ELSE CAST(round({KMV_K - 1} / uk) AS BIGINT) END AS BIGINT) AS kmv_union_est,
+           CAST(sketch_overlap AS BIGINT) AS sketch_overlap,
+           CAST(round(sketch_overlap *
+                      (CASE WHEN m < {KMV_K} THEN exact_union
+                            ELSE round({KMV_K - 1} / uk) END) / {KMV_K}.0) AS BIGINT)
+             AS kmv_inter_est
+    FROM ex, uk, rho
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al., SIGMOD'07): estimate the
+    vocabulary union, intersection, and Jaccard between two corpus
+    halves (sources 0-9 vs 10-19) from two K-minimum-value sketches —
+    the mergeable-sketch pattern behind cross-corpus overlap audits,
+    where the exact answer needs a full distinct-join but sketches are
+    K doubles per segment, combinable after the fact for ANY pair of
+    segments.
+
+    Union sketch = K smallest of K_A ∪ K_B; u ∈ K_AB that came from
+    both sides (u ∈ K_A ∧ u ∈ K_B ⇔ token in both vocabularies, since
+    membership below the union's k-th minimum implies sketch membership
+    on each side) estimate Jaccard as overlap/K; intersection =
+    Jaccard x union.  Deterministic given the md5-prefix hash both
+    engines replay — the whole sketch pipeline is oracle-checked, with
+    exact counts alongside for error inspection (same convention as
+    agg_kmv_distinct).  At 100 TB each side's sketch is a K-smallest
+    partial aggregate per segment; only K doubles per segment shuffle."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    tok = F.explode(
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    ).alias("t")
+    side_b = F.substring("source", 4, 10).cast("int") >= 10
+    toks = d.select(side_b.alias("side_b"), tok).distinct()
+    u = (
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        / F.lit(float(1 << 60))
+    )
+    hs = toks.select("side_b", "t", u.alias("u"))
+    ka = hs.where(~F.col("side_b")).select("u").distinct().orderBy("u").limit(KMV_K)
+    kb = hs.where(F.col("side_b")).select("u").distinct().orderBy("u").limit(KMV_K)
+    kab = ka.unionByName(kb).distinct().orderBy("u").limit(KMV_K)
+    uk = kab.agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("m"))
+    rho = kab.join(ka, "u").join(kb, "u").agg(
+        F.count(F.lit(1)).alias("sketch_overlap")
+    )
+    ex = toks.agg(
+        F.count_distinct(F.when(~F.col("side_b"), F.col("t"))).alias("n_a"),
+        F.count_distinct(F.when(F.col("side_b"), F.col("t"))).alias("n_b"),
+        F.count_distinct("t").alias("exact_union"),
+        (
+            F.count_distinct(F.when(~F.col("side_b"), F.col("t")))
+            + F.count_distinct(F.when(F.col("side_b"), F.col("t")))
+            - F.count_distinct("t")
+        ).alias("exact_inter"),
+    )
+    union_est = F.when(F.col("m") < KMV_K, F.col("exact_union")).otherwise(
+        F.round(F.lit(KMV_K - 1) / F.col("uk")).cast("long")
+    )
+    return (
+        ex.crossJoin(F.broadcast(uk))
+        .crossJoin(F.broadcast(rho))
+        .select(
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.col("exact_union").cast("long"),
+            F.col("exact_inter").cast("long"),
+            union_est.cast("long").alias("kmv_union_est"),
+            F.col("sketch_overlap").cast("long"),
+            F.round(F.col("sketch_overlap") * union_est / KMV_K)
+            .cast("long")
+            .alias("kmv_inter_est"),
+        )
+    )
+
+
+@query(
     "agg_percentile_exact",
     oracle="""
     SELECT l_returnflag,

@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Differential harnesses (cross_sf_sweep, drive_contract) collect
+        # full results to compare against DuckDB; at sf1 some pair
+        # queries return millions of rows, over the 1g default.  Data
+        # paths never collect — this only sizes the verification sink.
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -21,6 +21,12 @@ HONEST rather than degenerate:
   under test.  Token-suffixing replicates the ORIGINAL near-dup structure
   once per copy instead (linear growth), which is what a 10x bigger corpus
   actually looks like.  `n_chars` is recomputed.
+- `customer.c_name` / `supplier.s_name` / `part.p_name`: copy i gets a
+  letter suffix, for the same reason as documents.text — name-identical
+  clones would make every name-LSH bucket a 10-way exact-duplicate
+  group and the fuzzy-name dedup pair count quadratic by construction
+  (at sf1 that was a >1 GiB pair result; with suffixes it grows
+  linearly like a real 10x corpus).
 - `embeddings.embedding`: copy i rotates the vector by i positions
   (norm-preserving), so brute-force / LSH top-k at sfN doesn't collapse
   into M-way cosine ties that only stress the tie-break, not the search.
@@ -48,17 +54,24 @@ COPY_SQL = {
     "region": "SELECT * FROM src ORDER BY r_regionkey",
     "nation": "SELECT * FROM src ORDER BY n_nationkey",
     "customer": """
-        SELECT c_custkey + i*{off} AS c_custkey, c_name, c_nationkey,
-               c_acctbal, c_mktsegment
+        SELECT c_custkey + i*{off} AS c_custkey,
+               CASE WHEN i = 0 THEN c_name
+                    ELSE c_name || '-' || chr(97 + (i % 26)::INT) END AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
         FROM src CROSS JOIN range({m}) r(i) ORDER BY i, c_custkey
     """,
     "supplier": """
-        SELECT s_suppkey + i*{off} AS s_suppkey, s_name, s_nationkey, s_acctbal
+        SELECT s_suppkey + i*{off} AS s_suppkey,
+               CASE WHEN i = 0 THEN s_name
+                    ELSE s_name || '-' || chr(97 + (i % 26)::INT) END AS s_name,
+               s_nationkey, s_acctbal
         FROM src CROSS JOIN range({m}) r(i) ORDER BY i, s_suppkey
     """,
     "part": """
-        SELECT p_partkey + i*{off} AS p_partkey, p_name, p_brand, p_type,
-               p_size, p_retailprice
+        SELECT p_partkey + i*{off} AS p_partkey,
+               CASE WHEN i = 0 THEN p_name
+                    ELSE p_name || '-' || chr(97 + (i % 26)::INT) END AS p_name,
+               p_brand, p_type, p_size, p_retailprice
         FROM src CROSS JOIN range({m}) r(i) ORDER BY i, p_partkey
     """,
     "orders": """
