@@ -216,13 +216,13 @@ def _minhash_sig_sql(source_cte: str = "documents") -> str:
              LEAD(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
       FROM mh_tok
     ),
-    mh_sh AS (
+    mh_sh AS MATERIALIZED (
       SELECT doc_id,
              {_md5_long_sql("concat_ws(chr(31), t, t2, t3)")} AS s
       FROM mh_sh0
       WHERE t3 IS NOT NULL OR (pos = 0 AND t3 IS NULL)
     ),
-    mh_sig AS (
+    mh_sig AS MATERIALIZED (
       SELECT doc_id,
              {mins}
       FROM mh_sh GROUP BY doc_id
@@ -519,7 +519,7 @@ def _emb_lsh_oracle() -> str:
     from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_sql
 
     return f"""
-    WITH bands AS ({banded_buckets_sql("embeddings", "vec_id", "embedding")}),
+    WITH bands AS MATERIALIZED ({banded_buckets_sql("embeddings", "vec_id", "embedding")}),
     cand AS (
       SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
       FROM bands l JOIN bands r
@@ -563,6 +563,12 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     bands = banded_buckets(e, "vec_id", "embedding")
+    # Same load-bearing exchange as dedup_minhash_lsh: the 16 sign-bit
+    # dot products are per-row expressions, so without it the self-join
+    # evaluates them for BOTH sides; one (band, bucket) exchange is
+    # computed once, read twice (ReusedExchange), and already satisfies
+    # the join's required distribution.
+    bands = bands.repartition("band", "bucket")
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])
@@ -643,7 +649,7 @@ def _lev_lsh_oracle() -> str:
                                    i -> substring(c_name, i, 3))) AS g
       FROM s
     ),
-    sig AS (SELECT c_custkey, {sig_cols} FROM g GROUP BY c_custkey),
+    sig AS MATERIALIZED (SELECT c_custkey, {sig_cols} FROM g GROUP BY c_custkey),
     bands AS ({band_branches}),
     cand AS (
       SELECT DISTINCT l.c_custkey AS a, r.c_custkey AS b

@@ -116,7 +116,14 @@ def _pagerank_oracle() -> str:
     """SQL twin: the loop unrolled into chained CTEs, expression-for-
     expression identical to the Spark plan — all-integer rank mass
     (see PR_SCALE note), so the unroll is exact with no float
-    convention to align."""
+    convention to align.
+
+    ``edges`` is MATERIALIZED: DuckDB inlines non-materialized CTEs,
+    so the 5-round unroll re-ran the edge self-join + DISTINCT per
+    round — at sf1 (~9M edges) that pushed the oracle past both the
+    sweep's memory budget and any reasonable runtime.  Materializing is
+    the SQL analog of the Spark loop's pre-bucketed round-invariant
+    edge relation."""
     d_num = int(round(PR_DAMPING * 100))
     rounds = []
     prev = "r0"
@@ -134,7 +141,7 @@ def _pagerank_oracle() -> str:
     chain = ",\n    ".join(rounds)
     return f"""
     WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.s AS src, b.s AS dst
       FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
     ),
@@ -271,13 +278,13 @@ def _triangle_oracle() -> str:
     # (order size is bounded, part count scales), which is the regime
     # the degree-ordered algorithm is for.
     return f"""
-    WITH su AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
-    edges AS (
+    WITH su AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.s AS src, b.s AS dst
       FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
     ),
     deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
-    o AS (
+    o AS MATERIALIZED (
       SELECT e.src AS u, e.dst AS v
       FROM edges e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node
       WHERE (du.d, e.src) < (dv.d, e.dst)

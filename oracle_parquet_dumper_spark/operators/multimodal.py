@@ -220,7 +220,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n,
-           round(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1
+           round(CAST(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*), 6) AS centroid_d1
     FROM embeddings
     GROUP BY label
     """,
@@ -422,7 +422,7 @@ def _embed_component_sql(j: int) -> str:
 def _embed_match_oracle() -> str:
     fe = "[" + ", ".join(_embed_component_sql(j) for j in range(EMBED_DIM)) + "]"
     cen = ", ".join(
-        f"CAST(SUM(CAST(CAST(embedding[{j + 1}] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)"
+        f"CAST(CAST(SUM(CAST(CAST(embedding[{j + 1}] AS DOUBLE) AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*)"
         for j in range(EMBED_DIM)
     )
     return f"""

@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from oracle_parquet_dumper_spark.plans.registry import (
     dec_avg,
     dec_avg_sql,
+    dec_money,
+    dec_one_minus,
+    dec_one_plus,
     dec_sum,
     dec_sum_sql,
     query,
@@ -35,8 +38,8 @@ from oracle_parquet_dumper_spark.sources.tables import load_table
     SELECT l_returnflag, l_linestatus,
            {dec_sum_sql('l_quantity')} AS sum_qty,
            {dec_sum_sql('l_extendedprice')} AS sum_base_price,
-           {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))')} AS sum_disc_price,
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))')} AS sum_charge,
            {dec_avg_sql('l_quantity')} AS avg_qty,
            {dec_avg_sql('l_extendedprice')} AS avg_price,
            {dec_avg_sql('l_discount')} AS avg_disc,
@@ -54,8 +57,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag/status, 8 aggregates.  Single scan, partial aggregation map-side,
     one shuffle on the (tiny) group keys — the shape survives any scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = dec_money("l_extendedprice") * dec_one_minus("l_discount")
+    charge = disc_price * dec_one_plus("l_tax")
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
@@ -426,7 +429,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_suppkey,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
         """
@@ -539,13 +542,13 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_kmv_intersection",
     oracle=f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT DISTINCT CAST(substring(source, 4) AS INT) >= 10 AS side_b, t
       FROM (SELECT source,
                    unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS t
             FROM documents WHERE length(text) > 0)
     ),
-    hs AS (SELECT side_b, t,
+    hs AS MATERIALIZED (SELECT side_b, t,
                   CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
                     / 1152921504606846976.0 AS u
            FROM toks),
@@ -711,7 +714,7 @@ INC_AGG_CUTOFF_DAY = 15
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_value
+           round(CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE), 6) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -888,7 +891,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_totalprice
         FROM orders
         WHERE o_totalprice > (
-          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o_totalprice) * 1.5
+          SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(o_totalprice) * 1.5
           FROM orders)
         """
     )
@@ -1061,7 +1064,7 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))')} AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1087,7 +1090,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dec_sum(dec_money("l_extendedprice") * dec_one_minus("l_discount")).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -1098,7 +1101,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))')} AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1133,7 +1136,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dec_sum(dec_money("l_extendedprice") * dec_one_minus("l_discount")).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -1142,7 +1145,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))')} AS revenue,
            n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1172,7 +1175,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dec_sum(dec_money("l_extendedprice") * dec_one_minus("l_discount")).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -1187,7 +1190,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
@@ -1229,7 +1232,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (dec_money("l_extendedprice") * dec_one_minus("l_discount")).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(dec_sum("volume").alias("revenue"))
@@ -1245,7 +1248,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            / {dec_sum_sql('volume')} AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume,
              n_name AS supp_nation
       FROM lineitem
       JOIN orders ON o_orderkey = l_orderkey
@@ -1264,7 +1267,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = dec_money("l_extendedprice") * dec_one_minus("l_discount")
     base = (
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
@@ -1287,8 +1290,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle=f"""
     SELECT strftime(l_shipdate, '%Y-%m') AS ym,
-           100.0 * {dec_sum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-           / {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS promo_share_pct
+           100.0 * {dec_sum_sql("CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) ELSE 0 END")}
+           / {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))')} AS promo_share_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1305,8 +1308,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1998-01-01 00:00:00")
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    rev = dec_money("l_extendedprice") * dec_one_minus("l_discount")
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(16,4)"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
@@ -1387,7 +1390,7 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_pushdown",
     oracle=f"""
-    SELECT COUNT(*) AS n, {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    SELECT COUNT(*) AS n, {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))')} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
@@ -1411,7 +1414,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.where(cond).agg(
         F.count(F.lit(1)).alias("n"),
-        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        dec_sum(dec_money("l_extendedprice") * dec_one_minus("l_discount")).alias("revenue"),
     )
 
 
@@ -1500,11 +1503,11 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     oracle="""
     SELECT cohort, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) AS totacctbal
     FROM (
       SELECT substring(c_name, 10, 1) AS cohort, c_acctbal, c_custkey
       FROM customer
-      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+      WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE)
                                 / COUNT(c_acctbal)
                          FROM customer WHERE c_acctbal > 0)
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1523,11 +1526,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT cohort, COUNT(*) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) AS totacctbal
         FROM (
           SELECT substring(c_name, 10, 1) AS cohort, c_acctbal, c_custkey
           FROM customer
-          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+          WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE)
                                     / COUNT(c_acctbal)
                              FROM customer WHERE c_acctbal > 0)
             AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1575,7 +1578,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT {dec_sum_sql('l_extendedprice * l_discount')} AS revenue,
+    SELECT {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))')} AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1597,7 +1600,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        dec_sum(dec_money("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)")).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1639,7 +1642,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+             {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))')} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
@@ -1671,7 +1674,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1997-07-01 00:00:00")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .agg(dec_sum(dec_money("l_extendedprice") * dec_one_minus("l_discount")).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     top = revenue.join(
@@ -1703,10 +1706,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) / 7.0 AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#5'
-          AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+          AND l_quantity < (SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE)
                                           / COUNT(l2.l_quantity))
                             FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
         """
@@ -1721,6 +1724,9 @@ _PARTSUPP_PROXY_SQL = """
     partsupp AS (
       SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
              MIN(l_extendedprice) AS ps_supplycost,
+             -- direct decimal->double here (no VARCHAR hop): this SQL is
+             -- shared with spark.sql(), which rejects bare VARCHAR, and
+             -- quantity sums are integral < 2^53 so the cast is exact
              CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS ps_availqty
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
@@ -1787,7 +1793,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PARTSUPP_PROXY_SQL}
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           {dec_sum_sql('l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity * 0.01')} AS sum_profit
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) - CAST(ps_supplycost AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0)) * CAST(0.01 AS DECIMAL(3,2))')} AS sum_profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1810,8 +1816,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("ps_supplycost") * F.col("l_quantity") * 0.01
+        dec_money("l_extendedprice") * dec_one_minus("l_discount")
+        - dec_money("ps_supplycost")
+        * F.col("l_quantity").cast("decimal(4,0)")
+        * F.lit(0.01).cast("decimal(3,2)")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -1833,7 +1841,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PARTSUPP_PROXY_SQL}
     SELECT ps_partkey AS p_key,
-           CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) AS DOUBLE) AS stock_value
+           CAST(CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) AS stock_value
     FROM partsupp
     JOIN supplier ON s_suppkey = ps_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -1860,7 +1868,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH {_PARTSUPP_PROXY_SQL}
         SELECT ps_partkey AS p_key,
-               CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) AS DOUBLE) AS stock_value
+               CAST(CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) AS stock_value
         FROM partsupp
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation ON s_nationkey = n_nationkey
@@ -1922,7 +1930,7 @@ def q12_priority_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND s_suppkey IN (
         SELECT ps_suppkey FROM partsupp
         WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
-          AND ps_availqty > (SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+          AND ps_availqty > (SELECT 0.5 * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE)
                              FROM lineitem
                              WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
                                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
@@ -1947,7 +1955,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND s_suppkey IN (
             SELECT ps_suppkey FROM partsupp
             WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
-              AND ps_availqty > (SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+              AND ps_availqty > (SELECT 0.5 * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE)
                                  FROM lineitem
                                  WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
                                    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
@@ -2068,9 +2076,9 @@ def agg_mode_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted_avg",
     oracle=f"""
     SELECT l_returnflag,
-           {dec_sum_sql('l_extendedprice * l_discount')} AS sum_weighted,
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))')} AS sum_weighted,
            {dec_sum_sql('l_extendedprice')} AS sum_weight,
-           {dec_sum_sql('l_extendedprice * l_discount')} / {dec_sum_sql('l_extendedprice')}
+           {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))')} / {dec_sum_sql('l_extendedprice')}
              AS wavg_discount
     FROM lineitem
     GROUP BY l_returnflag
@@ -2082,7 +2090,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — order-independent, so bit-exact across engines.  One
     map-side-combining hash aggregate; no second pass."""
     li = load_table(spark, sf_dir, "lineitem")
-    sw = dec_sum(F.col("l_extendedprice") * F.col("l_discount"))
+    sw = dec_sum(dec_money("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)"))
     tw = dec_sum("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
         sw.alias("sum_weighted"),

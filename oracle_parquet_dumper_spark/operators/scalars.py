@@ -512,8 +512,10 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_null_safe_eq",
     oracle="""
     SELECT a.event_id AS ea, b.event_id AS eb
-    FROM (SELECT event_id, json_extract_string(props, '$.missing') AS k FROM events WHERE event_id % 40 = 0) a
-    JOIN (SELECT event_id, json_extract_string(props, '$.missing') AS k FROM events WHERE event_id % 40 = 20) b
+    FROM (SELECT event_id, json_extract_string(props, '$.missing') AS k
+          FROM events WHERE event_id % 40 = 0 ORDER BY event_id LIMIT 200) a
+    JOIN (SELECT event_id, json_extract_string(props, '$.missing') AS k
+          FROM events WHERE event_id % 40 = 20 ORDER BY event_id LIMIT 200) b
       ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
     """,
     tags=("scalar", "null", "join"),
@@ -521,13 +523,32 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     match each other — the semantics dropDuplicates and set ops use
-    internally."""
+    internally.
+
+    Both sides are CAPPED at 200 rows (first event_ids, TakeOrdered):
+    the probed key ($.missing) is NULL on every row, so NULL-matching
+    makes this join all-pairs by construction — unbounded %40 sides
+    went quadratic at sf1 (625M candidates; caught by the cross-SF
+    sweep).  The cap pins cost and output at any SF, same convention as
+    sim_knn_join's bounded query set."""
     ev = load_table(spark, sf_dir, "events")
-    a = ev.where(F.col("event_id") % 40 == 0).select(
-        F.col("event_id").alias("ea"), F.get_json_object("props", "$.missing").alias("ka")
+    a = (
+        ev.where(F.col("event_id") % 40 == 0)
+        .orderBy("event_id")
+        .limit(200)
+        .select(
+            F.col("event_id").alias("ea"),
+            F.get_json_object("props", "$.missing").alias("ka"),
+        )
     )
-    b = ev.where(F.col("event_id") % 40 == 20).select(
-        F.col("event_id").alias("eb"), F.get_json_object("props", "$.missing").alias("kb")
+    b = (
+        ev.where(F.col("event_id") % 40 == 20)
+        .orderBy("event_id")
+        .limit(200)
+        .select(
+            F.col("event_id").alias("eb"),
+            F.get_json_object("props", "$.missing").alias("kb"),
+        )
     )
     return (
         a.join(b, F.col("ka").eqNullSafe(F.col("kb")) & (F.col("ea") < F.col("eb")))

@@ -122,7 +122,7 @@ def _threshold_lsh_oracle() -> str:
     from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_sql
 
     return f"""
-    WITH bands AS ({banded_buckets_sql("embeddings", "vec_id", "embedding")}),
+    WITH bands AS MATERIALIZED ({banded_buckets_sql("embeddings", "vec_id", "embedding")}),
     cand AS (
       SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
       FROM bands l JOIN bands r
@@ -204,7 +204,7 @@ def _bucket_sql(vec_expr: str) -> str:
 @query(
     "sim_ann_lsh",
     oracle=f"""
-    WITH b AS (
+    WITH b AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              {{bucket}} AS bucket
       FROM embeddings
@@ -283,7 +283,7 @@ def sim_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ann_lsh_multiprobe",
     oracle=f"""
-    WITH b AS (
+    WITH b AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              {{bucket}} AS bucket
       FROM embeddings
@@ -468,7 +468,7 @@ KNN_QUERY_SET_SIZE = 16
 def _recall_eval_oracle() -> str:
     bucket = _bucket_sql("embedding::DOUBLE[]")
     return f"""
-    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    WITH b AS MATERIALIZED (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
     q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket FROM b
           WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {KNN_QUERY_SET_SIZE}),
     truth AS (

@@ -21,7 +21,7 @@ from oracle_parquet_dumper_spark.streaming.ops import (
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -141,7 +141,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (SELECT COUNT(*) AS nc FROM customer)
     SELECT c.c_mktsegment, COUNT(*) AS n_events,
-           round(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_value
+           round(CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE), 6) AS total_value
     FROM events e
     CROSS JOIN n
     JOIN customer c ON c.c_custkey = e.user_id % n.nc + 1

@@ -432,14 +432,17 @@ VOCAB_TOPK = 20
     tot AS (SELECT COUNT(*) AS total FROM toks),
     scored AS (
       SELECT tf.doc_id, tf.tf,
-             CAST(round(-ln(v.cnt * 1.0 / tot.total), 6) AS DECIMAL(20,6)) AS nll
+             CAST(round(-ln(v.cnt * 1.0 / tot.total) * 1000000) AS BIGINT) AS nll_u
       FROM tf JOIN vocab v USING (token) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, SUM(tf) AS t, SUM(tf * nll_u) AS s FROM scored GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST(SUM(tf) AS BIGINT) AS n_tok,
-           round(CAST(SUM(tf * nll) AS DOUBLE) / SUM(tf), 6) AS avg_nll,
-           round(exp(round(CAST(SUM(tf * nll) AS DOUBLE) / SUM(tf), 6)), 4) AS ppl
-    FROM scored GROUP BY doc_id
+           CAST(t AS BIGINT) AS n_tok,
+           ((2 * s + t) // (2 * t)) / 1000000.0 AS avg_nll,
+           round(exp(((2 * s + t) // (2 * t)) / 1000000.0), 4) AS ppl
+    FROM agg
     """,
     tags=("text", "quality", "lm"),
 )
@@ -461,19 +464,28 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     tot = toks.agg(F.count(F.lit(1)).alias("total"))
-    nll = F.round(-F.log(F.col("cnt") * F.lit(1.0) / F.col("total")), 6).cast(
-        "decimal(20,6)"
+    # Token NLL in integer MICRO-NATS, and the per-doc mean as exact
+    # integer round-half-up division: round(sum/count, 6) on a double
+    # quotient landed exactly on a 6th-decimal half boundary for one doc
+    # at sf1 and the engines tie-broke differently (Spark rounds the
+    # shortest repr, DuckDB the binary value).  With (2s+t) div (2t)
+    # there is no float rounding anywhere — the only double op left is
+    # the exact small-integer /1e6 at the end.
+    nll_u = F.round(-F.log(F.col("cnt") * F.lit(1.0) / F.col("total")) * 1000000).cast(
+        "long"
     )
     scored = tf.join(vocab, "token").join(F.broadcast(tot)).select(
-        "doc_id", "tf", nll.alias("nll")
+        "doc_id", "tf", nll_u.alias("nll_u")
     )
-    avg_nll = F.round(
-        F.sum(F.col("tf") * F.col("nll")).cast("double") / F.sum("tf"), 6
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("t"), F.sum(F.col("tf") * F.col("nll_u")).alias("s")
     )
-    return scored.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tok"),
-        avg_nll.alias("avg_nll"),
-        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    avg_u = F.expr("(2 * s + t) div (2 * t)")
+    return agg.select(
+        "doc_id",
+        F.col("t").cast("long").alias("n_tok"),
+        (avg_u / 1000000.0).alias("avg_nll"),
+        F.round(F.exp(avg_u / 1000000.0), 4).alias("ppl"),
     )
 
 
