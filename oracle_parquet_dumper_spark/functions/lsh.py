@@ -40,6 +40,19 @@ PLANES: list[list[float]] = [
     for _ in range(N_SIGN_BANDS * BITS_PER_BAND)
 ]
 
+# WIDE variant: 8 bits/band -> 256 buckets/band.  The sf1 bench measured
+# the capacity rule directly (SCALING.md round 4): with 4-bit bands,
+# bucket occupancy grows with n and candidate pairs grow ~n^2/256 (the
+# flagship went 21x for 10x data); doubling the bits cuts expected
+# within-bucket pairs ~256x at the s-curve's recall cost.  Bits per band
+# is the knob that must scale ~log2(n / target_occupancy).
+WIDE_BITS_PER_BAND = 8
+_rng_w = np.random.default_rng(11)
+PLANES_WIDE: list[list[float]] = [
+    [round(float(x), 6) for x in _rng_w.standard_normal(DIM)]
+    for _ in range(N_SIGN_BANDS * WIDE_BITS_PER_BAND)
+]
+
 
 def _sign_bit(vec_d: Column, plane: list[float]) -> Column:
     """'1'/'0' from the sign of the rounded <vec, plane> dot product.
@@ -57,16 +70,20 @@ def _sign_bit(vec_d: Column, plane: list[float]) -> Column:
     return F.when(F.round(dot_d(vec_d, plane_lit), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def band_structs(vec_col: Column | str) -> Column:
+def band_structs(
+    vec_col: Column | str,
+    planes: list[list[float]] = PLANES,
+    bits: int = BITS_PER_BAND,
+) -> Column:
     """Array of (band, bucket) structs — explode to get one row per band.
-    bucket is the band's BITS_PER_BAND sign bits as a string key."""
+    bucket is the band's ``bits`` sign bits as a string key."""
     vec_d = as_double(vec_col)
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat(
-                    *[_sign_bit(vec_d, PLANES[b * BITS_PER_BAND + r]) for r in range(BITS_PER_BAND)]
+                    *[_sign_bit(vec_d, planes[b * bits + r]) for r in range(bits)]
                 ).alias("bucket"),
             )
             for b in range(N_SIGN_BANDS)
@@ -92,18 +109,37 @@ def banded_buckets(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return bands.localCheckpoint(eager=False)
 
 
+def banded_buckets_wide(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """8-bit-band variant of ``banded_buckets`` — the measured capacity
+    fix for large n (see PLANES_WIDE note)."""
+    bands = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                band_structs(vec_col, PLANES_WIDE, WIDE_BITS_PER_BAND)
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bucket")
+    )
+    return bands.localCheckpoint(eager=False)
+
+
 # --- matching DuckDB SQL (generated from the SAME plane literals) ----------
 
 def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join(repr(v) for v in plane) + "]"
 
 
-def _bucket_sql(vec_expr: str, band: int) -> str:
+def _bucket_sql(
+    vec_expr: str,
+    band: int,
+    planes: list[list[float]] = PLANES,
+    bits_per_band: int = BITS_PER_BAND,
+) -> str:
     bits = [
         "CASE WHEN round(list_dot_product("
-        f"{vec_expr}, {_plane_sql(PLANES[band * BITS_PER_BAND + r])}::DOUBLE[]), 6) >= 0 "
+        f"{vec_expr}, {_plane_sql(planes[band * bits_per_band + r])}::DOUBLE[]), 6) >= 0 "
         "THEN '1' ELSE '0' END"
-        for r in range(BITS_PER_BAND)
+        for r in range(bits_per_band)
     ]
     return " || ".join(bits)
 
@@ -115,6 +151,17 @@ def banded_buckets_sql(table: str, id_col: str, vec_col: str) -> str:
     branches = [
         f"SELECT {id_col}, {b} AS band, "
         f"{_bucket_sql(f'{vec_col}::DOUBLE[]', b)} AS bucket FROM {table}"
+        for b in range(N_SIGN_BANDS)
+    ]
+    return " UNION ALL ".join(branches)
+
+
+def banded_buckets_wide_sql(table: str, id_col: str, vec_col: str) -> str:
+    """SQL twin of ``banded_buckets_wide``."""
+    branches = [
+        f"SELECT {id_col}, {b} AS band, "
+        f"{_bucket_sql(f'{vec_col}::DOUBLE[]', b, PLANES_WIDE, WIDE_BITS_PER_BAND)}"
+        f" AS bucket FROM {table}"
         for b in range(N_SIGN_BANDS)
     ]
     return " UNION ALL ".join(branches)

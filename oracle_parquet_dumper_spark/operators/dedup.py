@@ -1467,3 +1467,70 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont_b, 6).alias("cont_b"),
         )
     )
+
+
+def _emb_lsh_wide_oracle() -> str:
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_wide_sql
+    from oracle_parquet_dumper_spark.functions.vectors import cosine_rounded_sql
+
+    return f"""
+    WITH bands AS MATERIALIZED ({banded_buckets_wide_sql("embeddings", "vec_id", "embedding")}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ),
+    p AS (
+      SELECT a, b, {cosine_rounded_sql('ea.embedding', 'eb.embedding')} AS cos
+      FROM cand JOIN embeddings ea ON ea.vec_id = a
+                JOIN embeddings eb ON eb.vec_id = b
+    )
+    SELECT a, COUNT(*) AS n_dups, MAX(cos) AS best_cos
+    FROM p WHERE cos >= 0.3
+    GROUP BY a
+    """
+
+
+@query(
+    "dedup_embedding_cosine_lsh_wide",
+    oracle=_emb_lsh_wide_oracle(),
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity-scaled twin of ``dedup_embedding_cosine_lsh``:
+    identical pipeline, 8 sign bits per band (256 buckets/band) instead
+    of 4 (16).
+
+    The sf1 bench measured WHY this knob exists (SCALING.md round 4):
+    with 4-bit bands, bucket occupancy is ~n/16 per band, so candidate
+    pairs grow ~n^2/256 and the flagship went 21x for 10x data (69 s at
+    sf1, ~50M exact verifications).  Doubling bits cuts expected
+    within-bucket pairs ~256x; recall drops per the banded s-curve
+    (1-(1-p^r)^B), the standard trade.  The production rule: bits per
+    band ~ log2(n / target_bucket_occupancy) — re-bucket as the corpus
+    grows, exactly like choosing partition counts."""
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_wide
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = banded_buckets_wide(e, "vec_id", "embedding").repartition("band", "bucket")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    v = e.select(
+        "vec_id", as_double("embedding").alias("v"), norm("embedding").alias("nv")
+    )
+    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    pairs = cand.join(va, "a").join(vb, "b").select(
+        "a", "b", cosine_prenormed("va", "vb", "na", "nb").alias("cos")
+    )
+    return (
+        pairs.where(F.col("cos") >= 0.3)
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.max("cos").alias("best_cos"))
+    )
