@@ -12,6 +12,9 @@ UDF plumbing works, (b) document WHEN each form is appropriate:
                             grouping, one group's column per call)
 - ``applyInPandas``       : whole-group transforms (normalization,
                             model scoring per group)
+- ``mapInArrow``          : whole-partition transforms that want the raw
+                            Arrow RecordBatch (no pandas conversion cost;
+                            zero-copy into pyarrow.compute / C++ kernels)
 - plain ``udf``           : last resort — row-at-a-time Python,
                             ~10-100x slower than pandas_udf
 
@@ -274,4 +277,58 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
         FROM udtf_docs d, LATERAL split_sentences(d.text) s
         """
+    )
+
+
+# --- mapInArrow (raw Arrow batches, Spark 3.3+) ----------------------------
+
+def _doc_stats_arrow(batches):
+    """mapInArrow kernel: per-document length stats straight off the
+    Arrow RecordBatch via pyarrow.compute — no pandas materialization at
+    all (the cheapest Python hook Spark offers; what a tokenizer or a
+    C++/Rust text kernel would plug into).  Every op is deterministic
+    string work the SQL twin mirrors exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column(b.schema.get_field_index("text"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(b.schema.get_field_index("doc_id")),
+                pc.cast(pc.utf8_length(text), pa.int32()),
+                pc.cast(pc.binary_length(text), pa.int32()),
+                pc.utf8_slice_codeunits(text, 0, 16),
+            ],
+            names=["doc_id", "n_chars", "n_bytes", "head16"],
+        )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           substr(text, 1, 16) AS head16
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: partition-wise transform over raw Arrow
+    RecordBatches — completes the Python-extension surface next to
+    scalar/grouped-agg pandas_udf, applyInPandas, UDTF and plain udf.
+    Unlike the pandas forms there is NO arrow→pandas→arrow round-trip;
+    ``pyarrow.compute`` kernels (C++) run zero-copy on the batch, so
+    this is the fastest Python hook for byte/string/tensor kernels that
+    don't need pandas semantics.  The filter stays JVM-side *before*
+    the UDF (only 1/25th of documents cross the Arrow boundary), and
+    char-count / byte-count / codepoint-slice are engine-portable:
+    DuckDB's length() counts codepoints like pc.utf8_length, strlen()
+    counts bytes like pc.binary_length, substr() slices codepoints like
+    pc.utf8_slice_codeunits."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return docs.select("doc_id", "text").mapInArrow(
+        _doc_stats_arrow, "doc_id bigint, n_chars int, n_bytes int, head16 string"
     )
