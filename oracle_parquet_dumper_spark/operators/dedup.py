@@ -229,17 +229,31 @@ def _minhash_sig_sql(source_cte: str = "documents") -> str:
     )"""
 
 
+def _band_eq_sql(a: str = "a", b: str = "b") -> str:
+    """OR-over-bands collision predicate between two mh_sig aliases."""
+    rpb = N_MINHASH // N_BANDS
+    return " OR ".join(
+        "("
+        + " AND ".join(f"{a}.h{bd * rpb + r} = {b}.h{bd * rpb + r}" for r in range(rpb))
+        + ")"
+        for bd in range(N_BANDS)
+    )
+
+
+def _agree_sql(a: str = "a", b: str = "b") -> str:
+    """Count of agreeing minhash components between two mh_sig aliases."""
+    return " + ".join(
+        f"(CASE WHEN {a}.h{i} = {b}.h{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+
+
 def _minhash_pairs_sql(source_cte: str = "documents") -> str:
     """(a, b, est_jaccard) candidate pairs: any of the N_BANDS bands
     fully agreeing, verified by the fraction of agreeing minhashes.  The
     SQL twin states band collision declaratively (OR over band-equality
     conjunctions); Spark's explode+equi-join computes the same set."""
-    rpb = N_MINHASH // N_BANDS
-    band_eq = " OR ".join(
-        "(" + " AND ".join(f"a.h{b * rpb + r} = b.h{b * rpb + r}" for r in range(rpb)) + ")"
-        for b in range(N_BANDS)
-    )
-    agree = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH))
+    band_eq = _band_eq_sql()
+    agree = _agree_sql()
     return f"""
     mh_pairs AS (
       SELECT a.doc_id AS a, b.doc_id AS b,
@@ -1533,4 +1547,152 @@ def dedup_embedding_cosine_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFra
         pairs.where(F.col("cos") >= 0.3)
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.max("cos").alias("best_cos"))
+    )
+
+
+# --- incremental dedup: new batch vs existing corpus -----------------------
+
+INC_MOD = 7  # doc_id % INC_MOD == 0 plays the incoming batch; rest is corpus
+
+
+def _incremental_oracle() -> str:
+    band_eq = _band_eq_sql("a", "b")
+    agree = _agree_sql("a", "b")
+    return f"""
+    WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % {INC_MOD} = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % {INC_MOD} != 0),
+    exact_hit AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS matched_id
+      FROM newb n JOIN corpus c ON md5(n.text) = md5(c.text)
+      GROUP BY n.doc_id
+    ),
+    sig_src AS (
+      SELECT doc_id, text FROM newb
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)
+      UNION ALL
+      SELECT doc_id, text FROM corpus
+    ),
+    {_minhash_sig_sql("sig_src")},
+    near_hit AS (
+      SELECT a.doc_id, MIN(b.doc_id) AS matched_id
+      FROM mh_sig a JOIN mh_sig b
+        ON a.doc_id % {INC_MOD} = 0 AND b.doc_id % {INC_MOD} != 0 AND ({band_eq})
+      WHERE ({agree}) / {float(N_MINHASH)} >= 0.5
+      GROUP BY a.doc_id
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN h.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS verdict,
+           coalesce(e.matched_id, h.matched_id) AS matched_id
+    FROM newb n
+    LEFT JOIN exact_hit e ON n.doc_id = e.doc_id
+    LEFT JOIN near_hit h ON n.doc_id = h.doc_id
+    """
+
+
+@query(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an INCOMING BATCH of documents
+    against the EXISTING CORPUS as exact_dup / near_dup / novel (with
+    the smallest matching corpus doc as evidence) — the per-crawl
+    admission step of a continuously-growing training corpus, where
+    re-deduplicating 100 TB from scratch per batch is not an option.
+
+    Two tiers, cheap first, each touching only what the previous tier
+    let through:
+
+    1. exact  — md5(text) anti/equi-join.  Only 16-byte digests of the
+       corpus shuffle; at scale the corpus digest set is a stored
+       index, not a recomputation.
+    2. near   — MinHash band buckets (the dedup_minhash_lsh machinery)
+       of the surviving batch docs, joined against corpus buckets.
+       The batch side is bounded (one crawl), so its exploded band
+       rows BROADCAST: the corpus-side signature scan streams past it
+       with no corpus shuffle at all — the join cost is O(corpus) map
+       work however big the corpus, and at 100 TB the corpus band
+       index would itself be a stored table, making the whole step
+       O(batch).
+
+    Asymmetry note: unlike the self-join flagship there is no a < b
+    tie-break — every (batch, corpus) collision is eligible, and
+    MIN(corpus doc_id) per batch doc is the deterministic evidence
+    row.  All arithmetic is the md5/affine integer family — bit-exact
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    newb = d.where(F.col("doc_id") % INC_MOD == 0).select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % INC_MOD != 0).select("doc_id", "text")
+
+    # tier 1: exact digest hit (min corpus doc per digest as evidence)
+    corp_dig = corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("matched_id")
+    )
+    new_dig = newb.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    exact_hit = new_dig.join(corp_dig, "h").select("doc_id", "matched_id")
+
+    # tier 2: LSH bands of surviving batch docs vs corpus bands
+    rest = newb.join(exact_hit, "doc_id", "left_anti")
+    sig_new = minhash_signatures_df(rest)
+    sig_corp = minhash_signatures_df(corpus)
+    rpb = N_MINHASH // N_BANDS
+
+    def band_rows(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.element_at("sig", b * rpb + r + 1).cast("string")
+                                    for r in range(rpb)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    new_bands = band_rows(sig_new).select(
+        F.col("doc_id").alias("n_id"), F.col("sig").alias("sig_n"), "band", "bucket"
+    )
+    corp_bands = band_rows(sig_corp).select(
+        F.col("doc_id").alias("c_id"), F.col("sig").alias("sig_c"), "band", "bucket"
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(float(N_MINHASH))
+    near_hit = (
+        corp_bands.join(F.broadcast(new_bands), ["band", "bucket"])
+        .select("n_id", "c_id", "sig_n", "sig_c")
+        .dropDuplicates(["n_id", "c_id"])
+        .where(est >= 0.5)
+        .groupBy(F.col("n_id").alias("doc_id"))
+        .agg(F.min("c_id").alias("matched_id"))
+    )
+
+    e = exact_hit.select("doc_id", F.col("matched_id").alias("m_e"))
+    h = near_hit.select("doc_id", F.col("matched_id").alias("m_n"))
+    return (
+        newb.select("doc_id")
+        .join(e, "doc_id", "left")
+        .join(h, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("m_e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("m_n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("m_e", "m_n").alias("matched_id"),
+        )
     )

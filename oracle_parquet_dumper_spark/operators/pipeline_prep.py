@@ -351,3 +351,89 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_id_runs"),
         F.size(F.regexp_extract_all("c_name", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
     )
+
+
+# --- deterministic global shuffle (training-order assignment) --------------
+
+SHUF_SEED = "epoch-0"      # changing the seed string re-deals the whole order
+SHUF_BUCKETS = 64          # range buckets; offsets relation has exactly this many rows
+SHUF_SHARDS = 16           # output dataloader shards
+_SHUF_RANGE = (1 << 60) // SHUF_BUCKETS  # md5-60bit hash space per bucket
+
+
+@query(
+    "pipeline_global_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('{SHUF_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
+      FROM h
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+           CAST(idx % {SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(idx // {SHUF_SHARDS} AS BIGINT) AS pos
+    FROM idx
+    """,
+    tags=("pipeline", "shuffle", "split"),
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort
+    or a driver round-trip: every doc gets a dense index 0..N-1 in
+    seeded-hash order, then a dataloader (shard, pos) assignment.
+
+    The oracle states it as ``row_number() OVER (ORDER BY h)`` — a
+    single-partition window that is exactly what must NOT run at 100 TB.
+    The Spark plan computes the identical permutation in three bounded
+    steps (the distributed zipWithIndex pattern):
+
+    1. range-bucket each row by the TOP bits of a seeded md5 hash
+       (bucket boundaries are h-ranges, so bucket order == hash order);
+    2. per-bucket row counts -> running-total offsets.  This window is
+       single-partition but touches exactly SHUF_BUCKETS rows whatever
+       the corpus size (the clean_length_band convention); it never
+       sees data rows;
+    3. broadcast the {SHUF_BUCKETS}-row offset relation back and add a
+       per-bucket ``row_number`` (partitioned window, one sort per
+       bucket — at scale, one reducer per bucket, more buckets = more
+       parallelism).
+
+    idx -> (idx % shards, idx // shards) round-robins adjacent docs to
+    different shards, so every shard sees a uniform sample of the
+    hash-shuffled order — the property dataloaders need.  Everything is
+    integer/md5 arithmetic: bit-exact across engines, re-dealable by
+    changing SHUF_SEED."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{SHUF_SEED}:"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # integer div, NOT /: h is up to 2^60 and double division loses
+    # exactness past 2^53, which would mis-bucket hash-range boundaries
+    hb = d.select("doc_id", h.alias("h")).withColumn(
+        "b", F.expr(f"h div {_SHUF_RANGE}")
+    )
+    counts = hb.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    off_w = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off")
+    )
+    within_w = W.partitionBy("b").orderBy("h", "doc_id")
+    idx = (
+        hb.join(F.broadcast(offsets), "b")
+        .withColumn("idx", F.col("off") + F.row_number().over(within_w) - 1)
+    )
+    return idx.select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        (F.col("idx") % SHUF_SHARDS).cast("long").alias("shard"),
+        F.expr(f"idx div {SHUF_SHARDS}").cast("long").alias("pos"),
+    )

@@ -584,3 +584,30 @@ def test_connected_components_rejects_unknown_strategy(spark):
     df = spark.createDataFrame([(1, 2)], ["a", "b"])
     with pytest.raises(ValueError, match="strategy"):
         connected_components(df, strategy="bogus")
+
+
+def test_dedup_incremental_planted_verdicts(spark, tmp_path):
+    """The fixture corpus has no exact duplicates, so plant all three
+    verdict tiers: doc 7 (batch, INC_MOD=7) is an exact copy of corpus
+    doc 1, doc 14 is a one-word edit of corpus doc 2, doc 21 is novel.
+    Evidence must be the SMALLEST matching corpus doc (doc 1 also
+    duplicates doc 3 — matched_id must be 1, not 3)."""
+    docs = spark.createDataFrame(
+        [
+            (1, BASE, "en", "s", len(BASE)),
+            (2, BASE.replace("quick", "rapid"), "en", "s", 3),
+            (3, BASE, "en", "s", len(BASE)),  # corpus-internal dup of 1
+            (7, BASE, "en", "s", len(BASE)),  # batch: exact dup of 1 (and 3)
+            (14, NEAR, "en", "s", len(NEAR)),  # batch: near dup of 2 (1 edit)
+            (21, FAR, "en", "s", len(FAR)),  # batch: novel
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    rows = {r.doc_id: r for r in REGISTRY["dedup_incremental"].fn(spark, str(tmp_path)).collect()}
+    assert set(rows) == {7, 14, 21}
+    assert (rows[7].verdict, rows[7].matched_id) == ("exact_dup", 1)
+    assert rows[14].verdict == "near_dup" and rows[14].matched_id in (1, 2, 3)
+    assert (rows[21].verdict, rows[21].matched_id) == ("novel", None)
