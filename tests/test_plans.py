@@ -178,3 +178,62 @@ def test_embedding_lsh_reused_band_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_global_shuffle_no_full_data_single_partition_window(spark, sf_dir):
+    """pipeline_global_shuffle's data-row window must be partitioned by
+    the hash bucket; the only SinglePartition exchange feeds the
+    64-row-max bucket-offsets relation (counts), never document rows."""
+    plan = plan_of(spark, sf_dir, "pipeline_global_shuffle")
+    # per-bucket row_number: window partitioned on b
+    assert "row_number()" in plan
+    assert "hashpartitioning(b#" in plan
+    # the offsets join comes back as a broadcast, not a shuffle of data rows
+    assert "BroadcastHashJoin" in plan
+    # the single-partition exchange exists (offsets running total) but its
+    # input is an aggregate over buckets, not the document scan: the scan
+    # feeds a hashpartitioning exchange first.
+    assert "SinglePartition" in plan
+
+
+def test_incremental_dedup_broadcasts_batch_bands(spark, sf_dir):
+    """dedup_incremental: the band-bucket join must broadcast the
+    (bounded) incoming-batch side so the corpus never shuffles for it."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "BroadcastHashJoin [band#" in plan  # (band, bucket) keys, batch side built
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """The 100 TB semi-join-reduction story (SCALING.md: 'bloom-
+    filterable at 100 TB'): with a selective creation side, Spark's
+    InjectRuntimeFilter rewrites the big-side scan to
+    might_contain(bloom_filter_agg(...)) BEFORE the shuffle join.  The
+    application-side size threshold defaults to 10 GiB — sized for
+    exactly the at-scale regime — so fixture-sized scans must lower it
+    to observe the rewrite; production clusters hit it on defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
