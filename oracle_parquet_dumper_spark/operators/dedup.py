@@ -1595,6 +1595,7 @@ def _incremental_oracle() -> str:
     "dedup_incremental",
     oracle=_incremental_oracle(),
     tags=("dedup", "lsh", "incremental"),
+    bench=True,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: classify an INCOMING BATCH of documents
