@@ -21,8 +21,21 @@ the reference's one-shot export).
 from __future__ import annotations
 
 import hashlib
+import sys as _sys
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark import cloudpickle as _cloudpickle
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+# Ship the source classes by value: executor Python workers must not
+# need this package importable (same convention as operators/udfs.py) —
+# a DataSource pickled by reference breaks the moment the driver's cwd
+# isn't the repo root.
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
 _WORDS = (
     "the a of and to in data spark table row scan filter join agg window "
@@ -30,6 +43,15 @@ _WORDS = (
 ).split()
 
 SYNTH_SCHEMA = "doc_id bigint, shard int, text string, n_words int"
+
+
+def _doc_row(seed: str, shard: int, doc_id: int) -> tuple:
+    """The single row-content definition both the batch and stream
+    readers share: content depends only on (seed, doc_id)."""
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).digest()
+    n_words = 5 + h[0] % 20
+    words = [_WORDS[h[(1 + i) % 16] % len(_WORDS)] for i in range(n_words)]
+    return (doc_id, shard, " ".join(words), n_words)
 
 
 class _ShardPartition(InputPartition):
@@ -55,12 +77,7 @@ class SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition: _ShardPartition):
         for doc_id in range(partition.start, partition.end):
-            h = hashlib.md5(f"{self.seed}:{doc_id}".encode()).digest()
-            n_words = 5 + h[0] % 20
-            words = [
-                _WORDS[h[(1 + i) % 16] % len(_WORDS)] for i in range(n_words)
-            ]
-            yield (doc_id, partition.shard, " ".join(words), n_words)
+            yield _doc_row(self.seed, partition.shard, doc_id)
 
 
 class SyntheticDocsSource(DataSource):
@@ -77,6 +94,57 @@ class SyntheticDocsSource(DataSource):
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
 
+    def streamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register_synthetic_docs(spark) -> None:
     spark.dataSource.register(SyntheticDocsSource)
+
+
+# --- streaming reader (Spark 4 Python DataSource streaming, SPARK-45023) ---
+
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same deterministic doc space: each
+    ``latestOffset`` call advances the available range by
+    ``rows_per_batch``; every micro-batch's range is split into the
+    same shard partitions as the batch reader, so executors generate
+    only their slice.  Offsets are ``{"row": n}`` dicts — the
+    engine-checkpointable progress record; on restart Spark replays
+    from the committed offset and determinism guarantees the replayed
+    rows are identical (exactly-once with an idempotent sink).
+
+    Row content is shared with ``SyntheticDocsReader`` (same
+    seed:doc_id hash), asserted stream==batch in
+    tests/test_pydatasource.py — the same equivalence discipline as
+    streaming/ops.py's batch twins."""
+
+    def __init__(self, options):
+        self.n_shards = int(options.get("shards", 4))
+        self.rows_per_batch = int(options.get("rows_per_batch", 20))
+        self.max_rows = int(options.get("max_rows", 100))
+        self.seed = options.get("seed", "0")
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        per = -(-(hi - lo) // self.n_shards)  # ceil split of this batch
+        return [
+            _ShardPartition(s, lo + s * per, min(lo + (s + 1) * per, hi))
+            for s in range(self.n_shards)
+            if lo + s * per < hi
+        ]
+
+    def read(self, partition: _ShardPartition):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_row(self.seed, partition.shard, doc_id)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up: generation is stateless

@@ -48,3 +48,40 @@ def test_synthetic_source_feeds_engine_queries(spark):
     assert sum(r.n for r in agg) == 300
     assert len(agg) == 4
     assert SYNTH_SCHEMA.startswith("doc_id")
+
+
+def test_synthetic_stream_reader_matches_batch(spark, tmp_path):
+    """Streaming micro-batches over the same doc space must reproduce
+    the batch read exactly (same _doc_row content), arriving across
+    multiple micro-batches with checkpointed {"row": n} offsets."""
+    register_synthetic_docs(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 17)
+        .option("max_rows", 60)
+        .option("shards", 3)
+        .option("seed", "st")
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # rows_per_batch < max_rows forces multiple micro-batches (17, 17,
+    # 17, 9); poll the sink until the stream catches up to max_rows.
+    import time
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table("synth_stream").count() < 60:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
+    got = sorted(map(tuple, spark.table("synth_stream").drop("shard").collect()))
+    want = sorted(map(tuple, _read(spark, rows=60, seed="st").drop("shard").collect()))
+    assert got == want and len(got) == 60
