@@ -148,3 +148,107 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to clean up: generation is stateless
+
+
+# --- writer pair (batch + streaming sink, SPARK-45430 family) --------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import DataSourceStreamWriter, DataSourceWriter, WriterCommitMessage
+
+
+@_dataclass
+class _ShardCommit(WriterCommitMessage):
+    """One task's staged file: (staged temp path, rows written)."""
+
+    staged: str
+    rows: int
+
+
+class _JsonlShardWriterBase:
+    """Two-phase JSONL shard sink — the adapter shape for in-house
+    sinks with no Hadoop committer.  Tasks stage to
+    ``<path>/_staged/<uuid>.jsonl`` and report a commit message; ONLY
+    the driver-side ``commit`` renames staged files into place, so a
+    failed/speculative task leaves garbage in ``_staged/`` but never a
+    visible file — the same crash-consistency contract as
+    exporter.py's incremental manifest (rename-as-commit).  ``abort``
+    deletes its tasks' staged files.
+
+    Path semantics: ``path`` must be storage every task AND the driver
+    can reach (shared FS, fuse mount, or an object-store/service client
+    in place of ``open``/``os.replace``).  local[*] satisfies this
+    trivially; the point of the class is the two-phase commit shape,
+    which is what an in-house sink has to reproduce."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards sink requires .option('path', ...)")
+
+    def _stage_rows(self, iterator):
+        _os.makedirs(_os.path.join(self.path, "_staged"), exist_ok=True)
+        staged = _os.path.join(self.path, "_staged", f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str, sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _ShardCommit(staged=staged, rows=n)
+
+    def _publish(self, messages, prefix: str) -> None:
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = _os.path.join(self.path, f"{prefix}shard_{i:05d}.jsonl")
+            _os.replace(m.staged, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged):
+                _os.remove(m.staged)
+
+
+class JsonlShardBatchWriter(_JsonlShardWriterBase, DataSourceWriter):
+    def write(self, iterator):
+        return self._stage_rows(iterator)
+
+    def commit(self, messages) -> None:
+        self._publish(messages, prefix="")
+
+
+class JsonlShardStreamWriter(_JsonlShardWriterBase, DataSourceStreamWriter):
+    """Streaming flavor: files are published under a per-micro-batch
+    prefix, so replaying a batch after a crash-before-commit overwrites
+    the same names instead of duplicating rows — idempotent exactly-once
+    on top of the engine's offset checkpointing."""
+
+    def write(self, iterator):
+        return self._stage_rows(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._publish(messages, prefix=f"batch_{batchId:06d}_")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
+        _JsonlShardWriterBase.abort(self, messages)
+
+
+class JsonlShardsSink(DataSource):
+    """``df.write.format("jsonl_shards").option("path", dir)`` (and
+    ``writeStream`` ditto) after ``register_jsonl_shards(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardBatchWriter:
+        return JsonlShardBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlShardStreamWriter:
+        return JsonlShardStreamWriter(self.options)
+
+
+def register_jsonl_shards(spark) -> None:
+    spark.dataSource.register(JsonlShardsSink)

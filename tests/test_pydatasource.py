@@ -85,3 +85,77 @@ def test_synthetic_stream_reader_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table("synth_stream").drop("shard").collect()))
     want = sorted(map(tuple, _read(spark, rows=60, seed="st").drop("shard").collect()))
     assert got == want and len(got) == 60
+
+
+def test_jsonl_sink_batch_two_phase_commit(spark, tmp_path):
+    """Batch write through the Python DataSource sink: staged files are
+    published atomically on commit; the staging area holds no visible
+    shards afterwards; content round-trips."""
+    import json
+    import os
+
+    from oracle_parquet_dumper_spark.sources.pydatasource import register_jsonl_shards
+
+    register_synthetic_docs(spark)
+    register_jsonl_shards(spark)
+    out = str(tmp_path / "sink")
+    df = _read(spark, rows=50, shards=3, seed="w1")
+    df.write.format("jsonl_shards").option("path", out).mode("append").save()
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert len(shards) == 3 and all(f.startswith("shard_") for f in shards)
+    assert os.listdir(os.path.join(out, "_staged")) == []
+    rows = []
+    for f in shards:
+        with open(os.path.join(out, f), encoding="utf-8") as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["doc_id"] for r in rows) == list(range(50))
+    want = {r.doc_id: r.text for r in df.collect()}
+    assert all(want[r["doc_id"]] == r["text"] for r in rows)
+
+
+def test_jsonl_sink_streaming_per_batch_prefix(spark, tmp_path):
+    """Streaming write: each micro-batch publishes under its batchId
+    prefix (replay-idempotent names), and the full stream equals the
+    batch read."""
+    import json
+    import os
+    import time
+
+    from oracle_parquet_dumper_spark.sources.pydatasource import register_jsonl_shards
+
+    register_synthetic_docs(spark)
+    register_jsonl_shards(spark)
+    out = str(tmp_path / "stream_sink")
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 25)
+        .option("max_rows", 50)
+        .option("shards", 2)
+        .option("seed", "w2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_shards")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        def _rows():
+            if not os.path.isdir(out):
+                return []
+            acc = []
+            for f in sorted(os.listdir(out)):
+                if f.endswith(".jsonl"):
+                    with open(os.path.join(out, f), encoding="utf-8") as fh:
+                        acc += [json.loads(l) for l in fh]
+            return acc
+        while time.time() < deadline and len(_rows()) < 50:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert len({f.split("_shard_")[0] for f in files}) >= 2  # >=2 micro-batch prefixes
+    rows = _rows()
+    assert sorted(r["doc_id"] for r in rows) == list(range(50))
