@@ -779,3 +779,33 @@ def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(r"\?").alias("has_question"),
         F.regexp_replace("text", r"[0-9]+", "#").alias("digits_masked"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           json_type(json(props)) = 'OBJECT' AS is_object
+    FROM events WHERE event_id % 11 = 0
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4): ``parse_json`` once into the binary
+    variant encoding, then typed ``variant_get`` path reads.  Against
+    ``get_json_object`` (fn_json), which re-parses the JSON string per
+    extraction, a variant column parses ONCE and every subsequent path
+    read is a cheap binary traversal — the right storage shape when a
+    props payload is read by many queries (parse at ingest, store
+    VARIANT in parquet, prune paths at scan).  The DuckDB twin uses its
+    native JSON type the same way."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_val"),
+        (F.expr("variant_get(v, '$.k', 'bigint')") % 10).alias("k_mod"),
+        F.expr("schema_of_variant(v)").startswith("OBJECT").alias("is_object"),
+    )
