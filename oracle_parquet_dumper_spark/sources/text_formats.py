@@ -72,6 +72,29 @@ def write_orc(
     df.write.mode(mode).option("compression", compression).orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema: T.StructType | None = None, **options
+) -> DataFrame:
+    """Native XML source (Spark 4, SPARK-44265 — the former spark-xml
+    connector folded into core): schema inference over rowTag elements,
+    attributes as `_attr` columns.  Row-tag parsing cannot split inside
+    an element, so files split safely across executors like JSON lines."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows", mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)
+
+
 def _require_avro(spark: SparkSession) -> None:
     # Resolve through Spark's own DataSource registry — the class file can
     # be present without the format being deployable, so Class.forName is

@@ -92,3 +92,15 @@ def test_events_ns_timestamp_matches_duckdb(spark, sf_dir, duck):
         ).fetchall()
     }
     assert got == expect
+
+
+def test_xml_roundtrip(spark, smoke_sf_dir, tmp_path):
+    """Native XML (Spark 4): write nation with custom row/root tags,
+    read back with explicit schema, content identical."""
+    from oracle_parquet_dumper_spark.sources.text_formats import read_xml, write_xml
+
+    nation = spark.read.parquet(f"{smoke_sf_dir}/nation.parquet")
+    p = str(tmp_path / "nation_xml")
+    write_xml(nation, p, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, p, row_tag="nation", schema=nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
