@@ -56,19 +56,28 @@ def main() -> int:
         )
 
     names = sorted(only & set(oracles) if only else oracles)
+    # SWEEP_PROGRESS=1 streams one flushed line per query — long sweeps
+    # stay observable (and resumable by passing the remaining names)
+    # even if the run is killed before the summary prints.
+    progress = os.environ.get("SWEEP_PROGRESS") == "1"
     bad = 0
+    import time as _time
+
     for name in names:
+        t0 = _time.monotonic()
         try:
             got = row_hash(queries[name](spark, sf_dir).toPandas())
             want = row_hash(con.sql(oracles[name]).df())
         except Exception as exc:  # noqa: BLE001 - report and continue
-            print(f"{name}: ERR {type(exc).__name__}: {str(exc)[:160]}")
+            print(f"{name}: ERR {type(exc).__name__}: {str(exc)[:160]}", flush=True)
             bad += 1
             continue
         if got != want:
-            print(f"{name}: MISMATCH spark={got} oracle={want}")
+            print(f"{name}: MISMATCH spark={got} oracle={want}", flush=True)
             bad += 1
-    print(f"{sf_dir}: {len(names) - bad}/{len(names)} oracle queries ok")
+        elif progress:
+            print(f"{name}: ok {_time.monotonic() - t0:.1f}s", flush=True)
+    print(f"{sf_dir}: {len(names) - bad}/{len(names)} oracle queries ok", flush=True)
     return bad
 
 
