@@ -116,3 +116,172 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("conversion_rate"),
         )
     )
+
+
+# Gap-fill keeps a deterministic 1-in-N user slice so the output stays
+# ~(users/N) x hours at every SF (sf1 sweep collects results; unbounded
+# spines are the class of blow-up the sweep caught in round 4).
+GAPFILL_USER_MOD = 10
+GAPFILL_USER_REM = 3
+
+
+@query(
+    "ts_gapfill_interpolate",
+    oracle=f"""
+    WITH present AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, MAX(value) AS v
+      FROM events WHERE user_id % {GAPFILL_USER_MOD} = {GAPFILL_USER_REM}
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM present GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    g AS (
+      SELECT s.user_id, s.h, p.v, row_number() OVER w AS idx
+      FROM spine s LEFT JOIN present p USING (user_id, h)
+      WINDOW w AS (PARTITION BY s.user_id ORDER BY s.h)
+    ),
+    f AS (
+      SELECT user_id, h, v, idx,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS pi,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS ni
+      FROM g
+      WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:00') AS hour,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+      END AS v_filled,
+      CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS was_present
+    FROM f
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with linear interpolation: per-user hourly
+    buckets between each user's first and last active hour; missing
+    hours are generated with ``sequence``+``explode`` (no driver loop)
+    and filled by interpolating between the nearest present neighbours
+    (ignore-nulls ``last``/``first`` window frames), falling back to
+    nearest-value extrapolation at the edges.
+
+    Scale shape: the event log is reduced map-side FIRST — the partial
+    (user_id, hour) max combines before anything shuffles, so both
+    exchanges move per-hour rows, not raw events.  Every later stage
+    keys on a user_id prefix (bounds agg, spine join, both window
+    frames), so the join output's user_id partitioning feeds the window
+    sorts with no further exchange; the spine explode is map-side over
+    the one-row-per-user bounds relation.
+    The hour bucket value is MAX(value) (order-independent, bit-exact
+    cross-engine); the interpolation arithmetic mirrors the oracle
+    expression shape exactly so both engines emit identical doubles.
+    No reference counterpart (the reference exports tables as-is,
+    main.py:144-146); Part B timeseries extension."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % GAPFILL_USER_MOD == GAPFILL_USER_REM
+    )
+    present = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max("value").alias("v"))
+    spine = (
+        present.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    wo = W.partitionBy("user_id").orderBy("h")
+    g = spine.join(present, ["user_id", "h"], "left").withColumn(
+        "idx", F.row_number().over(wo)
+    )
+    wp = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = wo.rowsBetween(W.currentRow, W.unboundedFollowing)
+    idx_if_present = F.when(F.col("v").isNotNull(), F.col("idx"))
+    f = g.select(
+        "user_id",
+        "h",
+        "v",
+        "idx",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(idx_if_present, ignorenulls=True).over(wp).alias("pi"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(idx_if_present, ignorenulls=True).over(wn).alias("ni"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("idx") - F.col("pi")).cast("double")
+        / (F.col("ni") - F.col("pi")).cast("double")
+    )
+    return f.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("v_filled"),
+        F.when(F.col("v").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_present"),
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             date_diff('microsecond', date_trunc('hour', ts), ts) * 1000000000
+               + event_id AS ord,
+             value
+      FROM events
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:00') AS hour,
+           arg_min(value, ord) AS open_v, MAX(value) AS high_v,
+           MIN(value) AS low_v, arg_max(value, ord) AS close_v,
+           COUNT(*) AS n_events
+    FROM b GROUP BY user_id, h
+    """,
+    tags=("agg", "events", "timeseries"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample per user: open/close via min_by/max_by on
+    a within-bucket ordering key, high/low via plain min/max — the
+    standard market-data/metrics resample as ONE partial-aggregated
+    groupBy (no window, no sort; every aggregate combines map-side).
+
+    The ordering key folds the within-hour microsecond offset and the
+    unique event_id into one BIGINT (offset_us * 1e9 + event_id, no
+    overflow: < 3.6e18), because argmin/argmax tie-breaking on equal
+    timestamps is engine-defined — same determinism rule as
+    agg_max_min_by.  Output rows are bounded by distinct (user, hour)
+    buckets, not events.  No reference counterpart; Part B timeseries
+    extension alongside ts_gapfill_interpolate."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    ord_key = (
+        F.timestamp_diff("MICROSECOND", h, F.col("ts")) * F.lit(1000000000).cast("long")
+        + F.col("event_id")
+    )
+    b = ev.select(
+        "user_id", h.alias("h"), ord_key.alias("ord"), "value"
+    )
+    return b.groupBy("user_id", "h").agg(
+        F.min_by("value", F.col("ord")).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", F.col("ord")).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "open_v", "high_v", "low_v", "close_v", "n_events",
+    )

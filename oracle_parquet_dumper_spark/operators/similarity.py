@@ -21,7 +21,7 @@ from oracle_parquet_dumper_spark.functions.vectors import (
     cosine_rounded_sql,
     dot,
 )
-from oracle_parquet_dumper_spark.plans.registry import query
+from oracle_parquet_dumper_spark.plans.registry import dec_sum_sql, query
 from oracle_parquet_dumper_spark.sources.tables import load_table
 
 QUERY_VEC_ID = 0
@@ -633,3 +633,67 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("qid", "vec_id", "cos", F.col("rn").cast("long").alias("rn"))
     )
+
+
+MAXSIM_N_QUERY_VECS = 8
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings WHERE vec_id < {MAXSIM_N_QUERY_VECS}
+    ),
+    per_q AS (
+      SELECT e.label, q.qid,
+             MAX({cosine_rounded_sql('e.embedding', 'q.qvec')}) AS best_cos
+      FROM embeddings e CROSS JOIN q
+      GROUP BY e.label, q.qid
+    )
+    SELECT label, {dec_sum_sql('best_cos')} AS maxsim
+    FROM per_q GROUP BY label
+    """,
+    tags=("similarity", "multimodal"),
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim: the query is a MULTI-vector
+    ({MAXSIM_N_QUERY_VECS} token embeddings, vec_id < {MAXSIM_N_QUERY_VECS});
+    each candidate "document" is the multi-vector group of one label.
+    score(doc) = sum over query tokens of max over doc vectors of cosine.
+
+    Scale shape: the query side is a fixed-size broadcast, so scoring is
+    ONE map-side pass over the corpus (n_q * n rows, linear in n — never
+    doc x doc), a partial-aggregated MAX per (label, token), then a
+    token-count-bounded SUM per label.  Per-row norms and the
+    array<double> cast are hoisted before the broadcast join (one fold
+    per pair, see functions/vectors.py); the final sum goes through
+    decimal on rounded cosines, so it is order-independent and bit-exact
+    cross-engine.  No reference counterpart; Part B similarity-search
+    extension (multi-vector retrieval scoring used by late-interaction
+    retrievers over multimodal/token embeddings)."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+    from oracle_parquet_dumper_spark.plans.registry import dec_sum
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        as_double("embedding").alias("vd"),
+        norm("embedding").alias("nd"),
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < MAXSIM_N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("qid"),
+            as_double("embedding").alias("vq"),
+            norm("embedding").alias("nq"),
+        )
+    )
+    per_q = (
+        e.crossJoin(F.broadcast(q))
+        .select("label", "qid", cosine_prenormed("vd", "vq", "nd", "nq").alias("cos"))
+        .groupBy("label", "qid")
+        .agg(F.max("cos").alias("best_cos"))
+    )
+    return per_q.groupBy("label").agg(dec_sum("best_cos").alias("maxsim"))

@@ -17,6 +17,7 @@ from oracle_parquet_dumper_spark.operators import (  # noqa: F401,E402
     events_analytics,
     graph,
     iterative,
+    layout_queries,
     multimodal,
     pipeline_prep,
     profiling,
@@ -37,6 +38,7 @@ OPERATOR_MODULES = [
     events_analytics,
     graph,
     iterative,
+    layout_queries,
     multimodal,
     pipeline_prep,
     profiling,

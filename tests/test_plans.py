@@ -237,3 +237,35 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gapfill_partial_agg_before_exchanges(spark, sf_dir):
+    """ts_gapfill_interpolate must reduce the event log map-side before
+    anything shuffles (partial max under every exchange) and feed both
+    window frames from the join's user_id partitioning — no exchange
+    between the join and the Window operators."""
+    plan = plan_of(spark, sf_dir, "ts_gapfill_interpolate")
+    assert "partial_max" in plan
+    # windows run on the join output without re-shuffling: no Exchange
+    # line may appear above (before, in print order) the first Window
+    first_window = plan.index("Window")
+    assert "Exchange" not in plan[:first_window]
+
+
+def test_maxsim_broadcasts_query_tokens(spark, sf_dir):
+    """sim_maxsim_multivector: fixed-size query side is broadcast (one
+    map-side pass over the corpus, never a doc x doc shuffle) and the
+    per-(label, token) max partial-aggregates before its exchange."""
+    plan = plan_of(spark, sf_dir, "sim_maxsim_multivector")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan
+
+
+def test_zorder_tiles_broadcast_minmax_single_scan(spark, sf_dir):
+    """layout_zorder_tiles: the min/max scaling bounds come from an
+    in-plan broadcast one-row aggregate (no driver collect) and the
+    Morton key + tile rollup partial-aggregates map-side."""
+    plan = plan_of(spark, sf_dir, "layout_zorder_tiles")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
