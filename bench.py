@@ -45,9 +45,20 @@ def main() -> None:
     specs = plans.bench_queries()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    import gc
+
     for name, spec in sorted(specs.items()):
         runs = []
         for _ in range(reps):
+            # Drain leftovers from the PREVIOUS run outside the timed
+            # region: iterative queries eagerly localCheckpoint interim
+            # relations whose blocks are only freed when the async
+            # ContextCleaner notices the Python refs died — left alone,
+            # that cleanup (and the executor-memory pressure it relieves)
+            # lands randomly inside later timings and shows up as ±30%
+            # phantom swings on byte-identical plans.
+            gc.collect()
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(spec.fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
