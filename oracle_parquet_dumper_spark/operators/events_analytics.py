@@ -285,3 +285,87 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
         "open_v", "high_v", "low_v", "close_v", "n_events",
     )
+
+
+FUNNEL3_WINDOW_HOURS = 24
+
+
+@query(
+    "events_window_funnel_3step",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+        AND e.ts < v.t1 + INTERVAL {FUNNEL3_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN c ON e.user_id = c.user_id
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        AND e.ts < v.t1 + INTERVAL {FUNNEL3_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ),
+    s AS (
+      SELECT v.user_id,
+             1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS steps
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT steps, COUNT(*) AS n_users FROM s GROUP BY steps
+    """,
+    tags=("agg", "events", "join"),
+)
+def events_window_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step window funnel (the ClickHouse ``windowFunnel`` shape):
+    view -> click -> purchase must occur in strict chronological order,
+    all within {FUNNEL3_WINDOW_HOURS}h of the user's FIRST view (the
+    deterministic anchor — greedy earliest-next-step chaining).  Output
+    is the per-step user histogram.
+
+    Scale shape: every stage is a per-user MIN aggregate or a join on
+    user_id — one shuffle key end to end, each stage's relation is
+    distinct-users-sized, and the time window is a residual predicate
+    (no per-user sort, no window function over raw events)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {FUNNEL3_WINDOW_HOURS} HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & (F.col("ts") < F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") < F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        F.lit(1)
+        + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+    )
+    s = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(steps.alias("steps"))
+    )
+    return s.groupBy("steps").agg(F.count(F.lit(1)).alias("n_users"))

@@ -20,6 +20,7 @@ from oracle_parquet_dumper_spark.functions.vectors import (
     cosine_rounded,
     cosine_rounded_sql,
     dot,
+    dot_sql,
 )
 from oracle_parquet_dumper_spark.plans.registry import dec_sum_sql, query
 from oracle_parquet_dumper_spark.sources.tables import load_table
@@ -697,3 +698,45 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cos").alias("best_cos"))
     )
     return per_q.groupBy("label").agg(dec_sum("best_cos").alias("maxsim"))
+
+
+@query(
+    "sim_topk_mips",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, round({dot_sql('embedding', 'qvec')}, 6) AS ip
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id != {QUERY_VEC_ID}
+    ORDER BY ip DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity",),
+)
+def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search (MIPS) top-k: unlike cosine, the
+    inner product rewards vector MAGNITUDE (retrieval scorers, reward
+    models), so it needs its own exact baseline — broadcast query, one
+    scan, per-partition heap top-k (TakeOrderedAndProject), same scale
+    shape as sim_topk_bruteforce.
+
+    Scale path note (documented, not a separate query): MIPS reduces to
+    cosine NN by the norm-augmentation transform (Shrivastava & Li
+    2014) — append sqrt(M^2 - |x|^2) to each corpus vector (M = max
+    corpus norm, an in-plan 1-row aggregate) and 0 to the query; the
+    augmented vectors have constant norm M, so the sign-LSH bucketing
+    of sim_ann_lsh applies unchanged at 100 TB."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, dot_d
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(as_double("embedding").alias("qd"))
+    )
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", as_double("embedding").alias("vd"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot_d("vd", "qd"), 6).alias("ip"))
+        .orderBy(F.col("ip").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -539,3 +539,94 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= VOCAB_TOPK)
     )
 
+
+
+PMI_MIN_PAIR_COUNT = 5
+PMI_TOP_K = 20
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH words AS (
+      SELECT list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
+      FROM documents
+    ),
+    toks AS (SELECT unnest(w) AS token FROM words),
+    uni AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    n_tok AS (SELECT COUNT(*) AS n FROM toks),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS bg
+      FROM words
+    ),
+    bi AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS c_ab
+      FROM bigrams GROUP BY bg[1], bg[2]
+    ),
+    n_bi AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS b FROM bi),
+    scored AS (
+      SELECT w1, w2, c_ab,
+             CAST(round(ln((CAST(c_ab AS DOUBLE) * n * n) /
+                           (CAST(b AS DOUBLE) * ua.c * ub.c)) * 1000000) AS BIGINT)
+               AS pmi_micro
+      FROM bi
+      JOIN uni ua ON ua.token = w1
+      JOIN uni ub ON ub.token = w2
+      CROSS JOIN n_tok CROSS JOIN n_bi
+      WHERE c_ab >= {PMI_MIN_PAIR_COUNT}
+    )
+    SELECT w1, w2, c_ab, pmi_micro
+    FROM scored
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+    tags=("text", "ngram"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: top-{PMI_TOP_K}
+    bigrams by PMI(a,b) = ln(p(ab) / (p(a) p(b))) among pairs seen at
+    least {PMI_MIN_PAIR_COUNT} times — the classic phrase detector for
+    tokenizer vocab prep and boilerplate discovery.
+
+    Determinism: PMI is integerized to micro-nats with the single-ln
+    expression shape mirrored between engines (the
+    text_perplexity_unigram convention); corpus totals are in-plan
+    broadcast 1-row aggregates.  Scale shape: token and bigram counts
+    partial-aggregate map-side; the unigram joins key on the bounded
+    vocabulary (not the corpus); top-k is a
+    TakeOrderedAndProject heap, not a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    docs = d.select(w.alias("w"))
+    toks = docs.select(F.explode("w").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n"))
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n1), F.slice("w", 2, n1), lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_bi = bi.agg(F.sum("c_ab").cast("long").alias("b"))
+    ua = uni.select(F.col("token").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("token").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("n") * F.col("n"))
+            / (F.col("b").cast("double") * F.col("ca") * F.col("cb"))
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        bi.where(F.col("c_ab") >= PMI_MIN_PAIR_COUNT)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )

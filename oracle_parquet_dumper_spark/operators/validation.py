@@ -269,3 +269,45 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+@query(
+    "dq_benford_leading_digit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents
+    ),
+    t AS (SELECT COUNT(*) AS total FROM d)
+    SELECT digit, COUNT(*) AS n_orders,
+           (COUNT(*) * 1000000) // MAX(total) AS share_ppm
+    FROM d CROSS JOIN t
+    GROUP BY digit
+    """,
+    tags=("dq", "profile"),
+)
+def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order amounts (the Benford's-law
+    fraud/entry-error screen): histogram of the first significant digit
+    with an EXACT parts-per-million share (integer division — no float
+    rounding to tie-break cross-engine).
+
+    The leading digit is taken from the integer cents value through a
+    BIGINT -> string hop (identical in every engine) instead of
+    log10/pow arithmetic (libm-dependent).  One scan, one 9-row partial
+    aggregate; the total is an in-plan broadcast 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(count(1) * 1000000 DIV max(total) AS BIGINT)").alias("share_ppm"),
+        )
+    )
