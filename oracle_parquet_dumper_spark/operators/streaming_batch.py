@@ -161,3 +161,33 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     n = cust.count()  # dimension cardinality: bounded driver scalar
     return enrich_with_dimension(ev, cust, n)
+
+
+@query(
+    "stream_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             date_diff('microsecond', date_trunc('hour', ts), ts) * 1000000000
+               + event_id AS ord,
+             value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           arg_min(value, ord) AS open_v, MAX(value) AS high_v,
+           MIN(value) AS low_v, arg_max(value, ord) AS close_v,
+           COUNT(*) AS n_events
+    FROM b GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window", "timeseries"),
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked tumbling-hour OHLC stream
+    (streaming/ops.ohlc_tumbling) — identical plan over the static
+    events table; tests/test_streaming.py asserts the streaming
+    execution emits exactly this answer."""
+    from oracle_parquet_dumper_spark.streaming.ops import ohlc_tumbling
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_tumbling(ev.drop("props"))

@@ -174,3 +174,34 @@ def enrich_with_dimension(
             "total_value"
         ),
     )
+
+
+def ohlc_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling 1h OHLC per event type — the streaming form
+    of operators/events_analytics.ts_resample_ohlc.  open/close are
+    min_by/max_by on the same overflow-safe integer ordering key
+    (within-hour microsecond offset * 1e9 + event_id), so argmin/argmax
+    tie-breaks are deterministic and the stream reproduces the batch
+    answer bit-for-bit.  State per window is O(1) per (window, type):
+    declarative aggregates (min_by et al.) merge incrementally; the
+    watermark expires closed windows."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    ord_key = (
+        F.timestamp_diff("MICROSECOND", hour, F.col("ts"))
+        * F.lit(1000000000).cast("long")
+        + F.col("event_id")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("ord", ord_key)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", F.col("ord")).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "open_v", "high_v", "low_v", "close_v", "n_events")
+    )

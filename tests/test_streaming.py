@@ -155,3 +155,11 @@ def test_stream_static_enrich_equals_batch(spark, smoke_sf_dir):
         for r in REGISTRY["stream_static_enrich"].fn(spark, smoke_sf_dir).collect()
     }
     assert got == batch
+
+
+def test_stream_ohlc_equals_batch(spark, smoke_sf_dir):
+    stream = ops.ohlc_tumbling(ops.read_events_stream(spark, smoke_sf_dir))
+    ops.run_to_memory(stream, "t_ohlc")
+    got = spark.table("t_ohlc")
+    expect = ops.ohlc_tumbling(load_table(spark, smoke_sf_dir, "events").drop("props"))
+    assert _normalize(got) == _normalize(expect)
