@@ -358,6 +358,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
+    # Three plan references follow (p, q, closing); without materializing,
+    # Catalyst re-derives the su-self-join -> distinct -> degree-orient
+    # pipeline once PER reference (the audit tool counted 109 exchanges /
+    # 54 scans).  Materialize the oriented edges once — the Spark analog
+    # of the oracle's AS MATERIALIZED CTE.
+    from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+
+    oriented = truncate_lineage(oriented)
     paths = (
         oriented.alias("p")
         .join(oriented.alias("q"), F.col("p.v") == F.col("q.u"))

@@ -91,3 +91,95 @@ def layout_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("sk_hi"),
         )
     )
+
+
+def _hilbert_tiles_sql() -> str:
+    """DuckDB twin of ``hilbert_key(df, [l_partkey, l_suppkey], bits=8)``
+    + tile rollup: the xy->d walk unrolled as one chained CTE per level,
+    mirroring the Spark projections op-for-op (integer-only — no float
+    enters after the initial min-max scaling)."""
+    bits = ZQ_BITS
+    top = (1 << bits) - 1
+    scale = []
+    for i, c in enumerate(("l_partkey", "l_suppkey")):
+        mn, mx = f"mn{i}", f"mx{i}"
+        span = f"(CASE WHEN {mx} > {mn} THEN {mx} - {mn} ELSE 1.0 END)"
+        scale.append(
+            f"LEAST(CAST(FLOOR((CAST({c} AS DOUBLE) - {mn}) / {span} * {top}) "
+            f"AS BIGINT), {top})"
+        )
+    ctes = [
+        f"""lvl{bits} AS (
+      SELECT l_partkey, l_suppkey, {scale[0]} AS x, {scale[1]} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM lineitem CROSS JOIN mm
+    )"""
+    ]
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        prev = f"lvl{lvl + 1}"
+        ctes.append(
+            f"""lvl{lvl} AS (
+      SELECT l_partkey, l_suppkey,
+        CASE WHEN (y & {s}) = 0
+             THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END
+             ELSE x END AS x,
+        CASE WHEN (y & {s}) = 0
+             THEN CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END
+             ELSE y END AS y,
+        d + CAST({s} AS BIGINT) * {s} *
+            CAST(xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                     (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS d
+      FROM {prev}
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH mm AS (
+      SELECT MIN(CAST(l_partkey AS DOUBLE)) AS mn0, MAX(CAST(l_partkey AS DOUBLE)) AS mx0,
+             MIN(CAST(l_suppkey AS DOUBLE)) AS mn1, MAX(CAST(l_suppkey AS DOUBLE)) AS mx1
+      FROM lineitem
+    ),
+    {chain}
+    SELECT d >> {ZQ_TILE_SHIFT} AS tile,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+           MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi
+    FROM lvl0 GROUP BY tile
+    """
+
+
+@query(
+    "layout_hilbert_tiles",
+    oracle=_hilbert_tiles_sql(),
+    tags=("layout", "scale"),
+)
+def layout_hilbert_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit over (l_partkey, l_suppkey) —
+    ``sources.layouts.hilbert_key`` rolled up into the 256 top-level
+    curve tiles with per-tile min/max envelopes (the
+    ``layout_zorder_tiles`` contract on the locality-optimal curve).
+
+    Hilbert vs Morton: consecutive Hilbert positions are always
+    grid-adjacent (unit-tested against a pure-Python reference plus the
+    bijectivity/adjacency properties in tests/test_layouts.py), so a
+    range partitioning of the key produces tighter file envelopes —
+    fewer files overlap any query rectangle, which is the file-skipping
+    win at 100 TB.  Same scale shape as the Morton audit: one broadcast
+    min/max bounds row, ``bits`` chained integer projections (linear
+    expression growth), one partial agg to a fixed 256-row result."""
+    from oracle_parquet_dumper_spark.sources.layouts import hilbert_key
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keyed = hilbert_key(li, ["l_partkey", "l_suppkey"], bits=ZQ_BITS)
+    return (
+        keyed.withColumn("tile", F.shiftrightunsigned(F.col("_h"), ZQ_TILE_SHIFT))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_lo"),
+            F.max("l_partkey").alias("pk_hi"),
+            F.min("l_suppkey").alias("sk_lo"),
+            F.max("l_suppkey").alias("sk_hi"),
+        )
+    )

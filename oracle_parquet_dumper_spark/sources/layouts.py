@@ -170,3 +170,63 @@ def write_zordered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def hilbert_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Return ``df`` with a Hilbert-curve index ``_h`` over two columns —
+    the same multi-dimensional clustering contract as ``zorder_key`` but
+    with strictly better locality: consecutive Hilbert positions are
+    always grid-adjacent (no Morton "jumps" across the key space), so
+    range-partitioned files get tighter per-file envelopes on both
+    dimensions.
+
+    Each column is min-max scaled to a ``bits``-bit integer exactly as
+    in ``zorder_key`` (in-plan broadcast bounds, no driver collect),
+    then the standard xy->d walk (Hamilton's algorithm, the loop form
+    popularized by Wikipedia's "Hilbert curve" d2xy/xy2d) runs as
+    ``bits`` chained integer-only projections — one named column per
+    level, so the expression tree stays LINEAR in ``bits`` instead of
+    doubling per level, and every op is exact integer arithmetic
+    (bit-reproducible in any engine; the SQL twin in
+    operators/layout_queries.py mirrors it CTE-for-CTE)."""
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("hilbert_key supports exactly 2 columns")
+    if 2 * bits > 62:
+        raise ValueError(f"hilbert_key: 2*bits = {2 * bits} exceeds 62 (signed-long overflow)")
+    mins_maxes = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{i}") for i, c in enumerate(cols)],
+    )
+    j = df.crossJoin(F.broadcast(mins_maxes))
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = F.col(f"_mn_{i}"), F.col(f"_mx_{i}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        scaled.append(
+            F.least(
+                F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"), F.lit(top)
+            )
+        )
+    base = j.withColumn("_hx", scaled[0]).withColumn("_hy", scaled[1]).withColumn(
+        "_h", F.lit(0).cast("long")
+    )
+    cur = base
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        x, y, d = F.col("_hx"), F.col("_hy"), F.col("_h")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d2 = d + F.lit(s).cast("long") * F.lit(s) * (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        # rotate the quadrant: only when ry == 0; flip both coords when
+        # rx == 1, then swap x and y
+        fx = F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+        fy = F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+        nx = F.when(ry == 0, fy).otherwise(x)
+        ny = F.when(ry == 0, fx).otherwise(y)
+        cur = cur.withColumns({"_h": d2, "_hx": nx, "_hy": ny})
+    return cur.drop(
+        "_hx", "_hy", *[f"_mn_{i}" for i in range(2)], *[f"_mx_{i}" for i in range(2)]
+    )

@@ -144,3 +144,42 @@ def test_zorder_bits_overflow_raises(spark):
     with pytest.raises(ValueError, match="exceeds 63"):
         zorder_key(df, ["a", "b", "c", "d"], bits=16)
     assert zorder_key(df, ["a", "b", "c", "d"], bits=15).count() == 4
+
+
+def _hilbert_ref(x, y, bits):
+    """Pure-Python reference xy->d (same s-1 rotation variant)."""
+    d = 0
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = (s - 1) - x, (s - 1) - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_space_filling_curve(spark):
+    """hilbert_key == the Python reference on a full 16x16 grid, and the
+    curve is bijective with unit-step adjacency (the locality property
+    the layout exists for)."""
+    from oracle_parquet_dumper_spark.sources.layouts import hilbert_key
+
+    n = 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["_h"]
+        for r in hilbert_key(grid, ["x", "y"], bits=4).collect()
+    }
+    expect = {(x, y): _hilbert_ref(x, y, 4) for x in range(n) for y in range(n)}
+    assert got == expect
+    pos = {d: xy for xy, d in got.items()}
+    assert sorted(pos) == list(range(n * n))  # bijective
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(n * n - 1)
+    )  # consecutive curve positions are grid-adjacent

