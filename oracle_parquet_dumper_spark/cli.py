@@ -70,6 +70,21 @@ def build_parser() -> argparse.ArgumentParser:
         "(repeatable; state kept in <output>/_incremental_state.json).",
     )
     p.add_argument(
+        "--cluster",
+        action="append",
+        metavar="TABLE:COL1,COL2",
+        default=_parse_incremental_env(env("CLUSTER_TABLES")),
+        help="Cluster TABLE's output files on a space-filling curve over the "
+        "listed columns (repeatable; tight per-file min/max envelopes on "
+        "every listed column -> multi-dimensional file skipping).",
+    )
+    p.add_argument(
+        "--cluster-curve",
+        default=env("CLUSTER_CURVE", "hilbert"),
+        choices=["hilbert", "zorder"],
+        help="Curve for --cluster: hilbert (best locality) or zorder.",
+    )
+    p.add_argument(
         "--validate",
         action="store_true",
         default=env("VALIDATE_EXPORT", "").lower() == "true",
@@ -81,6 +96,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _parse_incremental_env(raw: str | None) -> list[str]:
     return [s for s in (raw or "").split(",") if s]
+
+
+def parse_cluster(pairs: list[str]) -> dict[str, list[str]]:
+    out = {}
+    for pair in pairs or []:
+        table, sep, cols = pair.partition(":")
+        collist = [c for c in cols.split(",") if c]
+        if not sep or not table or not collist:
+            raise ValueError(f"--cluster expects TABLE:COL1[,COL2...], got {pair!r}")
+        out[table] = collist
+    return out
 
 
 def parse_incremental(pairs: list[str]) -> dict[str, str]:
@@ -154,6 +180,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         watermarks = parse_incremental(args.incremental)
+        cluster_by = parse_cluster(args.cluster)
     except ValueError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
@@ -170,6 +197,8 @@ def main(argv: list[str] | None = None) -> int:
         lowercase_object_names=args.lowercase_object_names,
         parquet_max_file_size=args.parquet_max_file_size,
         max_concurrent_tables=args.max_concurrent_tables,
+        cluster_by=cluster_by,
+        cluster_curve=args.cluster_curve,
     )
     if watermarks:
         results = exporter.export_tables_incremental(watermarks)

@@ -150,12 +150,44 @@ class SparkParquetExporter:
     # Partitioned tables keep Spark's directory layout (partition pruning
     # needs it), so reference_file_naming does not apply to them.
     partition_by: dict[str, list[str]] = field(default_factory=dict)
+    # Space-filling-curve clustering per table (sources/layouts.py): rows
+    # are range-repartitioned + sorted on a Morton or Hilbert key over
+    # the listed columns before writing, so every output file carries a
+    # tight min/max envelope on EVERY clustered column — parquet
+    # row-group/file skipping then prunes multi-dimensional predicates
+    # (Delta/Iceberg OPTIMIZE ZORDER, as an export-time option).  Column
+    # names are post-projection (lowercased if lowercase_object_names).
+    cluster_by: dict[str, list[str]] = field(default_factory=dict)
+    cluster_curve: str = "hilbert"  # or "zorder"
 
     def __post_init__(self):
         if self.compression_method not in COMPRESSION_CHOICES:
             raise ValueError(
                 f"compression_method must be one of {COMPRESSION_CHOICES}, got {self.compression_method!r}"
             )
+        if self.cluster_curve not in ("hilbert", "zorder"):
+            raise ValueError(
+                f"cluster_curve must be 'hilbert' or 'zorder', got {self.cluster_curve!r}"
+            )
+
+    def _cluster(self, df: DataFrame, table: str) -> DataFrame:
+        """Apply space-filling-curve clustering when configured for this
+        table: key the rows (in-plan broadcast bounds, integer bit ops),
+        range-repartition on the key (one skew-resistant sampling
+        shuffle producing contiguous, disjoint key ranges per output
+        partition), sort within each partition, drop the key.  Combined
+        with maxRecordsPerFile rolling, every rolled file is a disjoint
+        curve-range tile."""
+        cols = self.cluster_by.get(table, [])
+        if not cols:
+            return df
+        from oracle_parquet_dumper_spark.sources.layouts import hilbert_key, zorder_key
+
+        if self.cluster_curve == "hilbert":
+            keyed, key = hilbert_key(df, cols), "_h"
+        else:
+            keyed, key = zorder_key(df, cols), "_z"
+        return keyed.repartitionByRange(key).sortWithinPartitions(key).drop(key)
 
     # -- catalog introspection (reference EP3 surface, main.py:87-217) ------
     def get_tables(self, schema: str) -> list[str]:
@@ -218,6 +250,11 @@ class SparkParquetExporter:
             return ExportResult(schema, table, 0, [], time.perf_counter() - t0, "empty")
 
         part_cols = self.partition_by.get(table, [])
+        # Size the rolling threshold on the PRE-cluster relation: the
+        # sample is a cheap limit() there, but on a range-repartitioned
+        # plan it would execute the clustering shuffle a second time.
+        rows_per_file = self._rows_per_file(projected)
+        projected = self._cluster(projected, table)
         # Row count comes from an Observation on the write job itself —
         # one pass over the data.  (Re-reading the written output to
         # count, as round 1 did, is a full extra scan per table: at
@@ -227,7 +264,7 @@ class SparkParquetExporter:
         writer = (
             observed.write.mode("overwrite")
             .option("compression", self.compression_method)
-            .option("maxRecordsPerFile", str(self._rows_per_file(projected)))
+            .option("maxRecordsPerFile", str(rows_per_file))
         )
         if part_cols:
             writer = writer.partitionBy(*part_cols)

@@ -797,3 +797,65 @@ def test_orphan_staging_swept(spark, tmp_path):
     r = exp.export_tables_incremental({"EVT": "id"})
     assert [x.rows for x in r] == [2]
     assert not orphan.exists()
+
+
+def test_clustered_export_tightens_file_envelopes(spark, tmp_path):
+    """cluster_by: the export succeeds with identical data, produces
+    multiple files, and every clustered column's AVERAGE per-file
+    min/max envelope is a fraction of its full span (multi-dimensional
+    skipping) — against a small rows-per-file so the sf0.001 lineitem
+    rolls into many files."""
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "out")
+    ex = SparkParquetExporter(
+        spark=spark,
+        catalog=ParquetDirectoryCatalog(spark, src),
+        output_path=out,
+        schemas=["main"],
+        table_name_include_pattern="lineitem",
+        parquet_max_file_size=60_000,  # force many rolled files
+        cluster_by={"lineitem": ["l_partkey", "l_suppkey"]},
+        cluster_curve="hilbert",
+    )
+    results = ex.export_tables()
+    assert results[0].skipped is None and results[0].rows == 6000
+    table_dir = os.path.join(out, "main", "lineitem")
+    files = sorted(f for f in os.listdir(table_dir) if f.endswith(".parquet"))
+    assert len(files) >= 4
+    import pyarrow.parquet as _pq
+
+    total = 0
+    spans = {"l_partkey": [], "l_suppkey": []}
+    full = {"l_partkey": (0, 199), "l_suppkey": (0, 9)}
+    for f in files:
+        t = _pq.read_table(os.path.join(table_dir, f))
+        total += t.num_rows
+        for c in spans:
+            col = t.column(c).to_pylist()
+            spans[c].append((max(col) - min(col) + 1) / (full[c][1] - full[c][0] + 1))
+    assert total == 6000
+    # clustered: average envelope well under the full span on BOTH dims
+    assert sum(spans["l_partkey"]) / len(files) < 0.6
+    assert sum(spans["l_suppkey"]) / len(files) < 0.8
+
+
+def test_cluster_curve_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cluster_curve"):
+        SparkParquetExporter(
+            spark=None, catalog=None, output_path="x", cluster_curve="peano"
+        )
+
+
+def test_cli_parse_cluster():
+    from oracle_parquet_dumper_spark.cli import parse_cluster
+
+    assert parse_cluster(["lineitem:l_partkey,l_suppkey", "orders:o_custkey"]) == {
+        "lineitem": ["l_partkey", "l_suppkey"],
+        "orders": ["o_custkey"],
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_cluster(["lineitem"])
