@@ -600,6 +600,8 @@ def compact_table(
     table: str,
     target_file_size: int = DEFAULT_MAX_FILE_SIZE,
     compression: str = DEFAULT_COMPRESSION,
+    cluster_by: list[str] | None = None,
+    cluster_curve: str = "hilbert",
 ) -> int:
     """Compact a table directory's small files into ~target-sized ones,
     preserving the reference ``<table>_<n>.parquet`` naming.  Incremental
@@ -607,7 +609,12 @@ def compact_table(
     standard maintenance pass (Delta OPTIMIZE / Iceberg rewrite_data_files
     for plain parquet dirs).  One distributed read + one write; the
     rows-per-file target reuses the exporter's sampled row-width
-    heuristic (A12).  Returns the resulting file count."""
+    heuristic (A12).  ``cluster_by`` additionally orders the rewrite on a
+    space-filling curve over the listed columns (OPTIMIZE ZORDER parity:
+    compaction is exactly when clustering is cheapest, since the data is
+    being rewritten anyway — the curve turns the repartition it must do
+    regardless into a range-repartition + sort).  Returns the resulting
+    file count."""
     # Startup recovery: a crash mid-swap leaves ``<path>.compact.old``
     # holding the (complete) pre-compaction data.  If the live dir is
     # missing, restore it before proceeding; if both exist, the swap
@@ -650,8 +657,20 @@ def compact_table(
     n_files = max(1, (df.count() + rows_per_file - 1) // rows_per_file)
 
     tmp = path.rstrip("/") + ".compact.tmp"
+    if cluster_by:
+        from oracle_parquet_dumper_spark.sources.layouts import hilbert_key, zorder_key
+
+        if cluster_curve == "hilbert":
+            keyed, key = hilbert_key(df, cluster_by), "_h"
+        elif cluster_curve == "zorder":
+            keyed, key = zorder_key(df, cluster_by), "_z"
+        else:
+            raise ValueError(f"cluster_curve must be 'hilbert' or 'zorder', got {cluster_curve!r}")
+        out_df = keyed.repartitionByRange(n_files, key).sortWithinPartitions(key).drop(key)
+    else:
+        out_df = df.repartition(n_files)
     (
-        df.repartition(n_files)
+        out_df
         .write.mode("overwrite")
         .option("compression", compression)
         .option("maxRecordsPerFile", str(rows_per_file))

@@ -164,6 +164,7 @@ GAPFILL_USER_REM = 3
     FROM f
     """,
     tags=("window", "events", "timeseries"),
+    bench=True,
 )
 def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill with linear interpolation: per-user hourly

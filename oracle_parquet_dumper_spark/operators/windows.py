@@ -451,3 +451,98 @@ def window_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbered.groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH merged AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, 1 AS is_trade
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, 0 AS is_trade
+      FROM events WHERE event_type = 'view'
+    ),
+    carried AS (
+      SELECT event_id, user_id, ts, value, is_trade,
+        last_value(CASE WHEN is_trade = 0 THEN value END IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN is_trade = 0 THEN ts END IGNORE NULLS) OVER wp AS pt,
+        first_value(CASE WHEN is_trade = 0 THEN value END IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN is_trade = 0 THEN ts END IGNORE NULLS) OVER wn AS nt
+      FROM merged
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_trade, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY ts, is_trade, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts AS trade_ts, value AS trade_value,
+      CASE WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           WHEN date_diff('microsecond', pt, ts) <= date_diff('microsecond', ts, nt)
+             THEN pv ELSE nv END AS nearest_view_value,
+      CASE WHEN pv IS NULL AND nv IS NULL THEN NULL
+           WHEN nv IS NULL THEN 'before'
+           WHEN pv IS NULL THEN 'after'
+           WHEN date_diff('microsecond', pt, ts) <= date_diff('microsecond', ts, nt)
+             THEN 'before' ELSE 'after' END AS direction
+    FROM carried WHERE is_trade = 1
+    """,
+    tags=("join", "asof", "events"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase matched to the view
+    with the smallest |time difference| in EITHER direction (ties break
+    to the earlier view) — the variant backtest/sensor pipelines ask for
+    when the reference clock may lag or lead.
+
+    Same scalable formulation as ``join_asof``: union both event roles
+    and make ONE (user_id, ts)-sorted window pass carrying the previous
+    and next view (value, ts) pairs with ignore-nulls frames; no
+    inequality join, no per-pair blow-up.  At equal timestamps views
+    sort before trades (is_trade asc), so an equal-ts view counts as
+    'before' with distance zero; event_id completes the ordering so
+    equal-ts VIEWS resolve identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    trades = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_trade")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("is_trade")
+    )
+    merged = trades.unionByName(views)
+    wo = W.partitionBy("user_id").orderBy("ts", "is_trade", "event_id")
+    wp = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = wo.rowsBetween(W.currentRow, W.unboundedFollowing)
+    view_val = F.when(F.col("is_trade") == 0, F.col("value"))
+    view_ts = F.when(F.col("is_trade") == 0, F.col("ts"))
+    carried = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "is_trade",
+        F.last(view_val, ignorenulls=True).over(wp).alias("pv"),
+        F.last(view_ts, ignorenulls=True).over(wp).alias("pt"),
+        F.first(view_val, ignorenulls=True).over(wn).alias("nv"),
+        F.first(view_ts, ignorenulls=True).over(wn).alias("nt"),
+    )
+    prev_diff = F.timestamp_diff("MICROSECOND", F.col("pt"), F.col("ts"))
+    next_diff = F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("nt"))
+    prefer_prev = prev_diff <= next_diff
+    return carried.where(F.col("is_trade") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("trade_ts"),
+        F.col("value").alias("trade_value"),
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(prefer_prev, F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("nearest_view_value"),
+        F.when(F.col("pv").isNull() & F.col("nv").isNull(), F.lit(None).cast("string"))
+        .when(F.col("nv").isNull(), F.lit("before"))
+        .when(F.col("pv").isNull(), F.lit("after"))
+        .when(prefer_prev, F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("direction"),
+    )

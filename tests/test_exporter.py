@@ -859,3 +859,40 @@ def test_cli_parse_cluster():
 
     with _pytest.raises(ValueError):
         parse_cluster(["lineitem"])
+
+
+def test_compact_with_clustering(spark, tmp_path):
+    """compact_table(cluster_by=...): small files compact into clustered
+    ones — same rows, reference naming, and tighter per-file partkey
+    envelopes than the incremental-append layout had."""
+    import pyarrow.parquet as _pq
+
+    from oracle_parquet_dumper_spark.exporter import compact_table
+
+    src = "/root/testdata/sf0.001"
+    table_dir = tmp_path / "main" / "lineitem"
+    table_dir.mkdir(parents=True)
+    # simulate accumulated small appends: 6 arbitrary row slices
+    t = _pq.read_table(f"{src}/lineitem.parquet")
+    for i in range(6):
+        _pq.write_table(t.slice(i * 1000, 1000), table_dir / f"lineitem_{i}.parquet")
+    n_files = compact_table(
+        spark,
+        str(table_dir),
+        "lineitem",
+        target_file_size=120_000,
+        cluster_by=["l_partkey", "l_suppkey"],
+        cluster_curve="hilbert",
+    )
+    files = sorted(f for f in os.listdir(table_dir) if f.endswith(".parquet"))
+    assert len(files) == n_files >= 2
+    assert files[0] == "lineitem_0.parquet"
+    total = 0
+    fracs = []
+    for f in files:
+        part = _pq.read_table(os.path.join(table_dir, f))
+        total += part.num_rows
+        col = part.column("l_partkey").to_pylist()
+        fracs.append((max(col) - min(col) + 1) / 200)
+    assert total == 6000
+    assert sum(fracs) / len(fracs) < 0.7  # clustered envelopes, not full-span
