@@ -73,9 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--cluster",
         action="append",
         metavar="TABLE:COL1,COL2",
-        default=_parse_incremental_env(env("CLUSTER_TABLES")),
+        default=_parse_cluster_env(env("CLUSTER_TABLES")),
         help="Cluster TABLE's output files on a space-filling curve over the "
-        "listed columns (repeatable; tight per-file min/max envelopes on "
+        "listed columns (repeatable; env CLUSTER_TABLES uses ';' between "
+        "tables since ',' separates columns; hilbert needs exactly 2 "
+        "columns, zorder takes 1+; tight per-file min/max envelopes on "
         "every listed column -> multi-dimensional file skipping).",
     )
     p.add_argument(
@@ -96,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _parse_incremental_env(raw: str | None) -> list[str]:
     return [s for s in (raw or "").split(",") if s]
+
+
+def _parse_cluster_env(raw: str | None) -> list[str]:
+    """CLUSTER_TABLES splits on ';' — ',' already separates the column
+    list inside each TABLE:COL1,COL2 spec, so comma-splitting (the
+    INCREMENTAL_TABLES convention) would mangle multi-column specs."""
+    return [s for s in (raw or "").split(";") if s]
 
 
 def parse_cluster(pairs: list[str]) -> dict[str, list[str]]:
@@ -181,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
     try:
         watermarks = parse_incremental(args.incremental)
         cluster_by = parse_cluster(args.cluster)
+        for table, cols in cluster_by.items():
+            if args.cluster_curve == "hilbert" and len(cols) != 2:
+                raise ValueError(
+                    f"--cluster-curve hilbert needs exactly 2 columns, got "
+                    f"{len(cols)} for table {table!r} (use zorder for other widths)"
+                )
     except ValueError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2

@@ -91,11 +91,18 @@ def band_structs(
     )
 
 
-def banded_buckets(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]] = PLANES,
+    bits: int = BITS_PER_BAND,
+) -> DataFrame:
     """(id, band, bucket) — one row per (row, band); the candidate-join
     input.  At 100 TB this is the precomputed/bucketed column layout:
     write it partitioned by (band, bucket) and candidate generation
-    becomes a co-located join with zero wide shuffle.
+    becomes a co-located join with zero wide shuffle.  ``planes``/``bits``
+    select the band width (the capacity knob — see PLANES_WIDE).
 
     Lazily checkpointed: the caller self-joins this frame, and without
     truncation Spark would evaluate the 16 hyperplane dots once per join
@@ -103,7 +110,7 @@ def banded_buckets(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     tiny (id, band, bucket) relation on first use and both sides read
     it."""
     bands = (
-        df.select(F.col(id_col), F.explode(band_structs(vec_col)).alias("bb"))
+        df.select(F.col(id_col), F.explode(band_structs(vec_col, planes, bits)).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
     )
     return bands.localCheckpoint(eager=False)
@@ -112,15 +119,7 @@ def banded_buckets(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def banded_buckets_wide(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """8-bit-band variant of ``banded_buckets`` — the measured capacity
     fix for large n (see PLANES_WIDE note)."""
-    bands = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                band_structs(vec_col, PLANES_WIDE, WIDE_BITS_PER_BAND)
-            ).alias("bb"),
-        ).select(id_col, "bb.band", "bb.bucket")
-    )
-    return bands.localCheckpoint(eager=False)
+    return banded_buckets(df, id_col, vec_col, PLANES_WIDE, WIDE_BITS_PER_BAND)
 
 
 # --- matching DuckDB SQL (generated from the SAME plane literals) ----------
@@ -144,13 +143,20 @@ def _bucket_sql(
     return " || ".join(bits)
 
 
-def banded_buckets_sql(table: str, id_col: str, vec_col: str) -> str:
+def banded_buckets_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]] = PLANES,
+    bits_per_band: int = BITS_PER_BAND,
+) -> str:
     """UNION ALL over bands of (id, band, bucket) — the SQL twin of
     ``banded_buckets`` for DuckDB oracles.  ``vec_col`` is cast to
     DOUBLE[] once per branch to match the Spark-side double fold."""
     branches = [
         f"SELECT {id_col}, {b} AS band, "
-        f"{_bucket_sql(f'{vec_col}::DOUBLE[]', b)} AS bucket FROM {table}"
+        f"{_bucket_sql(f'{vec_col}::DOUBLE[]', b, planes, bits_per_band)}"
+        f" AS bucket FROM {table}"
         for b in range(N_SIGN_BANDS)
     ]
     return " UNION ALL ".join(branches)
@@ -158,10 +164,4 @@ def banded_buckets_sql(table: str, id_col: str, vec_col: str) -> str:
 
 def banded_buckets_wide_sql(table: str, id_col: str, vec_col: str) -> str:
     """SQL twin of ``banded_buckets_wide``."""
-    branches = [
-        f"SELECT {id_col}, {b} AS band, "
-        f"{_bucket_sql(f'{vec_col}::DOUBLE[]', b, PLANES_WIDE, WIDE_BITS_PER_BAND)}"
-        f" AS bucket FROM {table}"
-        for b in range(N_SIGN_BANDS)
-    ]
-    return " UNION ALL ".join(branches)
+    return banded_buckets_sql(table, id_col, vec_col, PLANES_WIDE, WIDE_BITS_PER_BAND)

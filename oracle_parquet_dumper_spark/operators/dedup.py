@@ -195,6 +195,37 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -
     )
 
 
+def minhash_band_rows(sig: DataFrame, keep_sig: bool = False) -> DataFrame:
+    """Explode a (doc_id, sig) frame into one (doc_id[, sig], band,
+    bucket) row per band: the bucket key joins the band's minhash
+    components with '_' — the exact encoding the SQL twin
+    (``_band_eq_sql``) replays, so this single definition is what keeps
+    every LSH query's candidate set in lockstep with its oracle.  The
+    four banded queries (flagship pair finder, cluster keeper pass,
+    containment, incremental batch-vs-corpus) all bucket through
+    here."""
+    rpb = N_MINHASH // N_BANDS
+    cols = ["doc_id", "sig"] if keep_sig else ["doc_id"]
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("sig", b * rpb + r + 1).cast("string")
+                            for r in range(rpb)
+                        ],
+                    ).alias("bucket"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+    ).alias("bb")
+    return sig.select(*cols, bb).select(*cols, "bb.band", "bb.bucket")
+
+
 def _minhash_sig_sql(source_cte: str = "documents") -> str:
     """SQL twin of ``minhash_signatures_df`` over ``source_cte`` (a
     relation with doc_id, text): tokenize -> md5 token ids -> window-lead
@@ -293,28 +324,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    bands = minhash_band_rows(sig, keep_sig=True)
     # One explicit exchange on the join key, load-bearing twice over:
     # (a) the signature pipeline is per-row (zero shuffles), so without
     # an exchange the self-join would recompute tokenize+md5 for BOTH
@@ -1040,27 +1050,7 @@ def pipeline_curation(
     # non-keepers.  Reuse the registered pair finder on a filtered view
     # by recomputing pairs here on `exact`.
     sig = minhash_signatures_df(exact)
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = minhash_band_rows(sig)
     # Same load-bearing exchange as dedup_minhash_lsh: signatures are now
     # per-row expressions (no shuffle of their own), so without this the
     # self-join would tokenize+hash the exact-deduped set twice; the
@@ -1429,27 +1419,7 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = minhash_band_rows(sig)
     bands = bands.repartition("band", "bucket")
     pairs = (
         bands.alias("l")
@@ -1639,35 +1609,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = newb.join(exact_hit, "doc_id", "left_anti")
     sig_new = minhash_signatures_df(rest)
     sig_corp = minhash_signatures_df(corpus)
-    rpb = N_MINHASH // N_BANDS
-
-    def band_rows(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "doc_id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.element_at("sig", b * rpb + r + 1).cast("string")
-                                    for r in range(rpb)
-                                ],
-                            ).alias("bucket"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc_id", "sig", "bb.band", "bb.bucket")
-
-    new_bands = band_rows(sig_new).select(
+    new_bands = minhash_band_rows(sig_new, keep_sig=True).select(
         F.col("doc_id").alias("n_id"), F.col("sig").alias("sig_n"), "band", "bucket"
     )
-    corp_bands = band_rows(sig_corp).select(
+    corp_bands = minhash_band_rows(sig_corp, keep_sig=True).select(
         F.col("doc_id").alias("c_id"), F.col("sig").alias("sig_c"), "band", "bucket"
     )
     est = F.size(

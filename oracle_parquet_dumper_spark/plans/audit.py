@@ -73,9 +73,17 @@ def audit_text(name: str, plan: str) -> PlanAudit:
         if not any(p > m.start() for p in agg_positions)
     )
     a.take_ordered = plan.count("TakeOrderedAndProject")
-    a.python_eval = plan.count("EvalPython") + plan.count("MapInPandas") + plan.count(
-        "ArrowEvalPython"
-    ) + plan.count("PythonMapInArrow")
+    # Exact node names — substring counting would double-count
+    # ArrowEvalPython (contains "EvalPython") and miss the grouped-map
+    # nodes (FlatMapGroupsInPandas is applyInPandas's physical operator).
+    a.python_eval = len(
+        re.findall(
+            r"\b(?:BatchEvalPython|ArrowEvalPython|MapInPandas|"
+            r"FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|"
+            r"FlatMapGroupsInPandasWithState|PythonMapInArrow|MapInArrow)\b",
+            plan,
+        )
+    )
     a.scans = plan.count("FileScan") + plan.count("BatchScan")
     a.pushed_filter_scans = len(
         re.findall(r"PushedFilters: \[(?!\])", plan)
@@ -109,11 +117,15 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
     return w
 
 
-def audit_query(spark, sf_dir: str, name: str) -> PlanAudit:
+def audit_query(spark, sf_dir: str, name: str, df=None) -> PlanAudit:
+    """Audit one registered query.  Pass ``df`` to reuse an
+    already-built DataFrame instead of re-running the query function
+    (planning a query twice doubles the tool's wall-clock)."""
     from oracle_parquet_dumper_spark.plans import REGISTRY
 
     spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
+    if df is None:
+        df = spec.fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     a = audit_text(name, plan)
     lint(a, spec.tags)
@@ -159,14 +171,14 @@ def main(argv: list[str] | None = None) -> int:
         if name not in plans.REGISTRY:
             print(f"unknown query: {name}")
             return 2
-        a = audit_query(spark, args.sf_dir, name)
+        df = plans.REGISTRY[name].fn(spark, args.sf_dir)
+        a = audit_query(spark, args.sf_dir, name, df=df)
         status = "WARN" if a.warnings else "ok"
         print(f"{name:40s} {status:4s} {_fmt(a)}")
         for msg in a.warnings:
             print(f"    - {msg}")
         bad += bool(a.warnings)
         if args.explain:
-            df = plans.REGISTRY[name].fn(spark, args.sf_dir)
             print(df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             ))

@@ -110,9 +110,22 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
     ``rows_per_batch``; every micro-batch's range is split into the
     same shard partitions as the batch reader, so executors generate
     only their slice.  Offsets are ``{"row": n}`` dicts — the
-    engine-checkpointable progress record; on restart Spark replays
-    from the committed offset and determinism guarantees the replayed
-    rows are identical (exactly-once with an idempotent sink).
+    engine-checkpointable progress record; within a run, replay of an
+    uncommitted batch regenerates identical rows (exactly-once with an
+    idempotent sink).
+
+    Restart semantics: a real source's "latest offset" lives in the
+    external system (Kafka log end, file listing); this source
+    fabricates its data, so its cursor is process memory and a QUERY
+    RESTART would reset it to 0 — the engine then sees latest(=one
+    batch) == committed and silently resumes nothing.  Spark's stream
+    reader API has no committed-offset callback at restart, so
+    resumability requires persisting the cursor: pass
+    ``.option("cursor_path", file)`` and ``commit`` checkpoints the
+    high-water mark there (tmp + atomic replace), letting a restarted
+    query continue exactly where the committed offset left off (tested
+    in test_pydatasource.py).  Without the option the source is
+    fresh-start-only.
 
     Row content is shared with ``SyntheticDocsReader`` (same
     seed:doc_id hash), asserted stream==batch in
@@ -124,7 +137,11 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch", 20))
         self.max_rows = int(options.get("max_rows", 100))
         self.seed = options.get("seed", "0")
+        self.cursor_path = options.get("cursor_path")
         self._latest = 0
+        if self.cursor_path and _os.path.exists(self.cursor_path):
+            with open(self.cursor_path) as fh:
+                self._latest = int(fh.read().strip() or 0)
 
     def initialOffset(self) -> dict:
         return {"row": 0}
@@ -135,6 +152,11 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
+        # The engine's start is authoritative (checkpointed); never let
+        # the in-memory cursor lag it, and never plan an inverted range.
+        self._latest = max(self._latest, lo)
+        if hi <= lo:
+            return []
         per = -(-(hi - lo) // self.n_shards)  # ceil split of this batch
         return [
             _ShardPartition(s, lo + s * per, min(lo + (s + 1) * per, hi))
@@ -147,7 +169,15 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
             yield _doc_row(self.seed, partition.shard, doc_id)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing external to clean up: generation is stateless
+        """Durably record the committed high-water mark when a
+        cursor_path is configured (atomic tmp+replace, same
+        rename-as-commit contract as the sink below)."""
+        self._latest = max(self._latest, end["row"])
+        if self.cursor_path:
+            tmp = f"{self.cursor_path}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(self._latest))
+            _os.replace(tmp, self.cursor_path)
 
 
 # --- writer pair (batch + streaming sink, SPARK-45430 family) --------------
@@ -212,11 +242,27 @@ class _JsonlShardWriterBase:
 
 
 class JsonlShardBatchWriter(_JsonlShardWriterBase, DataSourceWriter):
+    """Batch flavor honoring the save mode: overwrite clears previously
+    published files before renaming the new ones in; append publishes
+    under a job-unique prefix so earlier jobs' shards survive and a
+    wider/narrower second write can never splice two datasets together
+    (fixed names would replace only the shard numbers both jobs share)."""
+
+    def __init__(self, options, overwrite: bool):
+        super().__init__(options)
+        self.overwrite = overwrite
+
     def write(self, iterator):
         return self._stage_rows(iterator)
 
     def commit(self, messages) -> None:
-        self._publish(messages, prefix="")
+        if self.overwrite:
+            for f in _os.listdir(self.path):
+                if f.endswith(".jsonl") and not f.startswith("_"):
+                    _os.remove(_os.path.join(self.path, f))
+            self._publish(messages, prefix="")
+        else:
+            self._publish(messages, prefix=f"job_{_uuid.uuid4().hex[:8]}_")
 
 
 class JsonlShardStreamWriter(_JsonlShardWriterBase, DataSourceStreamWriter):
@@ -244,7 +290,7 @@ class JsonlShardsSink(DataSource):
         return "jsonl_shards"
 
     def writer(self, schema, overwrite: bool) -> JsonlShardBatchWriter:
-        return JsonlShardBatchWriter(self.options)
+        return JsonlShardBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlShardStreamWriter:
         return JsonlShardStreamWriter(self.options)

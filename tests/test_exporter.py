@@ -896,3 +896,28 @@ def test_compact_with_clustering(spark, tmp_path):
         fracs.append((max(col) - min(col) + 1) / 200)
     assert total == 6000
     assert sum(fracs) / len(fracs) < 0.7  # clustered envelopes, not full-span
+
+
+def test_cluster_env_var_parsing():
+    """CLUSTER_TABLES splits on ';' so multi-column specs survive (the
+    INCREMENTAL_TABLES comma convention would mangle TABLE:COL1,COL2)."""
+    from oracle_parquet_dumper_spark.cli import _parse_cluster_env, parse_cluster
+
+    specs = _parse_cluster_env("lineitem:l_partkey,l_suppkey;orders:o_custkey")
+    assert parse_cluster(specs) == {
+        "lineitem": ["l_partkey", "l_suppkey"],
+        "orders": ["o_custkey"],
+    }
+
+
+def test_cli_rejects_hilbert_with_wrong_width(tmp_path):
+    from oracle_parquet_dumper_spark.cli import main
+
+    rc = main(
+        [
+            "--source-path", "/root/testdata/sf0.001",
+            "--output-path", str(tmp_path / "o"),
+            "--cluster", "lineitem:l_partkey",
+        ]
+    )
+    assert rc == 2  # rejected at parse time, before any Spark work

@@ -100,7 +100,7 @@ def test_jsonl_sink_batch_two_phase_commit(spark, tmp_path):
     register_jsonl_shards(spark)
     out = str(tmp_path / "sink")
     df = _read(spark, rows=50, shards=3, seed="w1")
-    df.write.format("jsonl_shards").option("path", out).mode("append").save()
+    df.write.format("jsonl_shards").option("path", out).mode("overwrite").save()
     shards = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
     assert len(shards) == 3 and all(f.startswith("shard_") for f in shards)
     assert os.listdir(os.path.join(out, "_staged")) == []
@@ -159,3 +159,92 @@ def test_jsonl_sink_streaming_per_batch_prefix(spark, tmp_path):
     assert len({f.split("_shard_")[0] for f in files}) >= 2  # >=2 micro-batch prefixes
     rows = _rows()
     assert sorted(r["doc_id"] for r in rows) == list(range(50))
+
+
+def test_jsonl_sink_append_preserves_and_overwrite_replaces(spark, tmp_path):
+    """Save-mode semantics: append publishes under a job-unique prefix
+    (a second narrower write cannot splice into the first job's shard
+    numbers); overwrite clears previously published files first."""
+    import json
+    import os
+
+    from oracle_parquet_dumper_spark.sources.pydatasource import register_jsonl_shards
+
+    register_jsonl_shards(spark)
+    out = str(tmp_path / "mix")
+    os.makedirs(out)
+
+    def rows_on_disk():
+        got = []
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".jsonl") and not f.startswith("_"):
+                with open(os.path.join(out, f)) as fh:
+                    got += [json.loads(line)["v"] for line in fh]
+        return sorted(got)
+
+    spark.range(4).toDF("v").repartition(4).write.format("jsonl_shards").option(
+        "path", out
+    ).mode("append").save()
+    spark.range(4, 6).toDF("v").repartition(2).write.format("jsonl_shards").option(
+        "path", out
+    ).mode("append").save()
+    assert rows_on_disk() == [0, 1, 2, 3, 4, 5]  # nothing lost, nothing spliced
+    spark.range(7, 9).toDF("v").repartition(2).write.format("jsonl_shards").option(
+        "path", out
+    ).mode("overwrite").save()
+    assert rows_on_disk() == [7, 8]  # prior jobs' files cleared
+
+
+def test_synthetic_stream_restart_resumes_with_cursor(spark, tmp_path):
+    """Query restart from a checkpoint resumes past committed rows when
+    cursor_path persists the synthetic log's high-water mark: three
+    availableNow runs emit disjoint batches covering all 60 rows, with
+    zero duplicates."""
+    import json
+    import os
+
+    from oracle_parquet_dumper_spark.sources.pydatasource import (
+        register_jsonl_shards,
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+    register_jsonl_shards(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    cursor = str(tmp_path / "cursor")
+    os.makedirs(out)
+
+    def run():
+        df = (
+            spark.readStream.format("synthetic_docs")
+            .option("rows_per_batch", 20)
+            .option("max_rows", 60)
+            .option("cursor_path", cursor)
+            .load()
+        )
+        q = (
+            df.writeStream.format("jsonl_shards")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = []
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".jsonl") and not f.startswith("_"):
+                with open(os.path.join(out, f)) as fh:
+                    rows += [
+                        (json.loads(line)["shard"], json.loads(line)["doc_id"])
+                        for line in fh
+                    ]
+        return rows
+
+    counts = []
+    for _ in range(3):
+        rows = run()
+        counts.append(len(rows))
+        assert len(rows) == len(set(rows))  # no duplicates, ever
+    assert counts == [20, 40, 60]  # each restart resumes where committed left off
