@@ -546,3 +546,82 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("after"))
         .alias("direction"),
     )
+
+
+@query(
+    "window_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + (event_id % 50 + 10) * INTERVAL 1 MINUTE AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    numbered AS (
+      SELECT user_id, s, e,
+             CAST(SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, island_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, island_id
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing (the interval-union / calendar-
+    merge primitive): each event carries a validity interval
+    [ts, ts + (event_id % 50 + 10) min]; intervals that overlap OR nest
+    merge into one span per user.  Unlike gap-sessionization (fixed
+    silence threshold between POINTS), the island break compares each
+    start against the running MAX of all PRIOR interval ENDS — a long
+    interval correctly swallows later short ones that start inside it.
+
+    One (user_id)-keyed sort serves the running-max frame, the island
+    numbering, and the final per-island aggregate; event_id completes
+    the ordering so equal start timestamps resolve identically in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, CAST(event_id % 50 + 10 AS INT), ts)").alias("e"),
+    )
+    wprior = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_max_end = F.max("e").over(wprior)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prior_max_end.isNull() | (F.col("s") > prior_max_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    numbered = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(wsum).cast("long").alias("island_id")
+    )
+    return numbered.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
