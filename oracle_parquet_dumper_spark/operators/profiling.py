@@ -177,3 +177,75 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_cells"),
         )
     )
+
+
+ENTROPY_COLS = ("c_mktsegment", "c_nationkey", "c_name")
+
+
+@query(
+    "profile_entropy",
+    oracle=f"""
+    WITH vals AS (
+      SELECT col, val FROM (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM customer"
+            for c in ENTROPY_COLS
+        )}
+      )
+    ),
+    counts AS (SELECT col, val, COUNT(*) AS c FROM vals GROUP BY col, val),
+    tot AS (SELECT col, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY col),
+    terms AS (
+      SELECT counts.col, c,
+             CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS t,
+             n
+      FROM counts JOIN tot ON counts.col = tot.col
+    )
+    SELECT col, COUNT(*) AS n_distinct,
+           CAST(SUM(c * t) AS BIGINT) // MAX(n) AS entropy_micro_nats
+    FROM terms GROUP BY col
+    """,
+    tags=("profile", "dq"),
+)
+def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per column (micro-nats) — the information-content
+    profile that ranks columns from constant (0) to unique-key
+    (ln N): the standard screen for candidate keys, degenerate columns,
+    and skewed routing keys before choosing partition/bucket columns.
+
+    Determinism: H = sum(c_i * round(ln(N/c_i)*1e6)) // N — each ln is
+    integerized per distinct value BEFORE the sum (the micro-nat
+    convention), the weighted sum is exact integer arithmetic, and the
+    final normalization is integer division; no float rounding exists
+    to tie-break differently across engines.  Scale shape: the unpivot
+    is a map-side stack, counts partial-aggregate per (col, value), and
+    the per-column rollup carries one row per distinct value — never
+    raw rows."""
+    c = load_table(spark, sf_dir, "customer")
+    vals = c.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(col).alias("col"),
+                        F.col(col).cast("string").alias("val"),
+                    )
+                    for col in ENTROPY_COLS
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.col", "cv.val")
+    counts = vals.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("col").agg(F.sum("c").cast("long").alias("n"))
+    terms = counts.join(tot, "col").select(
+        "col",
+        "c",
+        F.round(F.log(F.col("n").cast("double") / F.col("c")) * 1000000)
+        .cast("long")
+        .alias("t"),
+        "n",
+    )
+    return terms.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr("CAST(sum(c * t) DIV max(n) AS BIGINT)").alias("entropy_micro_nats"),
+    )
