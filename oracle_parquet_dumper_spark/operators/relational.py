@@ -2191,3 +2191,85 @@ def agg_sketch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("theta_orders"),
     ).select(F.lit("ALL_UNIONED").alias("l_returnflag"), "exact_orders", "hll_orders", "theta_orders")
     return groups.drop("_sk").unionByName(merged)
+
+
+@query(
+    "agg_weighted_percentile_exact",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, l_quantity, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_quantity, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    ),
+    hits AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, cw) AS rn
+      FROM cum WHERE cw * 2 >= tw
+    )
+    SELECT c.l_returnflag, h.l_quantity AS weighted_median_qty,
+           CAST(MAX(c.tw) AS BIGINT) AS total_weight_cents
+    FROM cum c JOIN hits h ON c.l_returnflag = h.l_returnflag AND h.rn = 1
+    GROUP BY c.l_returnflag, h.l_quantity
+    """,
+    tags=("agg", "stats", "window"),
+)
+def agg_weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (weight = revenue cents): the
+    smallest value whose cumulative weight reaches half the group total
+    — the quality-weighted budget question ('the median token is in a
+    document of what quality?') that unweighted percentiles cannot
+    answer and approximate sketches answer nondeterministically.
+
+    Determinism: weights integerize to cents via FLOOR (no cast-rounding
+    divergence), the cumulative frame orders by (value, unique key), and
+    the lower-weighted-median rule (cw*2 >= tw) is pure integer
+    arithmetic.  Scale shape: one (group)-keyed sort serves both running
+    and total weight; the threshold pick is a row_number over rows
+    already past the half-weight mark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "l_quantity",
+        "wt",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wtot).alias("tw"),
+    )
+    hits = (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_returnflag").orderBy("l_quantity", "cw")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("weighted_median_qty"))
+    )
+    return (
+        cum.join(hits, "l_returnflag")
+        .groupBy("l_returnflag", "weighted_median_qty")
+        .agg(F.max("tw").cast("long").alias("total_weight_cents"))
+    )
