@@ -2257,7 +2257,9 @@ def agg_weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("wt").over(wcum).alias("cw"),
         F.sum("wt").over(wtot).alias("tw"),
     )
-    hits = (
+    # The rn=1 row already carries tw (a per-group constant), so no
+    # join-back / re-aggregation over the full relation is needed.
+    return (
         cum.where(F.col("cw") * 2 >= F.col("tw"))
         .withColumn(
             "rn",
@@ -2266,10 +2268,9 @@ def agg_weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
         .where(F.col("rn") == 1)
-        .select("l_returnflag", F.col("l_quantity").alias("weighted_median_qty"))
-    )
-    return (
-        cum.join(hits, "l_returnflag")
-        .groupBy("l_returnflag", "weighted_median_qty")
-        .agg(F.max("tw").cast("long").alias("total_weight_cents"))
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("weighted_median_qty"),
+            F.col("tw").cast("long").alias("total_weight_cents"),
+        )
     )

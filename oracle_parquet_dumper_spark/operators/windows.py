@@ -557,7 +557,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
                   THEN 1 ELSE 0 END AS new_island
       FROM iv
@@ -567,7 +567,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, s, e,
              CAST(SUM(new_island) OVER (
-               PARTITION BY user_id ORDER BY s, e
+               PARTITION BY user_id ORDER BY s, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS island_id
       FROM flagged
@@ -587,10 +587,13 @@ def window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     start against the running MAX of all PRIOR interval ENDS — a long
     interval correctly swallows later short ones that start inside it.
 
-    One (user_id)-keyed sort serves the running-max frame, the island
-    numbering, and the final per-island aggregate; event_id completes
-    the ordering so equal start timestamps resolve identically in both
-    engines."""
+    One (user_id, s, event_id) sort serves BOTH window frames and the
+    final per-island aggregate: the island numbering must replay the
+    exact order the flags were computed in — numbering by a different
+    ordering (an earlier draft used (s, e)) assigns flag-0 rows that
+    share a start timestamp with a flag-1 row to the WRONG island,
+    producing overlapping "merged" spans; event_id completes the
+    ordering so ties resolve identically in both engines."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
@@ -606,6 +609,7 @@ def window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior_max_end = F.max("e").over(wprior)
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(prior_max_end.isNull() | (F.col("s") > prior_max_end), 1)
@@ -614,7 +618,7 @@ def window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsum = (
         W.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     numbered = flagged.select(

@@ -67,3 +67,52 @@ def test_udtf_matches_jvm_split_plan(spark, sf_dir):
     )
     want = {(r.doc_id, r.sent_idx, r.sentence, r.n_chars) for r in jvm.collect()}
     assert got == want
+
+
+def test_interval_merge_start_timestamp_ties(spark):
+    """Regression: events sharing a start timestamp must land in the
+    SAME island the flag pass decided — numbering by (s, e) instead of
+    (s, event_id) once produced overlapping 'merged' spans.  Here a
+    long interval at 03:00 (new island) and a short one at 03:00
+    (overlapping it) must form ONE island, disjoint from the 00:00
+    event."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    # mirror the query body on a hand-built frame with a tie
+    rows = [
+        (1, 100, dt.datetime(2024, 1, 1, 0, 0)),   # ends 00:10+ (id%50+10)
+        (1, 49, dt.datetime(2024, 1, 1, 3, 0)),    # 59-min interval, new island
+        (1, 52, dt.datetime(2024, 1, 1, 3, 0)),    # 12-min, same start ts
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("timestampadd(MINUTE, CAST(event_id % 50 + 10 AS INT), ts)").alias("e"),
+    )
+    wprior = (
+        W.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    pmax = F.max("e").over(wprior)
+    flagged = iv.select(
+        "user_id", "event_id", "s", "e",
+        F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0).alias("new_island"),
+    )
+    wsum = W.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    numbered = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(wsum).cast("long").alias("island_id")
+    )
+    spans = (
+        numbered.groupBy("user_id", "island_id")
+        .agg(F.min("s").alias("lo"), F.max("e").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .orderBy("island_id")
+        .collect()
+    )
+    assert [r["n"] for r in spans] == [1, 2]  # tie rows share island 2
+    assert spans[0]["hi"] < spans[1]["lo"]  # islands are disjoint
