@@ -370,3 +370,69 @@ def events_window_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(steps.alias("steps"))
     )
     return s.groupBy("steps").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CAST(ts AS DATE)) AS last_day,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    anchor AS (SELECT MAX(last_day) AS max_day FROM per_user),
+    scored AS (
+      SELECT user_id,
+             date_diff('day', last_day, max_day) AS recency_days,
+             freq, monetary_cents
+      FROM per_user CROSS JOIN anchor
+    ),
+    tiled AS (
+      SELECT user_id,
+             ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+             ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+      FROM scored
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_users
+    FROM tiled GROUP BY r_q, f_q, m_q
+    """,
+    tags=("agg", "events", "window"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency (days since last event,
+    anchored at the corpus max day — an in-plan broadcast 1-row
+    aggregate, no wall clock), Frequency, and Monetary value (integer
+    cents — exact), each quartiled with ntile(4) and rolled up into the
+    at-most-64 segment histogram.
+
+    Determinism: ntile ties break on user_id in both engines; monetary
+    integerizes via FLOOR before summing.  Scale shape: the event log
+    reduces to one row per user in a single partial-aggregated shuffle;
+    the three ntiles are windows over the per-user relation (distinct
+    users, not events) — at 100 TB replace the unpartitioned ntile with
+    a two-pass quantile-boundary broadcast, which is the documented
+    pattern in pipeline_global_shuffle for full-relation ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("monetary_cents"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("max_day"))
+    scored = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("max_day", "last_day").alias("recency_days"),
+        "freq",
+        "monetary_cents",
+    )
+    tiled = scored.select(
+        F.ntile(4).over(W.orderBy("recency_days", "user_id")).alias("r_q"),
+        F.ntile(4).over(W.orderBy(F.col("freq").desc(), "user_id")).alias("f_q"),
+        F.ntile(4).over(W.orderBy(F.col("monetary_cents").desc(), "user_id")).alias("m_q"),
+    )
+    return tiled.groupBy("r_q", "f_q", "m_q").agg(F.count(F.lit(1)).alias("n_users"))
