@@ -740,3 +740,85 @@ def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ip").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+
+@query(
+    "sim_reciprocal_rank_fusion",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT vec_id,
+             {cosine_rounded_sql('embedding', 'qvec')} AS cos,
+             round({dot_sql('embedding', 'qvec')}, 6) AS ip
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id != {QUERY_VEC_ID}
+    ),
+    ranked AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_cos,
+             ROW_NUMBER() OVER (ORDER BY ip DESC, vec_id) AS r_ip
+      FROM scored
+    )
+    SELECT vec_id, r_cos, r_ip,
+           {RRF_SCALE} // ({RRF_K} + r_cos) + {RRF_SCALE} // ({RRF_K} + r_ip)
+             AS rrf_nano
+    FROM ranked
+    ORDER BY rrf_nano DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity",),
+)
+def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (cosine and raw
+    inner product) for one query vector: RRF(v) = sum_r 1/(k + rank_r)
+    with k={RRF_K} — the standard score-free fuser for hybrid retrieval
+    (dense + sparse / multiple metrics), robust to incomparable score
+    scales.
+
+    Determinism: each 1/(k+rank) term integerizes as
+    {RRF_SCALE} DIV (k+rank) — exact integer division on integer ranks
+    (ranks tie-break on vec_id), so the fused ordering is bit-exact
+    cross-engine.  Scale shape: one broadcast-query scan scores both
+    metrics in a single pass; the two rankings are windows over the
+    same scored relation (at cluster scale: per-partition top-k each
+    ranking first, fuse the unioned candidates — ranks beyond any
+    plausible k contribute < 1/(k+n) and cannot reach the top-k)."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, dot_d, norm
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(as_double("embedding").alias("qd"), norm("embedding").alias("nq"))
+    )
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            as_double("embedding").alias("vd"),
+            norm("embedding").alias("nv"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_prenormed("vd", "qd", "nv", "nq").alias("cos"),
+            F.round(dot_d("vd", "qd"), 6).alias("ip"),
+        )
+    )
+    ranked = scored.select(
+        "vec_id",
+        F.row_number().over(W.orderBy(F.col("cos").desc(), "vec_id")).alias("r_cos"),
+        F.row_number().over(W.orderBy(F.col("ip").desc(), "vec_id")).alias("r_ip"),
+    )
+    rrf = F.expr(
+        f"CAST({RRF_SCALE} DIV ({RRF_K} + r_cos) + {RRF_SCALE} DIV ({RRF_K} + r_ip) AS BIGINT)"
+    )
+    return (
+        ranked.select("vec_id", "r_cos", "r_ip", rrf.alias("rrf_nano"))
+        .orderBy(F.col("rrf_nano").desc(), "vec_id")
+        .limit(TOP_K)
+    )
