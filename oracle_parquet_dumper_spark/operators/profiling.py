@@ -249,3 +249,76 @@ def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.expr("CAST(sum(c * t) DIV max(n) AS BIGINT)").alias("entropy_micro_nats"),
     )
+
+
+@query(
+    "profile_gini_concentration",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, c,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY c, l_orderkey, l_linenumber) AS r
+      FROM cents
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
+           CAST((2 * SUM(r * c) - (COUNT(*) + 1) * SUM(c)) * 1000000
+                // (COUNT(*) * SUM(c)) AS BIGINT) AS gini_micro
+    FROM ranked GROUP BY l_returnflag
+    """,
+    tags=("profile", "dq", "window"),
+)
+def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue per group — the inequality measure
+    that tells a pipeline whether a key's mass is spread evenly (~0) or
+    dominated by a few heavy rows (~1), i.e. the skew diagnostic behind
+    salting/broadcast decisions, computed exactly.
+
+    Uses the rank formulation G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x))
+    over integer cents with a (value, unique-key) rank ordering — the
+    whole computation is integer arithmetic ending in one integer
+    division to micro-units, so it is bit-exact cross-engine.  Scale
+    shape: one group-keyed sort (the rank window), then a partial
+    aggregate; output is one row per group."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = cents.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("l_returnflag").orderBy("c", "l_orderkey", "l_linenumber")
+        ),
+    )
+    # Exact big-integer arithmetic: the rank-weighted sum overflows
+    # BIGINT one decade up (r*c ~ 1e11 summed over millions of rows), so
+    # everything accumulates in DECIMAL(38,0) — and the final floor
+    # division is made EXACT by subtracting the modulo first (a decimal
+    # divide of an exactly-divisible pair has no rounding to diverge
+    # from DuckDB's hugeint // floor division; the numerator is
+    # non-negative by the Chebyshev sum inequality, so % == mod).
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("total_cents"),
+        F.expr("sum(CAST(r AS DECIMAL(38,0)) * c)").alias("s1"),
+        F.expr("sum(CAST(c AS DECIMAL(38,0)))").alias("s0"),
+    )
+    num = F.expr("(2 * s1 - (n + 1) * s0) * 1000000")
+    den = F.expr("n * s0")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "total_cents",
+        ((num - num % den) / den).cast("long").alias("gini_micro"),
+    )
