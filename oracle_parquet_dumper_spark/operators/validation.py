@@ -311,3 +311,65 @@ def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(count(1) * 1000000 DIV max(total) AS BIGINT)").alias("share_ppm"),
         )
     )
+
+
+@query(
+    "dq_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS d, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_disc(d, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           COUNT(*) AS n,
+           MAX(dev.med) AS median_value,
+           MAX(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    """,
+    tags=("dq", "profile", "stats"),
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen: per event type, count values more than 3
+    median-absolute-deviations from the median — the outlier detector
+    that, unlike mean/stddev z-scores, is not itself dragged by the
+    outliers it is hunting.
+
+    Determinism: both medians are DISCRETE percentiles (an actual data
+    value — no interpolation arithmetic), deviations are single IEEE
+    subtractions of identical doubles, and the 3*MAD threshold compare
+    therefore resolves identically cross-engine.  Scale shape: two
+    group-keyed aggregates and one broadcast-sized (per-type) join back;
+    output is one row per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
