@@ -630,3 +630,79 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS f FROM toks GROUP BY token),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r FROM freq
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS vocab_size,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+             AS zipf_slope_micro
+    FROM m
+    """,
+    tags=("text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: least-squares slope of
+    ln(frequency) against ln(rank) over the full vocabulary — natural
+    text sits near -1; strong deviation flags boilerplate floods or
+    synthetic/templated corpora before they poison a training mix.
+
+    Determinism: each ln integerizes to micro-nats per (rank, freq)
+    point BEFORE any sum (the perplexity convention), the regression
+    moments accumulate exactly in DECIMAL(38,0)/HUGEINT (x*y products
+    overflow BIGINT at large vocabularies), and the slope is one integer
+    floor division — made exact on the Spark side by subtracting the
+    modulo first (the profile_gini_concentration trick).  Scale shape:
+    token counts partial-aggregate; the rank window runs over the
+    VOCABULARY (sublinear in corpus size); output is a single row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words_col_lower()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(W.orderBy(F.col("f").desc(), "token")).alias("r"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000).cast("long").alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+    )
+    num = F.expr("(n * sxy - sx * sy) * 1000000")
+    den = F.expr("n * sxx - sx * sx")
+    # num is negative (slope < 0); measured: DuckDB's integer // rounds
+    # toward ZERO here, and Spark's % is the truncated modulo (sign of
+    # the dividend), so (num - num % den) / den is the matching
+    # toward-zero division — exactly divisible, hence no decimal
+    # rounding to diverge.
+    mod = num % den
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        ((num - mod) / den).cast("long").alias("zipf_slope_micro"),
+    )
