@@ -1066,7 +1066,12 @@ def pipeline_curation(
     )
     comps = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     drop = comps.groupBy("component").agg(F.min("node").alias("keeper"))
-    non_keepers = comps.join(drop, comps.component == drop.component).where(
+    # Join by NAME, not comps.component == drop.component: ``drop``
+    # derives from ``comps``, so the attribute form makes both sides
+    # resolve to the same expression ID and Spark falls back to a
+    # "trivially true equals predicate" heuristic — correct today, but
+    # the classic silently-becomes-cartesian foot-gun under refactoring.
+    non_keepers = comps.join(drop, "component").where(
         F.col("node") != F.col("keeper")
     ).select(F.col("node").alias("doc_id"))
     survivors = exact.join(non_keepers, "doc_id", "left_anti")

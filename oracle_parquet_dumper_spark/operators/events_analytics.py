@@ -410,29 +410,97 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: ntile ties break on user_id in both engines; monetary
     integerizes via FLOOR before summing.  Scale shape: the event log
-    reduces to one row per user in a single partial-aggregated shuffle;
-    the three ntiles are windows over the per-user relation (distinct
-    users, not events) — at 100 TB replace the unpartitioned ntile with
-    a two-pass quantile-boundary broadcast, which is the documented
-    pattern in pipeline_global_shuffle for full-relation ordering."""
+    reduces to one row per user in a single partial-aggregated shuffle.
+    The oracle states the quartiles as three unpartitioned ntile windows
+    — the shape that must NOT run at 100 TB (O(users) rows through a
+    single WindowExec task, three times).  The Spark plan instead MELTS
+    the per-user relation to (user, metric, order_value) — DESC metrics
+    negate — and computes ONE metric-partitioned distributed row index
+    (two-pass bucket-offset pattern, operators/global_index.py), so all
+    three quartiles come out of one partitioned pass; the standard NTILE
+    integer formula then reproduces the oracle's tiles exactly, and a
+    per-user pivot reassembles (r_q, f_q, m_q)."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
-    per_user = ev.groupBy("user_id").agg(
-        F.max(F.to_date("ts")).alias("last_day"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("monetary_cents"),
+    from oracle_parquet_dumper_spark.operators.global_index import (
+        ntile_expr,
+        with_global_index,
     )
-    anchor = per_user.agg(F.max("last_day").alias("max_day"))
+
+    from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+
+    # per_user feeds the anchor aggregate AND (via the melt) both arms
+    # of the global-index pass — four consumers in one plan; Catalyst
+    # re-derives a shared subtree PER REFERENCE, so materialize the
+    # per-user reduction (distinct users, not events) once.
+    per_user = truncate_lineage(
+        ev.groupBy("user_id").agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    # ONE 1-row broadcast aggregate carries the recency anchor AND the
+    # per-metric bucketing bounds for the global-index pass (recency
+    # bounds derive from the last_day bounds: min recency is 0, max is
+    # max_day - min(last_day)), saving a second bounds pass.
+    anchor = per_user.agg(
+        F.max("last_day").alias("max_day"),
+        F.min("last_day").alias("min_day"),
+        F.min("freq").alias("mn_f"),
+        F.max("freq").alias("mx_f"),
+        F.min("monetary_cents").alias("mn_m"),
+        F.max("monetary_cents").alias("mx_m"),
+    )
     scored = per_user.crossJoin(F.broadcast(anchor)).select(
         "user_id",
         F.datediff("max_day", "last_day").alias("recency_days"),
         "freq",
         "monetary_cents",
+        F.datediff("max_day", "min_day").alias("mx_r"),
+        "mn_f", "mx_f", "mn_m", "mx_m",
     )
-    tiled = scored.select(
-        F.ntile(4).over(W.orderBy("recency_days", "user_id")).alias("r_q"),
-        F.ntile(4).over(W.orderBy(F.col("freq").desc(), "user_id")).alias("f_q"),
-        F.ntile(4).over(W.orderBy(F.col("monetary_cents").desc(), "user_id")).alias("m_q"),
+    melted = scored.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("long").alias("v"),
+                    F.lit(0).cast("long").alias("mn"),
+                    F.col("mx_r").cast("long").alias("mx"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("freq")).alias("v"),
+                    (-F.col("mx_f")).alias("mn"),
+                    (-F.col("mn_f")).alias("mx"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    (-F.col("monetary_cents")).alias("v"),
+                    (-F.col("mx_m")).alias("mn"),
+                    (-F.col("mn_m")).alias("mx"),
+                ),
+            )
+        ).alias("mv"),
+    ).select("user_id", "mv.metric", "mv.v", "mv.mn", "mv.mx")
+    idx = with_global_index(
+        melted,
+        "v",
+        ["user_id"],
+        group_cols=["metric"],
+        precomputed_bounds=("mn", "mx"),
     )
-    return tiled.groupBy("r_q", "f_q", "m_q").agg(F.count(F.lit(1)).alias("n_users"))
+    tiles = idx.select(
+        "user_id", "metric", ntile_expr(F.col("_gidx"), F.col("_gn"), 4).alias("tile")
+    )
+    per_user_tiles = tiles.groupBy("user_id").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("tile"))).alias("r_q"),
+        F.max(F.when(F.col("metric") == "f", F.col("tile"))).alias("f_q"),
+        F.max(F.when(F.col("metric") == "m", F.col("tile"))).alias("m_q"),
+    )
+    return per_user_tiles.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

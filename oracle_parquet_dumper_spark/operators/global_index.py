@@ -1,0 +1,171 @@
+"""Distributed global ordering primitives: dense row index, exact NTILE,
+percent_rank/cume_dist — WITHOUT a single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` (and ntile/percent_rank/cume_dist,
+which are defined in terms of it) is the one window shape that cannot be
+partitioned, so a naive plan funnels the ENTIRE relation through one
+WindowExec task — correct at sf0.1, dead at 100 TB.  This module is the
+reusable form of the two-pass bucket-offset pattern first proven in
+``pipeline_prep.pipeline_global_shuffle``:
+
+1. range-bucket every row with a monotone function of the leading order
+   column (equi-width over a broadcast 1-row min/max, so bucket order ==
+   value order and equal values always share a bucket);
+2. per-bucket counts -> running-total offsets.  This window IS
+   unpartitioned but touches exactly ``n_buckets`` rows whatever the
+   data size — it never sees data rows (the shape ``plans/audit.py``
+   allowlists per query, with the bound recorded);
+3. broadcast the offsets back and add a per-bucket ``row_number``
+   (PARTITIONED window: one reducer per bucket, more buckets = more
+   parallelism), so ``global index = bucket offset + within-bucket rank``.
+
+Determinism: bucketing only needs monotonicity, which IEEE subtraction /
+division-by-a-positive-constant / floor all preserve, so float rounding
+can never reorder rows across buckets — the exact index comes from the
+integer offsets plus the exact within-bucket sort.  Equal leading values
+land in one bucket, so the within-bucket tie-break columns see every tie.
+
+ntile/percent_rank/cume_dist are then pure integer/IEEE arithmetic on
+(index, N): bit-identical to the engines' own window functions (both
+Spark and DuckDB implement the standard semantics this module states),
+which is what lets the DuckDB oracles keep using the window form.
+
+Skew note: equi-width bucketing concentrates heavily-skewed value
+distributions into few buckets; at 100 TB swap step 1's bucket function
+for approx-quantile boundaries (any monotone bucketer works — the index
+math is unchanged).  The default 64 buckets matches local[32]; a cluster
+run should set n_buckets ~= 2-4x executor cores.
+
+No reference counterpart (the reference never orders anything but its
+catalog listing, main.py:224-232); this is Part-B engine infrastructure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def with_global_index(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    group_cols: list[str] | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    idx_col: str = "_gidx",
+    n_col: str = "_gn",
+    weight_col: str | None = None,
+    cum_col: str = "_gcum",
+    wtot_col: str = "_gwtot",
+    precomputed_bounds: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Add ``idx_col`` = dense 0-based index in ``(value_col ASC,
+    *tiebreak_cols ASC)`` order and ``n_col`` = total row count —
+    per ``group_cols`` group when given, else globally.
+
+    ``value_col`` must be numeric (callers negate for DESC) and the
+    combined ordering must be unique (tie-break on a key) for the index
+    to be deterministic.  Internal columns are dropped; the output keeps
+    every input column plus ``idx_col``/``n_col``.
+
+    ``weight_col`` additionally computes ``cum_col`` = INCLUSIVE running
+    sum of the weight in the same global order and ``wtot_col`` = total
+    weight (per group) — the same two-pass trick applied to SUM instead
+    of COUNT: per-bucket weight totals roll into broadcast offsets, the
+    within-bucket running sum stays partitioned.  This is what replaces
+    ``SUM(w) OVER (ORDER BY ...)`` at scale (e.g. vocabulary coverage
+    curves).
+
+    ``precomputed_bounds=(mn_col, mx_col)`` skips step 1: the caller
+    already carries (row-constant per group) bucketing bounds — e.g. a
+    1-row aggregate it needed anyway.  Bounds only steer bucket SIZES;
+    any row-constant pair that brackets the values keeps the index exact.
+    """
+    gb = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+
+    # 1. broadcast per-group bounds; equi-width monotone bucketing.
+    if precomputed_bounds is not None:
+        mn_c, mx_c = precomputed_bounds
+        bounded = df.withColumn("_mn", F.col(mn_c).cast("double")).withColumn(
+            "_mx", F.col(mx_c).cast("double")
+        )
+    elif gb:
+        bounds = df.groupBy(*gb).agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+        bounded = df.join(F.broadcast(bounds), gb)
+    else:
+        bounds = df.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+        bounded = df.crossJoin(F.broadcast(bounds))
+    width = (F.col("_mx") - F.col("_mn")) / float(n_buckets)
+    bucket = (
+        F.when(F.col("_mx") <= F.col("_mn"), F.lit(0))
+        .otherwise(F.least(F.floor((v - F.col("_mn")) / width), F.lit(n_buckets - 1)))
+        .cast("int")
+    )
+    hb = bounded.withColumn("_gb", bucket).drop("_mn", "_mx")
+
+    # 2. bucket counts -> exclusive running offsets + group totals.  The
+    # count relation has <= n_buckets rows per group, so these windows
+    # are bounded no matter the data size.
+    aggs = [F.count(F.lit(1)).alias("_bn")]
+    if weight_col:
+        aggs.append(F.sum(weight_col).alias("_bw"))
+    counts = hb.groupBy(*gb, "_gb").agg(*aggs)
+    off_w = (
+        W.partitionBy(*gb).orderBy("_gb").rowsBetween(W.unboundedPreceding, -1)
+        if gb
+        else W.orderBy("_gb").rowsBetween(W.unboundedPreceding, -1)
+    )
+    tot_w = (
+        W.partitionBy(*gb) if gb else W.partitionBy()
+    ).orderBy("_gb").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    off_cols = [
+        F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(tot_w).alias(n_col),
+    ]
+    if weight_col:
+        off_cols += [
+            F.coalesce(F.sum("_bw").over(off_w), F.lit(0)).alias("_woff"),
+            F.sum("_bw").over(tot_w).alias(wtot_col),
+        ]
+    offsets = counts.select(*gb, "_gb", *off_cols)
+
+    # 3. partitioned within-bucket rank + broadcast offset = global index.
+    within_w = W.partitionBy(*gb, "_gb").orderBy(value_col, *tiebreak_cols)
+    out = (
+        hb.join(F.broadcast(offsets), [*gb, "_gb"])
+        .withColumn(idx_col, F.col("_off") + F.row_number().over(within_w) - 1)
+    )
+    if weight_col:
+        # explicit ROWS frame: the default RANGE frame would be
+        # equivalent only because the ordering is unique — say what we
+        # mean and stay frame-exact if a caller ever relaxes that.
+        run_w = within_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        out = out.withColumn(
+            cum_col, F.col("_woff") + F.sum(weight_col).over(run_w)
+        ).drop("_woff")
+    return out.drop("_gb", "_off")
+
+
+def ntile_expr(idx: Column, n: Column, tiles: int) -> Column:
+    """Standard-SQL NTILE(tiles) from a dense 0-based index and total N:
+    the first ``N % tiles`` tiles get ``ceil(N/tiles)`` rows, the rest
+    ``floor(N/tiles)`` — exactly the assignment Spark's and DuckDB's
+    window ntile produce, as pure integer arithmetic."""
+    # Double division is exact here: idx/N are row COUNTS (< 2^53 rows
+    # even at 100 TB), unlike the 2^60 hash values that force `div`
+    # elsewhere (pipeline_global_shuffle's integer-div rule).
+    q = F.floor(n / tiles).cast("long")
+    r = (n % tiles).cast("long")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    # greatest(q,1): when N < tiles, q == 0 but idx < big always holds,
+    # so the otherwise-branch divisor is never semantically used — the
+    # guard only keeps codegen's eager integer division away from /0.
+    return (
+        F.when(idx < big, F.floor(idx / (q + 1)))
+        .otherwise(r + F.floor((idx - big) / F.greatest(q, F.lit(1))))
+        .cast("int")
+        + 1
+    )

@@ -564,13 +564,17 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("hit_id"))
+        # rename the join keys: both sides derive from the same scan, so
+        # truth["qid"] == ann["qid"] would resolve to ONE expression id
+        # and fall into Spark's "trivially true equals predicate"
+        # heuristic — rename instead of relying on it.
+        .select(F.col("qid").alias("a_qid"), F.col("vec_id").alias("hit_id"))
     )
     joined = truth.join(
         ann,
-        (truth["qid"] == ann["qid"]) & (truth["vec_id"] == ann["hit_id"]),
+        (F.col("qid") == F.col("a_qid")) & (F.col("vec_id") == F.col("hit_id")),
         "left",
-    ).select(truth["qid"], "vec_id", "hit_id")
+    ).select("qid", "vec_id", "hit_id")
     n_hit = F.count("hit_id")
     return joined.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_truth"),
@@ -783,12 +787,13 @@ def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     {RRF_SCALE} DIV (k+rank) — exact integer division on integer ranks
     (ranks tie-break on vec_id), so the fused ordering is bit-exact
     cross-engine.  Scale shape: one broadcast-query scan scores both
-    metrics in a single pass; the two rankings are windows over the
-    same scored relation (at cluster scale: per-partition top-k each
-    ranking first, fuse the unioned candidates — ranks beyond any
-    plausible k contribute < 1/(k+n) and cannot reach the top-k)."""
+    metrics in a single pass; the two full rankings then come from ONE
+    metric-partitioned distributed global index (melt to (metric, score)
+    and apply the two-pass bucket-offset pattern,
+    operators/global_index.py) — no unpartitioned window ever touches
+    the O(corpus) scored relation."""
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, dot_d, norm
-    from pyspark.sql import Window as W
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
 
     e = load_table(spark, sf_dir, "embeddings")
     q = (
@@ -809,10 +814,23 @@ def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot_d("vd", "qd"), 6).alias("ip"),
         )
     )
-    ranked = scored.select(
+    melted = scored.select(
         "vec_id",
-        F.row_number().over(W.orderBy(F.col("cos").desc(), "vec_id")).alias("r_cos"),
-        F.row_number().over(W.orderBy(F.col("ip").desc(), "vec_id")).alias("r_ip"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("c").alias("metric"), (-F.col("cos")).alias("v")),
+                F.struct(F.lit("i").alias("metric"), (-F.col("ip")).alias("v")),
+            )
+        ).alias("mv"),
+    ).select("vec_id", "mv.metric", "mv.v")
+    idx = with_global_index(melted, "v", ["vec_id"], group_cols=["metric"])
+    ranked = (
+        idx.select("vec_id", "metric", (F.col("_gidx") + 1).alias("rank"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("metric") == "c", F.col("rank"))).alias("r_cos"),
+            F.max(F.when(F.col("metric") == "i", F.col("rank"))).alias("r_ip"),
+        )
     )
     rrf = F.expr(
         f"CAST({RRF_SCALE} DIV ({RRF_K} + r_cos) + {RRF_SCALE} DIV ({RRF_K} + r_ip) AS BIGINT)"

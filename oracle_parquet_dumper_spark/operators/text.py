@@ -514,27 +514,35 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{VOCAB_TOPK} vocabulary coverage: which tokens a tokenizer
     must know to cover what share of the corpus (the first question of
-    vocabulary design).  The global sort/window runs on the AGGREGATED
-    vocabulary — bounded by distinct-token count, not corpus size; the
-    corpus itself is touched once by the explode+combine count."""
+    vocabulary design).  The corpus is touched once by the
+    explode+combine count; rank AND running coverage over the vocabulary
+    then come from ONE distributed global index with a weighted running
+    sum (two-pass bucket-offset pattern, operators/global_index.py) —
+    the vocabulary is sublinear in corpus size but still unbounded
+    (Heaps' law puts whitespace vocab in the 10^8 range at 100 TB), so
+    no single-partition window may touch it either."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     vocab = (
         d.select(F.explode(words_col_lower()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    order = [F.col("cnt").desc(), F.col("token")]
-    w_rank = W.orderBy(*order)
-    w_cum = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_all = W.partitionBy()
+    idx = with_global_index(
+        vocab.withColumn("v", -F.col("cnt")),
+        "v",
+        ["token"],
+        weight_col="cnt",
+    )
     return (
-        vocab.select(
-            F.row_number().over(w_rank).cast("long").alias("rank"),
+        idx.select(
+            (F.col("_gidx") + 1).cast("long").alias("rank"),
             "token",
             F.col("cnt").cast("long").alias("cnt"),
-            F.round(
-                F.sum("cnt").over(w_cum) * F.lit(1.0) / F.sum("cnt").over(w_all), 6
-            ).alias("cum_coverage"),
+            F.round(F.col("_gcum") * F.lit(1.0) / F.col("_gwtot"), 6).alias(
+                "cum_coverage"
+            ),
         )
         .where(F.col("rank") <= VOCAB_TOPK)
     )
@@ -679,10 +687,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(words_col_lower()).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.select(
-        "f",
-        F.row_number().over(W.orderBy(F.col("f").desc(), "token")).alias("r"),
-    )
+    # rank via the distributed global index (two-pass bucket offsets,
+    # operators/global_index.py) — the vocabulary is sublinear in corpus
+    # size but unbounded, so no single-partition row_number over it.
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    ranked = with_global_index(
+        freq.withColumn("nf", -F.col("f")), "nf", ["token"]
+    ).select("f", (F.col("_gidx") + 1).alias("r"))
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")) * 1000000).cast("long").alias("x"),
         F.round(F.log(F.col("f").cast("double")) * 1000000).cast("long").alias("y"),

@@ -162,16 +162,28 @@ def dq_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("validation", "window", "agg"),
 )
 def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-depth (quantile) histogram via NTILE: each tile holds
-    ~1/{N} of the rows, so tile boundaries ARE the deciles.  One
-    sort-shuffle; the tie-break on the unique key makes tile assignment
-    deterministic, which is what lets the oracle hash-match exactly."""
-    from pyspark.sql import Window as W
+    """Equal-depth (quantile) histogram: each tile holds ~1/{N} of the
+    rows, so tile boundaries ARE the deciles.  The oracle states it as
+    ``ntile() OVER (ORDER BY ...)`` — a single-partition window that
+    must NOT run at 100 TB; the Spark plan computes the identical tile
+    assignment from a distributed global row index (two-pass
+    bucket-offset pattern, operators/global_index.py) plus the standard
+    NTILE integer formula.  The tie-break on the unique key makes the
+    index — and hence the oracle hash — deterministic."""
+    from oracle_parquet_dumper_spark.operators.global_index import (
+        ntile_expr,
+        with_global_index,
+    )
 
     o = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    idx = with_global_index(
+        o.select("o_totalprice", "o_orderkey"), "o_totalprice", ["o_orderkey"]
+    )
     return (
-        o.select("o_totalprice", F.ntile(N_HIST_BUCKETS).over(w).alias("tile"))
+        idx.select(
+            "o_totalprice",
+            ntile_expr(F.col("_gidx"), F.col("_gn"), N_HIST_BUCKETS).alias("tile"),
+        )
         .groupBy("tile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -244,15 +244,31 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank/cume_dist over a global ordering (single-partition
-    window — only valid on pre-reduced data; here the filter reduces
-    first, which is the pattern to insist on at scale)."""
+    """percent_rank/cume_dist over a global ordering.  The oracle keeps
+    the window form; the Spark plan derives both from a distributed
+    global row index (two-pass bucket-offset pattern,
+    operators/global_index.py) — the ordering is unique (key tie-break),
+    so rank == index+1 and
+
+        percent_rank = idx / (N-1)        cume_dist = (idx+1) / N
+
+    each a single IEEE divide of exact integers, bit-identical to the
+    engines' own window functions.  No row ever crosses a
+    single-partition WindowExec, however large the input."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 25 == 0)
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    idx = with_global_index(
+        o.select("o_totalprice", "o_orderkey"), "o_totalprice", ["o_orderkey"]
+    )
+    pct = F.when(F.col("_gn") == 1, F.lit(0.0)).otherwise(
+        F.col("_gidx").cast("double") / (F.col("_gn") - 1).cast("double")
+    )
+    cume = (F.col("_gidx") + 1).cast("double") / F.col("_gn").cast("double")
+    return idx.select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
     )
 
 

@@ -36,8 +36,75 @@ class PlanAudit:
     scans: int = 0
     pushed_filter_scans: int = 0
     codegen_stages: int = 0
+    unpartitioned_windows: int = 0
     aqe: bool = False
     warnings: list[str] = field(default_factory=list)
+
+
+def _nodes(plan: str) -> list[tuple[int, str]]:
+    """Parse the executedPlan string into (depth, operator-text) lines.
+
+    Spark prints one operator per line, children indented under parents
+    with ``+-``/``:-`` markers; the marker column IS the tree depth, so
+    node i's descendants are exactly the following lines with a larger
+    marker column (until one at <= its column).  WholeStageCodegen's
+    ``*(N)`` prefix sits after the marker and doesn't disturb this.
+    """
+    out: list[tuple[int, str]] = []
+    for ln in plan.splitlines():
+        m = re.search(r"(\+-|:-) ", ln)
+        if m:
+            out.append((m.start(), ln[m.end():]))
+        elif ln.strip():
+            out.append((-1, ln.strip()))  # root — everything descends from it
+    return out
+
+
+def _descendants(nodes: list[tuple[int, str]], i: int):
+    d = nodes[i][0]
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            return
+        yield nodes[j][1]
+
+
+_AGG_RE = re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate")
+
+
+def _bracket_group_texts(text: str) -> list[str]:
+    """Top-level ``[...]`` argument groups of an operator line.
+    ``Window [funcs], [order]`` (2 groups, 2nd is an ORDER spec) is
+    unpartitioned; ``Window [funcs], [partition]`` (2 groups, no order
+    markers — e.g. ``count(*) OVER (PARTITION BY g)``) and
+    ``Window [funcs], [partition], [order]`` (3 groups) are partitioned."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in text:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+_ORDER_SPEC_RE = re.compile(r" (?:ASC|DESC) NULLS")
+
+
+def _is_unpartitioned_window(text: str) -> bool:
+    if not re.match(r"(?:\*\(\d+\) )?Window \[", text):
+        return False
+    groups = _bracket_group_texts(text)
+    # 3 groups = funcs/partition/order; 2 groups is unpartitioned only
+    # when the 2nd group is an order spec (a partition spec has no
+    # ASC/DESC markers).
+    return len(groups) == 2 and bool(_ORDER_SPEC_RE.search(groups[1]))
 
 
 # Queries allowed to violate a rule, with the reason recorded here so an
@@ -48,6 +115,32 @@ EXEMPT: dict[str, set[str]] = {
     "python": {"udf", "pandas_udf", "multimodal", "iterative"},
     # demo-tagged queries knowingly keep the naive shape
     "demo": {"demo"},
+}
+
+# An unpartitioned WindowExec funnels its ENTIRE input through one task —
+# the 100 TB scale-killer this lint exists to catch (round-4 verdict:
+# dq_histogram_equidepth / events_rfm_segments / window_percent_cume all
+# passed the old lint because no rule covered the class; all three are
+# now rewritten on operators/global_index.py).  The shape is only legal
+# over a relation whose row count is BOUNDED regardless of data size, so
+# every occurrence must be allowlisted here BY QUERY NAME with its bound
+# — an unlisted query (or one exceeding its recorded count) fails the
+# lint.  max_count keeps an exemption from silently covering a second,
+# accidental unpartitioned window added later.
+BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
+    # the two-pass pattern's own offsets window: runs over the
+    # per-bucket count relation (<= DEFAULT_BUCKETS/SHUF_BUCKETS rows
+    # whatever the data size), never over data rows
+    "pipeline_global_shuffle": (1, "bucket offsets, <= SHUF_BUCKETS rows"),
+    "dq_histogram_equidepth": (1, "bucket offsets, <= 64 rows"),
+    "window_percent_cume": (1, "bucket offsets, <= 64 rows"),
+    "text_vocab_coverage": (1, "bucket offsets, <= 64 rows"),
+    "text_zipf_fit": (1, "bucket offsets, <= 64 rows"),
+    # cumulative sum over the AGGREGATED (n_tok -> count) length
+    # distribution — rows = distinct document lengths, not documents
+    "clean_length_band": (1, "aggregated length distribution"),
+    # trailing average over per-month counts — rows = calendar months
+    "dq_partition_completeness": (1, "per-month counts"),
 }
 
 
@@ -61,16 +154,27 @@ def audit_text(name: str, plan: str) -> PlanAudit:
     a.nested_loop_joins = plan.count("BroadcastNestedLoopJoin")
     a.cartesian_products = plan.count("CartesianProduct")
     # a Sort with global=true ("Sort [...], true, 0") is a full-shuffle sort
-    a.global_sorts = len(re.findall(r"\bSort \[[^\]]*\], true,", plan))
+    sort_re = re.compile(r"\bSort \[[^\]]*\], true,")
+    a.global_sorts = len(sort_re.findall(plan))
     # a global sort ABOVE an aggregate orders already-reduced output
     # (bounded rows — fine); one with no aggregate below it orders raw
-    # data (the 100 TB foot-gun).  Plans print parent-first, so "no
-    # aggregate at any later position" ~= "no aggregate descendant".
-    agg_positions = [m.start() for m in re.finditer(r"(?:Hash|Sort|ObjectHash)Aggregate", plan)]
+    # data (the 100 TB foot-gun).  The aggregate must be in the sort's
+    # OWN subtree — "anywhere later in the plan string" would let an
+    # aggregate in a sibling join branch (printed after the sort) exempt
+    # a raw full-shuffle sort, so walk the indentation tree.
+    nodes = _nodes(plan)
     a.raw_global_sorts = sum(
         1
-        for m in re.finditer(r"\bSort \[[^\]]*\], true,", plan)
-        if not any(p > m.start() for p in agg_positions)
+        for i, (_, text) in enumerate(nodes)
+        if sort_re.search(text)
+        and not any(_AGG_RE.search(d) for d in _descendants(nodes, i))
+    )
+    # Window with no partition spec (2 bracket groups instead of 3): the
+    # whole input crosses one Exchange SinglePartition into one task.
+    # WindowGroupLimit is excluded: it is only ever inserted below a
+    # Window node with the same spec, which this rule already counts.
+    a.unpartitioned_windows = sum(
+        1 for _, text in nodes if _is_unpartitioned_window(text)
     )
     a.take_ordered = plan.count("TakeOrderedAndProject")
     # Exact node names — substring counting would double-count
@@ -105,6 +209,14 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
         w.append(
             f"{a.raw_global_sorts} global sort(s) over unaggregated data — "
             "full-shuffle ordering; use top-k or sortWithinPartitions"
+        )
+    allowed, reason = BOUNDED_UNPARTITIONED_WINDOWS.get(a.name, (0, ""))
+    if a.unpartitioned_windows > allowed:
+        w.append(
+            f"{a.unpartitioned_windows} unpartitioned Window(s) "
+            f"(allowlisted: {allowed}{' — ' + reason if reason else ''}) — "
+            "entire input through ONE task; use the two-pass bucket-offset "
+            "pattern (operators/global_index.py) or partition the window"
         )
     # graph analytics (wedge/closing joins) and multi-stage pipeline
     # resamplers legitimately chain many keyed exchanges; everything
@@ -141,6 +253,7 @@ def _fmt(a: PlanAudit) -> str:
         f"codegen={a.codegen_stages}",
         f"topk={a.take_ordered}",
         f"gsort={a.global_sorts}(raw={a.raw_global_sorts})",
+        f"upwin={a.unpartitioned_windows}",
         f"py={a.python_eval}",
     ]
     return " ".join(parts)

@@ -288,3 +288,92 @@ def test_plan_audit_tool(spark, sf_dir):
     # the fixed triangle count no longer re-derives its edge pipeline
     t = audit_query(spark, sf_dir, "graph_triangle_count")
     assert t.exchanges < 30 and not t.warnings
+
+
+def test_audit_unpartitioned_window_rule(spark):
+    """Round-4 verdict item: the lint must flag a Window with no
+    partition spec (whole input through ONE task) while leaving
+    partition-only and partitioned windows alone."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.plans.audit import audit_text, lint
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    bad = audit_text("bad", plan(df.select(F.row_number().over(W.orderBy("id")).alias("r"))))
+    assert bad.unpartitioned_windows == 1
+    assert any("unpartitioned Window" in w for w in lint(bad, ()))
+    # partition-only spec (no order) also prints 2 bracket groups — must
+    # NOT be confused with an order-only (unpartitioned) spec
+    pon = audit_text(
+        "pon", plan(df.select("g", F.count(F.lit(1)).over(W.partitionBy("g")).alias("c")))
+    )
+    assert pon.unpartitioned_windows == 0
+    part = audit_text(
+        "part", plan(df.select(F.row_number().over(W.partitionBy("g").orderBy("id")).alias("r")))
+    )
+    assert part.unpartitioned_windows == 0 and not lint(part, ())
+
+
+def test_audit_would_have_caught_round4_offenders():
+    """The allowlist bounds each fixed query at its single <=64-row
+    offsets window; the pre-fix shape (an unlisted query, or a second
+    unpartitioned window in a listed one) fails the lint."""
+    from oracle_parquet_dumper_spark.plans.audit import PlanAudit, lint
+
+    # events_rfm_segments has NO allowlist entry: one unpartitioned
+    # window (the round-4 shape had three) is a violation
+    assert lint(PlanAudit(name="events_rfm_segments", unpartitioned_windows=1), ())
+    # listed queries are bounded at their recorded count, not blanket-exempt
+    assert lint(PlanAudit(name="dq_histogram_equidepth", unpartitioned_windows=2), ())
+    assert not lint(PlanAudit(name="dq_histogram_equidepth", unpartitioned_windows=1), ())
+
+
+def test_audit_raw_global_sort_descendant_only():
+    """ADVICE round-4 (audit.py:75): an aggregate in a SIBLING subtree
+    printed after the sort must not exempt a raw full-shuffle sort — the
+    aggregate has to be in the sort's own descendants."""
+    from oracle_parquet_dumper_spark.plans.audit import audit_text
+
+    sibling = (
+        "SortMergeJoin [a], [b], Inner\n"
+        ":- Sort [a ASC NULLS FIRST], true, 0\n"
+        ":  +- FileScan parquet\n"
+        "+- HashAggregate(keys=[b], functions=[count(1)])\n"
+        "   +- FileScan parquet\n"
+    )
+    assert audit_text("x", sibling).raw_global_sorts == 1
+    covered = (
+        "Sort [a ASC NULLS FIRST], true, 0\n"
+        "+- HashAggregate(keys=[a], functions=[count(1)])\n"
+        "   +- FileScan parquet\n"
+    )
+    assert audit_text("x", covered).raw_global_sorts == 0
+
+
+def test_rewritten_window_queries_audit_clean(spark, sf_dir):
+    """The three round-4 single-partition-window queries (plus the two
+    vocabulary rankers and RRF upgraded alongside) now lint clean: no
+    unpartitioned window beyond each query's allowlisted bounded-offsets
+    one, and the data-bearing windows are partitioned."""
+    from oracle_parquet_dumper_spark.plans.audit import (
+        BOUNDED_UNPARTITIONED_WINDOWS,
+        audit_query,
+    )
+
+    for name in (
+        "dq_histogram_equidepth",
+        "events_rfm_segments",
+        "window_percent_cume",
+        "text_vocab_coverage",
+        "text_zipf_fit",
+        "sim_reciprocal_rank_fusion",
+    ):
+        a = audit_query(spark, sf_dir, name)
+        assert not a.warnings, f"{name}: {a.warnings}"
+        allowed, _ = BOUNDED_UNPARTITIONED_WINDOWS.get(name, (0, ""))
+        assert a.unpartitioned_windows <= allowed, name
