@@ -240,8 +240,9 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             date_diff('microsecond', date_trunc('hour', ts), ts) * 1000000000
-               + event_id AS ord,
+             CAST(date_diff('microsecond', date_trunc('hour', ts), ts) AS DECIMAL(10,0))
+               * CAST('10000000000000000000' AS DECIMAL(20,0))
+               + CAST(event_id AS DECIMAL(19,0)) AS ord,
              value
       FROM events
     )
@@ -260,17 +261,27 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (no window, no sort; every aggregate combines map-side).
 
     The ordering key folds the within-hour microsecond offset and the
-    unique event_id into one BIGINT (offset_us * 1e9 + event_id, no
-    overflow: < 3.6e18), because argmin/argmax tie-breaking on equal
-    timestamps is engine-defined — same determinism rule as
-    agg_max_min_by.  Output rows are bounded by distinct (user, hour)
-    buckets, not events.  No reference counterpart; Part B timeseries
-    extension alongside ts_gapfill_interpolate."""
+    unique event_id into one exact DECIMAL(32,0):
+    offset_us * 10^19 + event_id.  A BIGINT key (offset_us * 1e9 +
+    event_id) only stays timestamp-major while event_id < 1e9 — at
+    billions of events a later event with a small id would outrank an
+    earlier one, and because both engines would compute the same wrong
+    key the differential oracle could never catch it.  10^19 exceeds
+    the bigint max (9.22e18), so timestamp-major ordering holds for ANY
+    bigint event_id; widths stay exact (offset_us < 3.6e9 fits
+    DECIMAL(10,0); (10,0)x(20,0) -> (31,0), +(19,0) -> (32,0), all
+    below the 38-digit clamp in both engines).  argmin/argmax
+    tie-breaking on equal timestamps is engine-defined — same
+    determinism rule as agg_max_min_by.  Output rows are bounded by
+    distinct (user, hour) buckets, not events.  No reference
+    counterpart; Part B timeseries extension alongside
+    ts_gapfill_interpolate."""
     ev = load_table(spark, sf_dir, "events")
     h = F.date_trunc("hour", F.col("ts"))
     ord_key = (
-        F.timestamp_diff("MICROSECOND", h, F.col("ts")) * F.lit(1000000000).cast("long")
-        + F.col("event_id")
+        F.timestamp_diff("MICROSECOND", h, F.col("ts")).cast("decimal(10,0)")
+        * F.lit("10000000000000000000").cast("decimal(20,0)")
+        + F.col("event_id").cast("decimal(19,0)")
     )
     b = ev.select(
         "user_id", h.alias("h"), ord_key.alias("ord"), "value"

@@ -169,8 +169,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
              event_type,
-             date_diff('microsecond', date_trunc('hour', ts), ts) * 1000000000
-               + event_id AS ord,
+             CAST(date_diff('microsecond', date_trunc('hour', ts), ts) AS DECIMAL(10,0))
+               * CAST('10000000000000000000' AS DECIMAL(20,0))
+               + CAST(event_id AS DECIMAL(19,0)) AS ord,
              value
       FROM events
     )

@@ -242,11 +242,14 @@ class _JsonlShardWriterBase:
 
 
 class JsonlShardBatchWriter(_JsonlShardWriterBase, DataSourceWriter):
-    """Batch flavor honoring the save mode: overwrite clears previously
-    published files before renaming the new ones in; append publishes
-    under a job-unique prefix so earlier jobs' shards survive and a
-    wider/narrower second write can never splice two datasets together
-    (fixed names would replace only the shard numbers both jobs share)."""
+    """Batch flavor honoring the save mode: overwrite swaps previously
+    published files out via a backup suffix before renaming the new ones
+    in; append publishes under a job-unique prefix so earlier jobs'
+    shards survive and a wider/narrower second write can never splice
+    two datasets together (fixed names would replace only the shard
+    numbers both jobs share)."""
+
+    _OLD = ".overwrite.old"
 
     def __init__(self, options, overwrite: bool):
         super().__init__(options)
@@ -257,10 +260,23 @@ class JsonlShardBatchWriter(_JsonlShardWriterBase, DataSourceWriter):
 
     def commit(self, messages) -> None:
         if self.overwrite:
+            # Deleting the old dataset BEFORE publishing would make a
+            # driver crash between the two loops lose both datasets
+            # (old gone, new still staged).  Same swap-with-backup
+            # contract as exporter.compact_table's ``.compact.old``:
+            # 1. move old files aside (crash here -> recover by renaming
+            #    the ``.overwrite.old`` files back);
+            # 2. publish the staged files under the final names;
+            # 3. only then drop the backups.
+            olds = []
             for f in _os.listdir(self.path):
                 if f.endswith(".jsonl") and not f.startswith("_"):
-                    _os.remove(_os.path.join(self.path, f))
+                    backup = _os.path.join(self.path, f + self._OLD)
+                    _os.replace(_os.path.join(self.path, f), backup)
+                    olds.append(backup)
             self._publish(messages, prefix="")
+            for backup in olds:
+                _os.remove(backup)
         else:
             self._publish(messages, prefix=f"job_{_uuid.uuid4().hex[:8]}_")
 

@@ -179,17 +179,18 @@ def enrich_with_dimension(
 def ohlc_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling 1h OHLC per event type — the streaming form
     of operators/events_analytics.ts_resample_ohlc.  open/close are
-    min_by/max_by on the same overflow-safe integer ordering key
-    (within-hour microsecond offset * 1e9 + event_id), so argmin/argmax
-    tie-breaks are deterministic and the stream reproduces the batch
-    answer bit-for-bit.  State per window is O(1) per (window, type):
-    declarative aggregates (min_by et al.) merge incrementally; the
-    watermark expires closed windows."""
+    min_by/max_by on the same exact DECIMAL ordering key (within-hour
+    microsecond offset in the high digits, event_id in the low — see
+    ts_resample_ohlc for the width proof), so argmin/argmax tie-breaks
+    are deterministic for ANY bigint event_id and the stream reproduces
+    the batch answer bit-for-bit.  State per window is O(1) per
+    (window, type): declarative aggregates (min_by et al.) merge
+    incrementally; the watermark expires closed windows."""
     hour = F.date_trunc("hour", F.col("ts"))
     ord_key = (
-        F.timestamp_diff("MICROSECOND", hour, F.col("ts"))
-        * F.lit(1000000000).cast("long")
-        + F.col("event_id")
+        F.timestamp_diff("MICROSECOND", hour, F.col("ts")).cast("decimal(10,0)")
+        * F.lit("10000000000000000000").cast("decimal(20,0)")
+        + F.col("event_id").cast("decimal(19,0)")
     )
     return (
         events.withWatermark("ts", watermark)

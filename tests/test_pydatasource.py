@@ -248,3 +248,60 @@ def test_synthetic_stream_restart_resumes_with_cursor(spark, tmp_path):
         counts.append(len(rows))
         assert len(rows) == len(set(rows))  # no duplicates, ever
     assert counts == [20, 40, 60]  # each restart resumes where committed left off
+
+
+def test_jsonl_overwrite_crash_between_swap_and_publish_is_recoverable(tmp_path):
+    """ADVICE round-4: overwrite used to DELETE the old dataset before
+    publishing the new one, so a driver crash between the loops lost
+    both.  The swap-with-backup commit must (a) leave the old data on
+    disk (as ``.overwrite.old``) if publish blows up mid-commit, and
+    (b) leave zero backups after a clean commit."""
+    import os
+
+    from oracle_parquet_dumper_spark.sources.pydatasource import (
+        JsonlShardBatchWriter,
+        _ShardCommit,
+    )
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)
+    with open(os.path.join(path, "shard_00000.jsonl"), "w") as f:
+        f.write('{"v": 1}\n')
+
+    # stage one new shard the way a task would
+    w = JsonlShardBatchWriter({"path": path}, overwrite=True)
+    staged_dir = os.path.join(path, "_staged")
+    os.makedirs(staged_dir, exist_ok=True)
+    staged = os.path.join(staged_dir, "new.jsonl")
+    with open(staged, "w") as f:
+        f.write('{"v": 2}\n')
+
+    # crash INSIDE publish (after the old files were swapped aside)
+    orig_publish = JsonlShardBatchWriter._publish
+    JsonlShardBatchWriter._publish = lambda self, m, prefix: (_ for _ in ()).throw(
+        RuntimeError("boom")
+    )
+    try:
+        try:
+            w.commit([_ShardCommit(staged=staged, rows=1)])
+        except RuntimeError:
+            pass
+        files = set(os.listdir(path))
+        # old dataset survives as a backup; nothing was deleted
+        assert "shard_00000.jsonl.overwrite.old" in files
+        assert "shard_00000.jsonl" not in files
+    finally:
+        JsonlShardBatchWriter._publish = orig_publish
+
+    # recover (rename back) and rerun the commit cleanly
+    os.replace(
+        os.path.join(path, "shard_00000.jsonl.overwrite.old"),
+        os.path.join(path, "shard_00000.jsonl"),
+    )
+    w2 = JsonlShardBatchWriter({"path": path}, overwrite=True)
+    w2.commit([_ShardCommit(staged=staged, rows=1)])
+    files = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
+    assert files == ["shard_00000.jsonl"]
+    assert not any(f.endswith(".overwrite.old") for f in os.listdir(path))
+    with open(os.path.join(path, "shard_00000.jsonl")) as f:
+        assert f.read() == '{"v": 2}\n'

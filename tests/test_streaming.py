@@ -163,3 +163,32 @@ def test_stream_ohlc_equals_batch(spark, smoke_sf_dir):
     got = spark.table("t_ohlc")
     expect = ops.ohlc_tumbling(load_table(spark, smoke_sf_dir, "events").drop("props"))
     assert _normalize(got) == _normalize(expect)
+
+
+def test_ohlc_ordering_key_survives_huge_event_ids(spark):
+    """The open/close ordering key must stay timestamp-major for ANY
+    bigint event_id.  The old bigint key (offset_us * 1e9 + event_id)
+    broke once event_id >= 1e9: here the EARLIER event carries id 2e9,
+    so its old key (0*1e9 + 2e9) outranked the later event's
+    (1*1e9 + 0) and arg_min picked the wrong open — and both engines
+    computed the same wrong key, so the differential oracle could never
+    see it.  The DECIMAL(32,0) key (offset_us * 10^19 + event_id) keeps
+    the offset in strictly higher digits than any bigint id."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (event_id, ts, value): earlier event, huge id, value 1.0
+        (2_000_000_000, "2024-01-01 10:00:00.000000", 1.0),
+        # later event, tiny id, value 2.0
+        (0, "2024-01-01 10:00:00.000001", 2.0),
+        (1, "2024-01-01 10:00:00.000002", 3.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("trade").alias("event_type"),
+        "value",
+    )
+    out = {r["event_type"]: r for r in ops.ohlc_tumbling(ev).collect()}
+    assert out["trade"]["open_v"] == 1.0   # earliest ts wins, not smallest id
+    assert out["trade"]["close_v"] == 3.0  # latest ts wins
