@@ -1647,3 +1647,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("m_e", "m_n").alias("matched_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): k-means cells -> cosine to the cell
+# representative
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.2  # drop threshold on cosine-to-representative
+
+
+def _semantic_kmeans_oracle() -> str:
+    from oracle_parquet_dumper_spark.operators.iterative import _kmeans_chain
+
+    chain, final = _kmeans_chain()
+    cos = (
+        "round(list_dot_product(a.vd, r.rep_vd) / "
+        "(sqrt(list_dot_product(a.vd, a.vd)) * "
+        "sqrt(list_dot_product(r.rep_vd, r.rep_vd))), 6)"
+    )
+    return f"""
+    WITH {chain},
+    reps AS (
+      SELECT cluster, vec_id AS rep_id, vd AS rep_vd FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY dist, vec_id) AS rn
+        FROM {final}
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, r.rep_id,
+           {cos} AS cos,
+           (a.vec_id != r.rep_id AND {cos} >= {SEMDEDUP_TAU}) AS dropped
+    FROM {final} a JOIN reps r ON a.cluster = r.cluster
+    """
+
+
+@query(
+    "dedup_semantic_kmeans",
+    oracle=_semantic_kmeans_oracle(),
+    tags=("dedup", "embedding", "iterative"),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023, made
+    linear): cluster embeddings with the shared {K_CLUSTERS}-cell Lloyd
+    loop (operators/iterative.kmeans_assignments — identical centroids
+    to emb_kmeans_lloyd), pick each cell's representative (closest to
+    centroid, vec_id tiebreak), and drop any member whose cosine to its
+    cell representative reaches {SEMDEDUP_TAU}.
+
+    Scoring against the ONE representative per cell — not all pairs
+    within the cell — keeps the pass O(n): the K representatives
+    broadcast, the membership relation is scanned once, and no
+    quadratic block exists even if a cell is huge (the published
+    pairwise-within-cell variant degrades exactly like the `demo`
+    pairwise dedups this registry bench-bars).  At 100 TB: K grows as
+    needed (centroids still collect K*dim doubles per round) and the
+    scoring pass stays one broadcast join.  Oracle replays the same
+    Lloyd chain (iterative._kmeans_chain) plus a windowed
+    representative pick, bit-exact."""
+    from oracle_parquet_dumper_spark.functions.vectors import dot_d
+    from oracle_parquet_dumper_spark.operators.iterative import kmeans_assignments
+
+    assigned = kmeans_assignments(spark, sf_dir)  # vec_id, vd, dist, cluster
+    reps = (
+        assigned.groupBy("cluster")
+        .agg(F.min(F.struct("dist", "vec_id", "vd")).alias("r"))
+        .select(
+            "cluster",
+            F.col("r.vec_id").alias("rep_id"),
+            F.col("r.vd").alias("rep_vd"),
+            F.sqrt(dot_d(F.col("r.vd"), F.col("r.vd"))).alias("rep_norm"),
+        )
+    )
+    scored = assigned.join(F.broadcast(reps), "cluster").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        "rep_id",
+        F.round(
+            dot_d("vd", "rep_vd")
+            / (F.sqrt(dot_d("vd", "vd")) * F.col("rep_norm")),
+            6,
+        ).alias("cos"),
+    )
+    return scored.select(
+        "vec_id",
+        "cluster",
+        "rep_id",
+        "cos",
+        ((F.col("vec_id") != F.col("rep_id")) & (F.col("cos") >= SEMDEDUP_TAU)).alias(
+            "dropped"
+        ),
+    )

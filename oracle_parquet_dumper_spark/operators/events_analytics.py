@@ -515,3 +515,187 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user_tiles.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: attribution, path mining, rolling anomaly screen
+# ---------------------------------------------------------------------------
+
+ATTR_TOUCH_TYPES = ("click", "view")
+ZSCORE_WIN = 20  # rolling lookback rows (exclusive of current)
+ZSCORE_MIN_N = 12  # don't score until the window has this many samples
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'direct') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("window", "events", "agg"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the most recent PRIOR touch event ({ATTR_TOUCH_TYPES}) of the same
+    user, 'direct' when none exists; revenue per touch channel.
+
+    The conditional carry-forward (last(when(...), ignorenulls) over an
+    unbounded-preceding row frame) is the same single-pass pattern as
+    the as-of join (operators/relational.py): one shuffle keyed by
+    user_id, no self-join against the touch subset, state per row is
+    one string.  At 100 TB this is a sort within user partitions —
+    attribution over a year of clickstream stays one exchange."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.plans.registry import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dec_sum("value").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    SELECT path, COUNT(*) AS n
+    FROM (
+      SELECT event_type || '>' ||
+             LEAD(event_type, 1) OVER w || '>' ||
+             LEAD(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE path IS NOT NULL
+    GROUP BY path
+    """,
+    tags=("window", "events", "sequence"),
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: counts of every 3-step event-type path
+    (order-2 Markov context — the step past window_event_transitions'
+    order-1 matrix).  One window shuffle keyed by user_id builds the
+    trigram per row via two leads; the follow-up count sees at most
+    |types|^3 groups after map-side combine, so the second exchange is
+    O(K^3) regardless of event volume."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws skips NULLs (unlike ||), so require the 3rd step instead
+    return (
+        ev.select(
+            path.alias("path"), F.lead("event_type", 2).over(w).alias("third")
+        )
+        .where(F.col("third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ts_anomaly_rolling_zscore",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, event_id, value, v,
+             COUNT(*) OVER w AS n,
+             SUM(v) OVER w AS s,
+             SUM(v * v) OVER w AS ssq
+      FROM cents
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZSCORE_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value, n AS n_win,
+           CAST((1000 * (n - 1) * (n * v - s) * (n * v - s))
+             // nullif(n * (n * ssq - s * s), 0) AS BIGINT) AS z2_milli
+    FROM stats
+    WHERE n >= {ZSCORE_MIN_N}
+      AND (n - 1) * (n * v - s) * (n * v - s) > 9 * n * (n * ssq - s * s)
+    """,
+    tags=("window", "timeseries", "dq"),
+)
+def ts_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen: flag events whose value deviates
+    from the trailing-{ZSCORE_WIN}-event mean by more than 3 rolling
+    standard deviations (the per-key streaming cousin of the global MAD
+    screen, dq_anomaly_mad).
+
+    All-integer formulation: values become cents, and |v - mean| >
+    3*std is cross-multiplied into (n-1)(nv-s)^2 > 9n(n*ssq - s^2) —
+    exact BIGINT arithmetic (maxima ~1e14 at 20-row windows), so the
+    oracle comparison has NO floating point anywhere and z^2 is emitted
+    as an exact integer-divided milli-unit.  One window shuffle keyed
+    by user_id with a bounded 20-row frame: O(1) state per row at any
+    scale, the same shape Structured Streaming would run with a
+    transformWithState 20-row ring buffer."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_WIN, -1)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        v.alias("v"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v * v).over(w).alias("ssq"),
+    )
+    n, s, ssq, vv = F.col("n"), F.col("s"), F.col("ssq"), F.col("v")
+    dev2 = (n * vv - s) * (n * vv - s)
+    var_n = n * (n * ssq - s * s)
+    return (
+        stats.where((n >= ZSCORE_MIN_N) & ((n - 1) * dev2 > 9 * var_n))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            n.alias("n_win"),
+            F.expr(
+                f"(1000 * (n - 1) * (n * v - s) * (n * v - s)) "
+                f"div nullif(n * (n * ssq - s * s), 0)"
+            ).alias("z2_milli"),
+        )
+    )

@@ -67,13 +67,17 @@ def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return base.select("vec_id", "vd", best["d"].alias("dist"), best["k"].alias("cluster"))
 
 
-def _kmeans_oracle() -> str:
-    """SQL twin of emb_kmeans_lloyd: the Lloyd loop unrolled into
-    chained CTEs.  Distances reuse the proven list_dot_product
-    sequential fold over the per-dimension diffs (bit-identical to
-    Spark's zip_with + aggregate); centroid means are exact decimal
-    sums with double division; empty clusters keep the previous
-    centroid via COALESCE, mirroring the Spark driver loop."""
+def _kmeans_chain() -> tuple[str, str]:
+    """The Lloyd loop unrolled into chained DuckDB CTEs; returns
+    (cte_chain, final_assign_name) where the final CTE has columns
+    (vec_id, vd, cluster, dist).  Shared by the kmeans oracle and the
+    semantic-dedup oracle (dedup.py) so both replay the identical loop.
+
+    Distances reuse the proven list_dot_product sequential fold over
+    the per-dimension diffs (bit-identical to Spark's zip_with +
+    aggregate); centroid means are exact decimal sums with double
+    division; empty clusters keep the previous centroid via COALESCE,
+    mirroring the Spark driver loop."""
     init_case = " ".join(f"WHEN {v} THEN {k}" for k, v in enumerate(KMEANS_INIT_IDS))
     ids = ", ".join(str(v) for v in KMEANS_INIT_IDS)
 
@@ -116,25 +120,24 @@ def _kmeans_oracle() -> str:
       SELECT cluster, list(m ORDER BY pos) AS c FROM cenpos{r} GROUP BY cluster
     )""")
     parts.append(assign(KMEANS_ITERS + 1, f"cenarr{KMEANS_ITERS}"))
-    chain = ",\n    ".join(parts)
+    return ",\n    ".join(parts), f"a{KMEANS_ITERS + 1}"
+
+
+def _kmeans_oracle() -> str:
+    chain, final = _kmeans_chain()
     return f"""
     WITH {chain}
     SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n_members,
            round(CAST(SUM(CAST(dist AS DECIMAL(25,12))) AS DOUBLE), 6) AS wcss
-    FROM a{KMEANS_ITERS + 1} GROUP BY cluster
+    FROM {final} GROUP BY cluster
     """
 
 
-@query("emb_kmeans_lloyd", oracle=_kmeans_oracle(), tags=("embedding", "iterative", "flagship"))
-def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means, {KMEANS_ITERS} rounds, K={K_CLUSTERS}, seeded from
-    fixed vec_ids.  Per round: one distributed assign pass (argmin over
-    K centroid-distance folds), one (cluster, dim)-keyed mean — only
-    K*64 aggregated doubles ever reach the driver.  Means accumulate in
-    DECIMAL so the centroids (hence every later assignment) are
-    independent of partition merge order — reruns are bit-stable.
-    Returns per-cluster size and WCSS; at 100 TB the same loop runs with
-    the assign pass unchanged and the model collect still K*dim."""
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the {KMEANS_ITERS}-round Lloyd loop and return the final
+    assignment relation (vec_id, vd, dist, cluster) — the shared core
+    of emb_kmeans_lloyd and dedup_semantic_kmeans (dedup.py).  Only
+    K*dim aggregated doubles reach the driver per round."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", as_double("embedding").alias("vd"))
 
@@ -166,7 +169,20 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(K_CLUSTERS)
         ]
 
-    final = _assign(base, centroids)
+    return _assign(base, centroids)
+
+
+@query("emb_kmeans_lloyd", oracle=_kmeans_oracle(), tags=("embedding", "iterative", "flagship"))
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, {KMEANS_ITERS} rounds, K={K_CLUSTERS}, seeded from
+    fixed vec_ids.  Per round: one distributed assign pass (argmin over
+    K centroid-distance folds), one (cluster, dim)-keyed mean — only
+    K*64 aggregated doubles ever reach the driver.  Means accumulate in
+    DECIMAL so the centroids (hence every later assignment) are
+    independent of partition merge order — reruns are bit-stable.
+    Returns per-cluster size and WCSS; at 100 TB the same loop runs with
+    the assign pass unchanged and the model collect still K*dim."""
+    final = kmeans_assignments(spark, sf_dir)
     return (
         final.groupBy("cluster")
         .agg(

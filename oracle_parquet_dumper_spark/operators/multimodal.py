@@ -494,3 +494,88 @@ def mm_embed_and_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("label").alias("best_label"), "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: payload bytes as 8-bit PCM -> framed energy / zero-crossing rate
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 256  # samples per analysis frame
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("n_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: each payload is DECODED (stub: bytes as
+    unsigned 8-bit PCM centered at 128 — swapping in a real codec via
+    soundfile/ffmpeg touches only this line) and framed into
+    {AUDIO_FRAME}-sample windows; per frame: energy = sum((s-128)^2)
+    and the zero-crossing count — the classic silence/voicing screens
+    run before any expensive audio model.  1:N generator shape, all
+    integer outputs so the DuckDB twin is bit-exact."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_id", "n_samples", "energy", "n_crossings")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+            for f in range(0, len(s), AUDIO_FRAME):
+                fr = s[f : f + AUDIO_FRAME]
+                neg = fr < 0
+                out["doc_id"].append(doc_id)
+                out["frame_id"].append(f // AUDIO_FRAME)
+                out["n_samples"].append(len(fr))
+                out["energy"].append(int((fr * fr).sum()))
+                out["n_crossings"].append(int((neg[1:] != neg[:-1]).sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_audio_frame_energy",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS v
+      FROM (SELECT doc_id, list_transform(split(text, ''), c -> ascii(c)) AS s
+            FROM documents)
+    ),
+    marked AS (
+      SELECT doc_id, pos // {AUDIO_FRAME} AS frame_id, v,
+             CASE WHEN pos % {AUDIO_FRAME} != 0
+                   AND (v < 128) != (LAG(v) OVER (PARTITION BY doc_id ORDER BY pos) < 128)
+                  THEN 1 ELSE 0 END AS crossing
+      FROM samples
+    )
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy,
+           CAST(SUM(crossing) AS BIGINT) AS n_crossings
+    FROM marked GROUP BY doc_id, frame_id
+    """,
+    tags=("multimodal", "pandas_udf", "audio"),
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: frame into
+    {AUDIO_FRAME}-sample windows, emit per-frame energy and
+    zero-crossing count via an Arrow-batched mapInPandas kernel — the
+    seventh mm_* operator, filling the audio slot next to image
+    features (mm_image_features) and video frame sampling
+    (mm_frame_sample).  The decode is the documented deterministic stub
+    (fixtures carry no real audio; the reference excludes binary
+    columns outright, main.py:96-97); the Spark-side plumbing — binary
+    column, 1:N batch generator, integer feature columns — is real.
+    Oracle-checked because the stub PCM equals the text's ASCII codes,
+    which DuckDB reproduces with split+ascii; all outputs are exact
+    integers.  At 100 TB: kernel is O(batch), no state across rows, and
+    frames inherit the scan's partitioning — the decode stage scales
+    with executors like any map."""
+    d = load_table(spark, sf_dir, "documents")
+    p = with_payload(d).select("doc_id", "payload")
+    return p.mapInPandas(audio_frame_features, AUDIO_FRAME_SCHEMA)

@@ -762,6 +762,7 @@ def fn_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id % 7 = 0
     """,
     tags=("fn", "regexp"),
+    bench=True,
 )
 def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp function family: first-match capture-group extraction,

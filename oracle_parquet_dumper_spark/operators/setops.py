@@ -43,6 +43,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_union_distinct",
     oracle=f"WITH {_HALF_SQL} SELECT custkey FROM lo UNION SELECT custkey FROM hi",
     tags=("setop",),
+    bench=True,
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = _half_keys(spark, sf_dir)
@@ -80,6 +81,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 25
     """,
     tags=("sort", "limit"),
+    bench=True,
 )
 def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition

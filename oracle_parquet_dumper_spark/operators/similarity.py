@@ -583,6 +583,116 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NPROBE_CELLS = 2  # query cell + next cell, of 10 label cells
+
+
+def _recall_eval_ivf_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qcell FROM embeddings
+               WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {KNN_QUERY_SET_SIZE}),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {cosine_rounded_sql('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e JOIN q ON e.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {cosine_rounded_sql('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e JOIN q
+          ON (e.label = q.qcell OR e.label = (q.qcell + 1) % 10)
+         AND e.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(floor(COUNT(a.vec_id) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+    GROUP BY t.qid
+    """
+
+
+@query(
+    "sim_recall_eval_ivf",
+    oracle=_recall_eval_ivf_oracle(),
+    tags=("similarity", "ivf", "eval"),
+)
+def sim_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement, IVF edition: recall@{TOP_K} of the
+    coarse-quantized (label-cell, nprobe={IVF_NPROBE_CELLS} of 10) index
+    against exact brute-force truth, per query in the capped
+    {KNN_QUERY_SET_SIZE}-query batch — the companion of sim_recall_eval
+    so BOTH scale paths (sign-LSH multiprobe and IVF cells) carry a
+    measured, regression-tested recall number (VERDICT r4 #7).
+
+    Truth side is the one broadcast scan + per-qid top-k window; the
+    ANN side scans only the probed cells (nprobe/ncells of the table —
+    at 100 TB the cell is a partition key so the probe is partition
+    pruning, not a filter).  Exact integer ppm keeps the oracle
+    bit-exact.  The expected recall on this fixture's random vectors is
+    LOW by construction (~nprobe/ncells, since unstructured gaussians
+    have no cluster affinity); the eval exists to measure exactly that —
+    `tests/test_ann_recall_sf1.py` pins the measured floor at sf1."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("v"),
+        norm("embedding").alias("nv"),
+    )
+    q = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(KNN_QUERY_SET_SIZE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            F.col("label").alias("qcell"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    ann = (
+        e.join(
+            F.broadcast(q),
+            ((F.col("label") == F.col("qcell")) | (F.col("label") == (F.col("qcell") + 1) % 10))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        # rename both join keys: truth and ann derive from the same scan
+        # (see sim_recall_eval's trivially-true-predicate note).
+        .select(F.col("qid").alias("a_qid"), F.col("vec_id").alias("hit_id"))
+    )
+    joined = truth.join(
+        ann,
+        (F.col("qid") == F.col("a_qid")) & (F.col("vec_id") == F.col("hit_id")),
+        "left",
+    ).select("qid", "vec_id", "hit_id")
+    n_hit = F.count("hit_id")
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        n_hit.alias("n_hit"),
+        F.floor(n_hit * 1000000.0 / F.count(F.lit(1))).cast("long").alias("recall_ppm"),
+    )
+
+
 @query(
     "sim_knn_join",
     oracle=f"""
@@ -715,6 +825,7 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT {TOP_K}
     """,
     tags=("similarity",),
+    bench=True,
 )
 def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum inner-product search (MIPS) top-k: unlike cosine, the

@@ -26,6 +26,7 @@ from oracle_parquet_dumper_spark.streaming.ops import (
     GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
+    bench=True,
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6h windows per event type (batch form of the watermarked

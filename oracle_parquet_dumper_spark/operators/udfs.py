@@ -65,6 +65,7 @@ def clipped_ratio(price: pd.Series, qty: pd.Series) -> pd.Series:
     WHERE l_orderkey % 50 = 0
     """,
     tags=("udf", "pandas_udf"),
+    bench=True,
 )
 def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf (Arrow-batched, vectorized numpy).  The kernel

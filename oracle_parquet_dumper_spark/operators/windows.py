@@ -323,6 +323,7 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, island_id
     """,
     tags=("window", "events", "islands"),
+    bench=True,
 )
 def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: consecutive-active-day streaks per user via the

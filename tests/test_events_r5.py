@@ -1,0 +1,125 @@
+"""Planted-case tests for the round-5 events/timeseries/semantic-dedup
+operators (oracle equivalence is covered by test_correctness; these pin
+the SEMANTICS on hand-built inputs where the right answer is obvious)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from oracle_parquet_dumper_spark.plans import REGISTRY
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _t(m):
+    return dt.datetime(2026, 1, 1, 0, m)
+
+
+def test_attribution_last_touch_planted(spark, tmp_path):
+    rows = [
+        # user 1: click -> view -> purchase(10)  => view credited
+        (1, _t(1), 1, "click", 1.0, "{}"),
+        (2, _t(2), 1, "view", 1.0, "{}"),
+        (3, _t(3), 1, "purchase", 10.0, "{}"),
+        # user 2: purchase with no prior touch => direct
+        (4, _t(1), 2, "purchase", 5.0, "{}"),
+        # user 2: click then purchase => click (error events don't count)
+        (5, _t(2), 2, "click", 1.0, "{}"),
+        (6, _t(3), 2, "error", 1.0, "{}"),
+        (7, _t(4), 2, "purchase", 7.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.touch_type: (r.n_purchases, r.revenue)
+        for r in REGISTRY["events_attribution_last_touch"].fn(spark, sf).collect()
+    }
+    assert got == {"view": (1, 10.0), "direct": (1, 5.0), "click": (1, 7.0)}
+
+
+def test_path_trigrams_planted(spark, tmp_path):
+    rows = [
+        (1, _t(1), 1, "a", 0.0, "{}"),
+        (2, _t(2), 1, "b", 0.0, "{}"),
+        (3, _t(3), 1, "c", 0.0, "{}"),
+        (4, _t(4), 1, "d", 0.0, "{}"),
+        # user 2 too short for any trigram
+        (5, _t(1), 2, "a", 0.0, "{}"),
+        (6, _t(2), 2, "b", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.path: r.n for r in REGISTRY["events_path_trigrams"].fn(spark, sf).collect()}
+    assert got == {"a>b>c": 1, "b>c>d": 1}
+
+
+def test_rolling_zscore_flags_planted_spike(spark, tmp_path):
+    # 20 calm samples (100.00 +/- 0.02 alternating) then one huge spike:
+    # only the spike must be flagged (calm rows deviate by < 3 sigma).
+    rows = []
+    for i in range(20):
+        rows.append((i, _t(i), 1, "view", 100.0 + (0.02 if i % 2 else -0.02), "{}"))
+    rows.append((99, _t(30), 1, "view", 400.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["ts_anomaly_rolling_zscore"].fn(spark, sf).collect()
+    assert [r.event_id for r in got] == [99]
+    (spike,) = got
+    assert spike.n_win == 20
+    # z ~ (400-100)/0.02 sigma -> astronomically large z^2
+    assert spike.z2_milli > 9_000
+
+
+def test_rolling_zscore_zero_variance_window(spark, tmp_path):
+    # Identical history then a different value: flagged (infinite z),
+    # z2_milli NULL via the nullif guard, and no crash in ANSI mode.
+    rows = [(i, _t(i), 1, "view", 50.0, "{}") for i in range(15)]
+    rows.append((99, _t(30), 1, "view", 51.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["ts_anomaly_rolling_zscore"].fn(spark, sf).collect()
+    assert [r.event_id for r in got] == [99]
+    assert got[0].z2_milli is None
+
+
+def test_semantic_kmeans_rep_invariants(spark, sf_dir):
+    rows = REGISTRY["dedup_semantic_kmeans"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cluster_reps = {}
+    for r in rows:
+        by_cluster_reps.setdefault(r.cluster, set()).add(r.rep_id)
+    # exactly one representative per cluster
+    assert all(len(v) == 1 for v in by_cluster_reps.values())
+    for r in rows:
+        if r.vec_id == r.rep_id:
+            assert r.cos == 1.0 and not r.dropped  # self-cosine, kept
+        if r.dropped:
+            assert r.cos >= 0.2
+    # membership matches the kmeans query's cluster sizes
+    sizes = {r.cluster: r.n_members for r in REGISTRY["emb_kmeans_lloyd"].fn(spark, sf_dir).collect()}
+    got_sizes = {}
+    for r in rows:
+        got_sizes[r.cluster] = got_sizes.get(r.cluster, 0) + 1
+    assert got_sizes == sizes
+
+
+def test_audio_frame_energy_planted(spark, tmp_path):
+    # 'AB' repeated: A=65 (s=-63), B=66 (s=-62) — no sign changes, known
+    # energy; 300 chars -> frame 0 has 256 samples, frame 1 has 44.
+    text = "AB" * 150
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    rows = {r.frame_id: r for r in REGISTRY["mm_audio_frame_energy"].fn(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_samples == 256 and rows[1].n_samples == 44
+    assert rows[0].energy == 128 * 63 * 63 + 128 * 62 * 62
+    assert rows[0].n_crossings == 0 and rows[1].n_crossings == 0
