@@ -1738,3 +1738,106 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy eval (the dedup analog of sim_recall_eval)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_accuracy_oracle() -> str:
+    return f"""
+    WITH {_minhash_sig_sql()},
+    acc_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, ({_agree_sql()}) AS agree
+      FROM mh_sig a JOIN mh_sig b ON a.doc_id < b.doc_id AND ({_band_eq_sql()})
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(list(s)) AS ss FROM mh_sh GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT p.a, p.b, p.agree,
+             len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
+             len(sa.ss) + len(sb.ss)
+               - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS nu
+      FROM acc_pairs p
+      JOIN sets sa ON sa.doc_id = p.a
+      JOIN sets sb ON sb.doc_id = p.b
+    )
+    SELECT a, b, CAST(agree AS BIGINT) AS agree, CAST(inter AS BIGINT) AS inter,
+           CAST(nu AS BIGINT) AS nu,
+           CAST((agree * 1000000) // {N_MINHASH} AS BIGINT) AS est_ppm,
+           CAST((inter * 1000000) // nu AS BIGINT) AS true_ppm,
+           CAST((1000000 * abs(agree * nu - {N_MINHASH} * inter))
+                // ({N_MINHASH} * nu) AS BIGINT) AS err_ppm
+    FROM scored
+    """
+
+
+@query(
+    "dedup_minhash_accuracy_eval",
+    oracle=_minhash_accuracy_oracle(),
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality measurement: for every LSH candidate
+    pair, the {N_MINHASH}-component signature estimate vs the EXACT
+    shingle Jaccard, with the absolute error — the dedup-side member of
+    the round-5 eval family (sim_recall_eval / sim_recall_eval_ivf): a
+    dedup deployment tunes its signature width and s-curve against
+    measured error, not the textbook variance bound.
+
+    All three ratios are exact integer ppm (floor division), so the
+    oracle has no floating point.  Scale shape: signatures stay the
+    shuffle-free per-row pipeline; the full distinct-shingle sets are
+    joined ONLY for the LSH-surviving candidate pairs (the standard
+    verify stage) — exact verification cost is O(candidates), never
+    O(pairs)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    sig = minhash_signatures_df(d)
+
+    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("long")
+
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles(F.col("text")), lambda s: _md5_long(s))
+        ).alias("ss"),
+    )
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("ss").alias("ss_a"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("ss").alias("ss_b"))
+    inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
+    nu = (F.size("ss_a") + F.size("ss_b")).cast("long") - inter
+    scored = (
+        pairs.select("a", "b", agree.alias("agree"))
+        .join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", "agree", inter.alias("inter"), nu.alias("nu"))
+    )
+    return scored.select(
+        "a",
+        "b",
+        "agree",
+        "inter",
+        "nu",
+        F.expr(f"(agree * 1000000) div {N_MINHASH}").alias("est_ppm"),
+        F.expr("(inter * 1000000) div nu").alias("true_ppm"),
+        F.expr(
+            f"(1000000 * abs(agree * nu - {N_MINHASH} * inter)) div ({N_MINHASH} * nu)"
+        ).alias("err_ppm"),
+    )

@@ -646,3 +646,69 @@ def window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("span_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+MED_WIN = 15  # trailing frame: 14 preceding + current
+
+
+@query(
+    "window_moving_median",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, value,
+             list_sort(list(v) OVER w) AS ls,
+             COUNT(*) OVER w AS n
+      FROM cents
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {MED_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n_win,
+           CAST(ls[CAST((n + 1) // 2 AS INT)]
+                + ls[CAST((n + 2) // 2 AS INT)] AS BIGINT) AS med_x2_cents
+    FROM framed
+    """,
+    tags=("window", "timeseries"),
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (robust smoother) of event value over a
+    trailing {MED_WIN}-row frame per user — the order statistic the
+    moving average (window_moving_avg) can't give you when the series
+    has spikes; pairs with ts_anomaly_rolling_zscore as the robust
+    baseline.
+
+    Exactness without floats: values become cents and the median is
+    emitted DOUBLED (lower middle + upper middle), so even-count frames
+    never divide — the oracle comparison is pure BIGINT.  The frame's
+    collect_list is bounded at {MED_WIN} elements, so window state is
+    O(1) per row; one shuffle keyed by user_id, same as every
+    per-entity window here.  (At 100 TB a quantile sketch would replace
+    the exact sort only if the frame itself grew unbounded — a FIXED
+    trailing frame stays exact at any corpus size.)"""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MED_WIN - 1), 0)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.array_sort(F.collect_list(v).over(w)).alias("ls"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    m1 = F.element_at("ls", F.floor((F.col("n") + 1) / 2).cast("int"))
+    m2 = F.element_at("ls", F.floor((F.col("n") + 2) / 2).cast("int"))
+    return framed.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("n").cast("long").alias("n_win"),
+        (m1 + m2).cast("long").alias("med_x2_cents"),
+    )

@@ -123,3 +123,34 @@ def test_audio_frame_energy_planted(spark, tmp_path):
     assert rows[0].n_samples == 256 and rows[1].n_samples == 44
     assert rows[0].energy == 128 * 63 * 63 + 128 * 62 * 62
     assert rows[0].n_crossings == 0 and rows[1].n_crossings == 0
+
+
+def test_moving_median_planted(spark, tmp_path):
+    # values 10,20,30,1000,40: trailing-15 frame covers all-so-far;
+    # median doubled in cents.
+    vals = [10.0, 20.0, 30.0, 1000.0, 40.0]
+    rows = [(i, _t(i), 1, "view", vals[i], "{}") for i in range(5)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_id: r.med_x2_cents for r in REGISTRY["window_moving_median"].fn(spark, sf).collect()}
+    assert got[0] == 2 * 1000  # [10] -> 10.00 => 1000 + 1000
+    assert got[1] == 1000 + 2000  # [10,20] -> (10+20)
+    assert got[2] == 2 * 2000  # [10,20,30] -> 20
+    assert got[3] == 2000 + 3000  # [10,20,30,1000] -> (20+30)
+    assert got[4] == 2 * 3000  # [10,20,30,40,1000] -> 30 (robust to spike)
+
+
+def test_minhash_accuracy_eval_consistency(spark, sf_dir):
+    rows = REGISTRY["dedup_minhash_accuracy_eval"].fn(spark, sf_dir).collect()
+    assert rows  # fixture plants near-duplicates, so candidates exist
+    lsh = {
+        (r.a, r.b)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    got_pairs = {(r.a, r.b) for r in rows}
+    # every flagship pair (est >= 0.5) is among the eval's candidates
+    assert lsh <= got_pairs
+    for r in rows:
+        assert 0 <= r.agree <= 16 and 0 < r.nu
+        assert r.est_ppm == r.agree * 1_000_000 // 16
+        assert r.true_ppm == r.inter * 1_000_000 // r.nu
+        assert abs(r.est_ppm - r.true_ppm) <= r.err_ppm + 1  # floor slack
