@@ -1484,6 +1484,7 @@ def _emb_lsh_wide_oracle() -> str:
     "dedup_embedding_cosine_lsh_wide",
     oracle=_emb_lsh_wide_oracle(),
     tags=("dedup", "embedding", "lsh"),
+    bench=True,
 )
 def dedup_embedding_cosine_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capacity-scaled twin of ``dedup_embedding_cosine_lsh``:

@@ -699,3 +699,130 @@ def ts_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z2_milli"),
         )
     )
+
+
+@query(
+    "ts_seasonal_profile_mad",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    base AS (
+      SELECT event_type, hr, SUM(v) AS s, COUNT(*) AS n FROM cents GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.hr AS hour_of_day, CAST(b.n AS BIGINT) AS n,
+           CAST((1000 * b.s) // b.n AS BIGINT) AS mean_milli_cents,
+           CAST((1000 * SUM(abs(b.n * c.v - b.s))) // (b.n * b.n) AS BIGINT)
+             AS mad_milli_cents
+    FROM cents c JOIN base b ON c.event_type = b.event_type AND c.hr = b.hr
+    GROUP BY c.event_type, c.hr, b.s, b.n
+    """,
+    tags=("agg", "timeseries", "events"),
+)
+def ts_seasonal_profile_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile: per (event_type, hour-of-day) mean and mean
+    absolute deviation of value — the baseline table a seasonal anomaly
+    detector compares against (the trailing-window screen
+    ts_anomaly_rolling_zscore is its per-entity cousin).
+
+    All-integer again: cents, and both mean and MAD are emitted as
+    floor-divided milli-units (mean = 1000s//n; MAD = 1000*Σ|n·v-s|
+    // n², the cross-multiplied form that never divides early), so the
+    oracle is exact BIGINT end to end.  Plan: one partial-agg pass
+    builds the 5x24-row profile, which BROADCASTS back onto the events
+    scan for the deviation pass — two scans, one tiny broadcast, no
+    fact-fact shuffle; at 100 TB both passes are map-side against the
+    profile."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    base = cents.groupBy("event_type", "hr").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    j = cents.join(F.broadcast(base), ["event_type", "hr"])
+    return (
+        j.groupBy("event_type", F.col("hr").alias("hour_of_day"), "s", "n")
+        .agg(F.sum(F.abs(F.col("n") * F.col("v") - F.col("s"))).alias("t"))
+        .select(
+            "event_type",
+            "hour_of_day",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(1000 * s) div n").alias("mean_milli_cents"),
+            F.expr("(1000 * t) div (n * n)").alias("mad_milli_cents"),
+        )
+    )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_date,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             SUM(CAST(e.value AS DECIMAL(25,6))) AS sd
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+        AND date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+            BETWEEN 0 AND {RETENTION_MAX_OFFSET}
+      GROUP BY 1, 2
+    )
+    SELECT cohort_date, day_offset,
+           CAST(CAST(sd AS VARCHAR(64)) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(sd) OVER (PARTITION BY cohort_date ORDER BY day_offset
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS VARCHAR(64)) AS DOUBLE) AS cum_revenue
+    FROM rev
+    """,
+    tags=("agg", "events", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue per (first-seen day,
+    day offset) and its running total per cohort — the revenue overlay
+    of the retention triangle (events_retention_cohorts).
+
+    The cumulative sum runs over the DECIMAL group sums, not doubles:
+    window engines combine frames in different orders (Spark cumulative
+    add vs DuckDB segment trees), which diverges in double but is
+    association-free in decimal; both engines cast the exact decimal to
+    double only at the end (the dec_sum convention).  The window
+    partitions are cohort keys with ≤{RETENTION_MAX_OFFSET}+1 rows each
+    AFTER aggregation — a bounded window over a reduced relation, the
+    allowlisted shape."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    rev = (
+        ev.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("day_offset").between(0, RETENTION_MAX_OFFSET)
+        )
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_date"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("sd"))
+    )
+    w = (
+        W.partitionBy("cohort_date")
+        .orderBy("day_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort_date",
+        "day_offset",
+        F.col("sd").cast("double").alias("revenue"),
+        F.sum("sd").over(w).cast("double").alias("cum_revenue"),
+    )

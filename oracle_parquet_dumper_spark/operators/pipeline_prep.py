@@ -437,3 +437,68 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("idx") % SHUF_SHARDS).cast("long").alias("shard"),
         F.expr(f"idx div {SHUF_SHARDS}").cast("long").alias("pos"),
     )
+
+
+CARD_SHORT_TOKENS = 50  # "short doc" threshold for the card's ratio
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, lang, source, length(text) AS n_chars, md5(text) AS h,
+             len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS toks
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(toks) AS BIGINT) AS total_ws_tokens,
+           CAST((1000 * SUM(toks)) // COUNT(*) AS BIGINT) AS mean_tokens_milli,
+           CAST((1000000 * SUM(CASE WHEN toks < {CARD_SHORT_TOKENS} THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS short_doc_ppm,
+           CAST((1000000 * (COUNT(*) - COUNT(DISTINCT h))) // COUNT(*) AS BIGINT)
+             AS exact_dup_ppm
+    FROM per_doc
+    """,
+    tags=("pipeline", "agg", "text"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics block in one pass: corpus size, language
+    and source cardinalities, token totals, short-document share, and
+    exact-duplicate share — the summary table every released training
+    dataset ships (HuggingFace dataset cards, Dolma/FineWeb reports),
+    as a single engine query.
+
+    One scan, one aggregate: token counts are per-row expressions, the
+    duplicate share reuses the digest convention (md5 only — bodies
+    never aggregate), and every ratio is floor-divided integer
+    ppm/milli so the oracle is exact.  The distinct-counts shuffle is
+    bounded by (langs + sources + distinct digests) after partial
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(
+            F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+        ).cast("long").alias("toks"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("toks").alias("total_ws_tokens"),
+        F.expr("(1000 * sum(toks)) div count(1)").alias("mean_tokens_milli"),
+        F.expr(
+            f"(1000000 * sum(case when toks < {CARD_SHORT_TOKENS} then 1 else 0 end))"
+            " div count(1)"
+        ).alias("short_doc_ppm"),
+        F.expr(
+            "(1000000 * (count(1) - count(distinct h))) div count(1)"
+        ).alias("exact_dup_ppm"),
+    )

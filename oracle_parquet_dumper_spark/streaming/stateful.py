@@ -58,3 +58,74 @@ def running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --- streaming rolling z-score anomaly screen ------------------------------
+# Streaming twin of operators/events_analytics.ts_anomaly_rolling_zscore:
+# same constants, same all-integer 3-sigma cross-multiplication; state is
+# the per-user ring buffer of the last ZSCORE_WIN cent values (O(1) per
+# key).  With in-order arrival (or any single batch, which the kernel
+# sorts) the emitted rows are BIT-IDENTICAL to the batch query — asserted
+# by tests/test_streaming.py::test_stream_anomaly_equals_batch.
+
+ANOMALY_WIN = 20  # = events_analytics.ZSCORE_WIN
+ANOMALY_MIN_N = 12  # = events_analytics.ZSCORE_MIN_N
+
+ANOMALY_STATE = T.StructType([T.StructField("ring", T.ArrayType(T.LongType()))])
+ANOMALY_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_win", T.LongType()),
+        T.StructField("z2_milli", T.LongType()),
+    ]
+)
+
+
+def rolling_anomaly_kernel(key, pdfs, state):
+    """Per-user trailing-{ANOMALY_WIN} z-score screen across
+    micro-batches; rows within a batch are processed in (ts, event_id)
+    order, matching the batch window's ordering."""
+    import pandas as pd
+
+    ring = list(state.get[0]) if state.exists else []
+    out = {k: [] for k in ("user_id", "event_id", "value", "n_win", "z2_milli")}
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    for row in pdf.itertuples():
+        v = int(round(row.value * 100))
+        win = ring[-ANOMALY_WIN:]
+        n = len(win)
+        if n >= ANOMALY_MIN_N:
+            s = sum(win)
+            ssq = sum(x * x for x in win)
+            dev2 = (n * v - s) * (n * v - s)
+            varn = n * (n * ssq - s * s)
+            if (n - 1) * dev2 > 9 * varn:
+                out["user_id"].append(key[0])
+                out["event_id"].append(row.event_id)
+                out["value"].append(row.value)
+                out["n_win"].append(n)
+                out["z2_milli"].append(
+                    (1000 * (n - 1) * dev2) // varn if varn else None
+                )
+        ring.append(v)
+        ring = ring[-ANOMALY_WIN:]
+    state.update((ring,))
+    yield pd.DataFrame(out)
+
+
+def rolling_anomalies(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming per-user rolling z-score anomalies via
+    applyInPandasWithState (ring-buffer state, update mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            rolling_anomaly_kernel,
+            outputStructType=ANOMALY_OUT,
+            stateStructType=ANOMALY_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

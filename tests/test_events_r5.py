@@ -154,3 +154,51 @@ def test_minhash_accuracy_eval_consistency(spark, sf_dir):
         assert r.est_ppm == r.agree * 1_000_000 // 16
         assert r.true_ppm == r.inter * 1_000_000 // r.nu
         assert abs(r.est_ppm - r.true_ppm) <= r.err_ppm + 1  # floor slack
+
+
+def test_seasonal_profile_mad_planted(spark, tmp_path):
+    # hour 0, type 'view': values 1.00, 2.00, 3.00 -> mean 200 cents,
+    # MAD = (100+0+100)/3 = 66.666 -> 66666 milli-cents (floored)
+    rows = [
+        (1, _t(1), 1, "view", 1.0, "{}"),
+        (2, _t(2), 2, "view", 2.0, "{}"),
+        (3, _t(3), 3, "view", 3.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    (r,) = REGISTRY["ts_seasonal_profile_mad"].fn(spark, sf).collect()
+    assert (r.event_type, r.hour_of_day, r.n) == ("view", 0, 3)
+    assert r.mean_milli_cents == 200_000
+    assert r.mad_milli_cents == 66_666
+
+
+def test_cohort_ltv_planted(spark, tmp_path):
+    # one user, first seen day 0; purchases of 10 on day 0 and 5 on day 2
+    d0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, d0, 1, "purchase", 10.0, "{}"),
+        (2, d0 + dt.timedelta(days=1), 1, "view", 0.0, "{}"),
+        (3, d0 + dt.timedelta(days=2), 1, "purchase", 5.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.day_offset: (r.revenue, r.cum_revenue)
+        for r in REGISTRY["events_cohort_ltv"].fn(spark, sf).collect()
+    }
+    assert got == {0: (10.0, 10.0), 2: (5.0, 15.0)}
+
+
+def test_dataset_card_planted(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web", 5),
+            (2, "a b c", "en", "book", 5),  # exact dup of 1
+            (3, "x " * 60, "fr", "web", 120),  # 60 tokens -> not short
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    (r,) = REGISTRY["pipeline_dataset_card"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_docs, r.n_langs, r.n_sources) == (3, 2, 2)
+    assert r.total_ws_tokens == 3 + 3 + 60
+    assert r.short_doc_ppm == 2 * 1_000_000 // 3
+    assert r.exact_dup_ppm == 1_000_000 // 3

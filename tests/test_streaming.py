@@ -192,3 +192,23 @@ def test_ohlc_ordering_key_survives_huge_event_ids(spark):
     out = {r["event_type"]: r for r in ops.ohlc_tumbling(ev).collect()}
     assert out["trade"]["open_v"] == 1.0   # earliest ts wins, not smallest id
     assert out["trade"]["close_v"] == 3.0  # latest ts wins
+
+
+def test_stream_anomaly_equals_batch(spark, smoke_sf_dir):
+    """The applyInPandasWithState rolling z-score twin emits exactly the
+    batch query's rows when data arrives in order (single batch)."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.streaming.stateful import rolling_anomalies
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = rolling_anomalies(events.drop("props"))
+    ops.run_to_memory(stream, "t_anom", output_mode="update")
+    got = {
+        (r.user_id, r.event_id, r.n_win, r.z2_milli)
+        for r in spark.table("t_anom").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.n_win, r.z2_milli)
+        for r in REGISTRY["ts_anomaly_rolling_zscore"].fn(spark, smoke_sf_dir).collect()
+    }
+    assert got == want
