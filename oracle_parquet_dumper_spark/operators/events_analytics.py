@@ -826,3 +826,58 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sd").cast("double").alias("revenue"),
         F.sum("sd").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@query(
+    "events_inter_arrival_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('second',
+                       LAG(CAST(ts AS TIMESTAMP)) OVER
+                         (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id),
+                       CAST(ts AS TIMESTAMP)) AS gap_s
+      FROM events
+    )
+    SELECT event_type, COUNT(gap_s) AS n_gaps,
+           quantile_cont(gap_s, 0.5) AS p50_s,
+           quantile_cont(gap_s, 0.9) AS p90_s,
+           quantile_cont(gap_s, 0.99) AS p99_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("window", "events", "stats", "timeseries"),
+)
+def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency distribution: per event type, exact
+    p50/p90/p99/max of the seconds between a user's consecutive events
+    of that type — the ops-dashboard staple (think: time between
+    heartbeats, purchases, errors).
+
+    Gaps are integer seconds from one lag() pass keyed by (user_id,
+    event_type); the exact interpolated percentiles reuse the proven
+    Spark percentile == DuckDB quantile_cont convention
+    (agg_percentile_exact).  Two exchanges: the lag window's
+    (user, type) shuffle, then a K-group percentile aggregate — the
+    percentile state is per-group sorted gaps, bounded by each group's
+    gap count; for truly unbounded groups the approx_percentile twin
+    (agg_approx) is the documented fallback."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.percentile("gap_s", 0.5).alias("p50_s"),
+        F.percentile("gap_s", 0.9).alias("p90_s"),
+        F.percentile("gap_s", 0.99).alias("p99_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )

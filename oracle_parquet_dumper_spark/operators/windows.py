@@ -712,3 +712,45 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_win"),
         (m1 + m2).cast("long").alias("med_x2_cents"),
     )
+
+
+@query(
+    "window_range_time",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS VARCHAR(64))
+                AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range", "timeseries"),
+)
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame: per-user trailing-one-HOUR count and value sum
+    — the wall-clock sibling of the row-count frames (rate limiting,
+    rolling spend, burst detection all want "last hour", not "last N
+    rows").  Both engines express the interval range over epoch
+    MICROSECONDS (-3.6e9..0): ordering by whole seconds truncates where
+    an INTERVAL frame over raw timestamps does not, and the two
+    disagree on sub-second data — caught by the sf0.1 sweep, whose
+    timestamps carry microseconds.  The sum stays in DECIMAL inside the
+    frame (range frames re-aggregate as rows enter/leave — decimal is
+    association-free) and casts to double at the end.  Ties on ts are
+    fine: RANGE frames include ALL peer rows of the current timestamp
+    in both engines.  One shuffle keyed by user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
+        # the identity instant and unix_micros is well-defined
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_last_hour"),
+    )

@@ -202,3 +202,35 @@ def test_dataset_card_planted(spark, tmp_path):
     assert r.total_ws_tokens == 3 + 3 + 60
     assert r.short_doc_ppm == 2 * 1_000_000 // 3
     assert r.exact_dup_ppm == 1_000_000 // 3
+
+
+def test_range_time_window_planted(spark, tmp_path):
+    # events at 0:00, 0:30, 1:00, 2:30 — the 1h trailing frame at 1:00
+    # includes 0:00 (boundary inclusive) and 0:30; at 2:30 only itself.
+    d0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, d0, 1, "view", 1.0, "{}"),
+        (2, d0 + dt.timedelta(minutes=30), 1, "view", 2.0, "{}"),
+        (3, d0 + dt.timedelta(hours=1), 1, "view", 4.0, "{}"),
+        (4, d0 + dt.timedelta(hours=2, minutes=30), 1, "view", 8.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_id: (r.n_last_hour, r.sum_last_hour)
+        for r in REGISTRY["window_range_time"].fn(spark, sf).collect()
+    }
+    assert got == {1: (1, 1.0), 2: (2, 3.0), 3: (3, 7.0), 4: (1, 8.0)}
+
+
+def test_inter_arrival_percentiles_planted(spark, tmp_path):
+    # user 1 'view' at 0, 10, 30 s -> gaps 10, 20; p50 = 15 (interpolated)
+    d0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, d0, 1, "view", 0.0, "{}"),
+        (2, d0 + dt.timedelta(seconds=10), 1, "view", 0.0, "{}"),
+        (3, d0 + dt.timedelta(seconds=30), 1, "view", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    (r,) = REGISTRY["events_inter_arrival_percentiles"].fn(spark, sf).collect()
+    assert (r.event_type, r.n_gaps, r.max_s) == ("view", 2, 20)
+    assert r.p50_s == 15.0

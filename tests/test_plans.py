@@ -377,3 +377,41 @@ def test_rewritten_window_queries_audit_clean(spark, sf_dir):
         assert not a.warnings, f"{name}: {a.warnings}"
         allowed, _ = BOUNDED_UNPARTITIONED_WINDOWS.get(name, (0, ""))
         assert a.unpartitioned_windows <= allowed, name
+
+
+def test_seasonal_profile_broadcasts_profile(spark, sf_dir):
+    """The 5x24 profile must broadcast back onto the events scan — a
+    fact-fact shuffle here would move the whole log twice."""
+    plan = plan_of(spark, sf_dir, "ts_seasonal_profile_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_kmeans_broadcasts_representatives(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_semantic_kmeans")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_window_exchange(spark, sf_dir):
+    """Last-touch attribution = one user_id window pass + one bounded
+    agg; no self-join against the touch subset."""
+    plan = plan_of(spark, sf_dir, "events_attribution_last_touch")
+    assert plan.count("Exchange") <= 3  # window shuffle + agg + result
+    assert "Join" not in plan
+
+
+def test_minhash_accuracy_joins_only_candidates(spark, sf_dir):
+    """The exact-Jaccard verification must join shingle sets onto the
+    candidate pairs (broadcast/hash), never build an all-pairs stage."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_accuracy_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_moving_median_bounded_frame_window(spark, sf_dir):
+    """The rolling median's collect_list frame is bounded rows — the
+    window must be partitioned (no global WindowExec)."""
+    plan = plan_of(spark, sf_dir, "window_moving_median")
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
