@@ -1842,3 +1842,37 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(1000000 * abs(agree * nu - {N_MINHASH} * inter)) div ({N_MINHASH} * nu)"
         ).alias("err_ppm"),
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS h
+      FROM documents
+    )
+    SELECT h AS norm_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM norm GROUP BY h
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-digest dedup: lowercase, strip non-alnum,
+    collapse whitespace, trim, THEN md5 — catches the
+    casing/punctuation/whitespace near-copies exact dedup misses while
+    staying a pure hash group-by (the first normalization rung every
+    production pipeline adds before reaching for MinHash).  Same scale
+    shape as dedup_exact: only the 16-byte digest shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -881,3 +881,69 @@ def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         F.percentile("gap_s", 0.99).alias("p99_s"),
         F.max("gap_s").cast("long").alias("max_s"),
     )
+
+
+WAU_DAYS = 7  # trailing window for "weekly" active users
+
+
+@query(
+    "events_dau_wau",
+    oracle=f"""
+    WITH active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM active),
+    wau_src AS (
+      SELECT d.day, a.user_id
+      FROM active a JOIN days d
+        ON d.day >= a.day AND d.day < a.day + INTERVAL {WAU_DAYS} DAY
+      GROUP BY d.day, a.user_id
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           (SELECT COUNT(DISTINCT user_id) FROM active a WHERE a.day = d.day) AS dau,
+           (SELECT COUNT(*) FROM wau_src w WHERE w.day = d.day) AS wau
+    FROM days d
+    """,
+    tags=("agg", "events", "window"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-{WAU_DAYS}-day WAU per observed day — the first
+    chart on every product dashboard, and a distinct-count-over-sliding-
+    window problem engines routinely get wrong (windowed COUNT(DISTINCT)
+    isn't supported; recomputing per window is O(days x log)).
+
+    The scalable formulation: reduce to DISTINCT (day, user) once
+    (bounded by active-pairs, not events), then EXPLODE each pair onto
+    the ≤{WAU_DAYS} future observed days it keeps a user active for and
+    count plain rows per day — turning the sliding distinct into one
+    explode + one exact count, the same explode-onto-windows trick as
+    the retention triangle.  The observed-days dimension broadcasts."""
+    from pyspark.sql import Window as W  # noqa: F401 (parity with module)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    active = ev.distinct()
+    days = active.select("day").distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # explode each active (day,user) to the observed days within its
+    # 7-day influence, dedup (user may re-appear), count per day
+    targets = (
+        active.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), WAU_DAYS - 1))
+            ).alias("day"),
+        )
+        .join(F.broadcast(days), "day")
+        .distinct()
+    )
+    wau = targets.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )

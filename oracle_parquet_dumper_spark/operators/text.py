@@ -718,3 +718,78 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("vocab_size"),
         ((num - mod) / den).cast("long").alias("zipf_slope_micro"),
     )
+
+
+@query(
+    "text_source_vocab_overlap",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, t FROM (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS t
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST((1000000 * i.n_common) // (sa.n + sb.n - i.n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    tags=("text", "agg", "stats"),
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between source domains: exact token-set
+    Jaccard per source pair — the distribution-shift diagnostic run
+    before mixing domains (a pair with tiny overlap needs its own
+    in-domain eval set; pipeline_domain_mixture decides the weights).
+
+    Scale shape: the corpus reduces to DISTINCT (source, token) rows
+    first (partial-agg bounded by |sources| x |vocab|, not token
+    occurrences); the pair join is keyed on the token with a source
+    inequality, so its output is bounded by vocab x source-pairs.
+    Jaccard is exact integer ppm via inclusion-exclusion — no float in
+    the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "t")
+    b = st.select(F.col("source").alias("src_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(1000000 * n_common) div (n_a + n_b - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -234,3 +234,52 @@ def test_inter_arrival_percentiles_planted(spark, tmp_path):
     (r,) = REGISTRY["events_inter_arrival_percentiles"].fn(spark, sf).collect()
     assert (r.event_type, r.n_gaps, r.max_s) == ("view", 2, 20)
     assert r.p50_s == 15.0
+
+
+def test_exact_normalized_dedup_planted(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   World!", "en", "s", 15),
+            (2, "hello world", "en", "s", 11),  # same after normalization
+            (3, "goodbye world", "en", "s", 13),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["dedup_exact_normalized"].fn(spark, str(tmp_path)).collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in rows}
+    assert by_keeper == {1: 2, 3: 1}
+
+
+def test_source_vocab_overlap_planted(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "web", "en", 5),
+            (2, "b c d", "book", "en", 5),
+            (3, "x y", "forum", "en", 3),
+        ],
+        ["doc_id", "text", "source", "lang", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.jaccard_ppm)
+        for r in REGISTRY["text_source_vocab_overlap"].fn(spark, str(tmp_path)).collect()
+    }
+    # web={a,b,c}, book={b,c,d}: inter 2, union 4 -> 500000 ppm;
+    # forum shares nothing -> pairs with 0 common never appear (inner join)
+    assert got == {("book", "web"): (2, 500_000)}
+
+
+def test_dau_wau_planted(spark, tmp_path):
+    d0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1 active day 0; user 2 active day 0 and day 3
+        (1, d0, 1, "view", 0.0, "{}"),
+        (2, d0, 2, "view", 0.0, "{}"),
+        (3, d0 + dt.timedelta(days=3), 2, "view", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.day: (r.dau, r.wau) for r in REGISTRY["events_dau_wau"].fn(spark, sf).collect()}
+    # day 0: dau 2, wau 2; day 3: dau 1, wau 2 (both users active in the
+    # trailing week that ends on day 3)
+    assert got == {"2026-01-01": (2, 2), "2026-01-04": (1, 2)}
