@@ -333,3 +333,41 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(
         _doc_stats_arrow, "doc_id bigint, n_chars int, n_bytes int, head16 string"
     )
+
+
+@F.udf(returnType=T.DoubleType(), useArrow=True)
+def clipped_ratio_arrow(price: float, qty: float) -> float:
+    """Arrow-OPTIMIZED plain Python UDF (Spark 4 `useArrow=True`):
+    row-at-a-time author experience, Arrow-batch transfer instead of
+    pickle — the migration path for legacy @udf code that can't be
+    vectorized.  Same clipped price-per-unit kernel as the pandas_udf
+    twin, in scalar Python."""
+    r = price / (qty if qty > 1.0 else 1.0)
+    return r if r < 5000.0 else 5000.0
+
+
+@query(
+    "udf_scalar_arrow_optimized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_extendedprice / greatest(l_quantity, 1.0), 5000.0) AS unit_price_clipped
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_scalar_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third point on the Python-UDF speed ladder: plain pickle UDF
+    (udf_plain_python, the documented slow path) < Arrow-optimized
+    plain UDF (THIS — same per-row kernel, columnar transfer) <
+    vectorized pandas_udf (udf_scalar_pandas, numpy over batches).
+    Same rows and oracle as the pandas twin, so the three are directly
+    comparable; per-row arithmetic is IEEE-identical to the SQL mirror.
+    l_quantity in the fixture is >= 1, so the scalar max() branch
+    matches greatest() exactly."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        clipped_ratio_arrow("l_extendedprice", "l_quantity").alias("unit_price_clipped"),
+    )
