@@ -2274,3 +2274,74 @@ def agg_weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("tw").cast("long").alias("total_weight_cents"),
         )
     )
+
+
+@query(
+    "join_null_aware_anti",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders, {dec_sum_sql('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT nullif(c_custkey, -1) FROM customer
+                            WHERE c_acctbal < 0)
+    """,
+    tags=("join", "subquery", "null"),
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLABLE subquery — the null-aware anti join.  Q16
+    runs NOT IN over a provably non-null key (a plain LeftAnti); here
+    the subquery column is nullable (nullif), so three-valued logic
+    applies and Spark must plan the null-aware variant — the executed
+    plan shows ``BroadcastHashJoin ... LeftAnti, BuildRight, true``
+    (trailing flag = isNullAwareAntiJoin; asserted in test_plans).  At
+    scale NAAJ requires the build side to broadcast (streamed-side NULL
+    checks need the whole set per task); if the subquery outgrows the
+    broadcast threshold the rewrite is the documented
+    NOT EXISTS + explicit null guard, which shuffles instead."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT nullif(c_custkey, -1) FROM customer
+                                WHERE c_acctbal < 0)
+        """
+    )
+
+
+@query(
+    "subquery_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON true
+    WHERE c.c_custkey % 500 = 0
+    """,
+    tags=("join", "subquery", "window"),
+)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (SQL
+    top-2-orders-per-customer), run through ``spark.sql`` literally —
+    Spark 4 decorrelates the lateral into a ranked join rather than
+    executing it per row, which is exactly the window formulation
+    window_topk_per_group writes by hand.  Registered to pin that the
+    LATERAL surface itself works and keeps the decorrelated (non-
+    iterative) plan; the customer filter keeps the probe set small and
+    pushes to the scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey % 500 = 0
+        """
+    )

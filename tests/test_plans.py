@@ -415,3 +415,19 @@ def test_moving_median_bounded_frame_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "window_moving_median")
     assert "Window" in plan
     assert "No Partition Defined" not in plan
+
+
+def test_not_in_nullable_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN over a nullable subquery must use the null-aware anti
+    join (the trailing `true` flag on the LeftAnti BHJ) — a plain
+    LeftAnti would return wrong rows under three-valued logic."""
+    plan = plan_of(spark, sf_dir, "join_null_aware_anti")
+    assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_lateral_topk_decorrelates_to_ranked_join(spark, sf_dir):
+    """The LATERAL ORDER BY + LIMIT subquery must decorrelate — no
+    per-row iteration artifacts (cartesian/BNLJ) in the executed plan."""
+    plan = plan_of(spark, sf_dir, "subquery_lateral_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
