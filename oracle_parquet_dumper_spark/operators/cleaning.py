@@ -257,3 +257,93 @@ def clean_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tok").between(F.col("lo"), F.col("hi")))
         .select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
     )
+
+
+@query(
+    "pipeline_quality_funnel",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    ne AS (SELECT doc_id, text FROM d WHERE length(text) > 0),
+    m AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, lower(text) AS lt, {_TOKS_SQL} AS toks FROM ne
+      )
+      WHERE len(toks) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+        AND round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6)
+            BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+        AND round(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) * 1.0 / length(lt), 6)
+            < {MAX_SYMBOL_RATIO}
+        AND round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) * 1.0 / len(toks), 6)
+            > {MIN_ALPHA_WORD_FRAC}
+        AND list_has_any(toks, {_STOP_SQL})
+    ),
+    dd AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM m
+      ) WHERE doc_id = keeper
+    )
+    SELECT 0 AS stage_idx, 'total' AS stage, (SELECT COUNT(*) FROM d) AS n_surviving
+    UNION ALL SELECT 1, 'nonempty', (SELECT COUNT(*) FROM ne)
+    UNION ALL SELECT 2, 'gopher_quality', (SELECT COUNT(*) FROM m)
+    UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM dd)
+    """,
+    tags=("pipeline", "clean", "agg"),
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: documents surviving each cleaning stage
+    in sequence (total → nonempty → Gopher gates → exact dedup among
+    survivors) — the per-stage attrition table every pipeline run logs
+    (the operational twin of pipeline_dataset_card: the card describes
+    the corpus, the funnel explains where it went).
+
+    Stage predicates are the IDENTICAL expressions of
+    clean_gopher_quality and dedup_exact (same rounding, same digest
+    convention), so the funnel can never drift from the gates it
+    reports on.  Each stage count is an independent aggregate over a
+    shared scan lineage; the dedup stage shuffles digests only.  The
+    4-row result assembles via union of 1-row aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    ne = d.where(F.length("text") > 0)
+    base = ne.select("doc_id", "text", F.lower("text").alias("lt"), _toks_col().alias("toks"))
+    keep = (
+        F.size("toks").cast("long").between(MIN_WORDS, MAX_WORDS)
+        & F.round(
+            F.length(F.concat_ws("", F.col("toks"))) * F.lit(1.0) / F.size("toks"), 6
+        ).between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (
+            F.round(
+                F.length(F.regexp_replace("lt", "[a-z0-9 ]", "")) * F.lit(1.0)
+                / F.length("lt"),
+                6,
+            )
+            < MAX_SYMBOL_RATIO
+        )
+        & (
+            F.round(
+                F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+                * F.lit(1.0)
+                / F.size("toks"),
+                6,
+            )
+            > MIN_ALPHA_WORD_FRAC
+        )
+        & F.arrays_overlap("toks", F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    m = base.where(keep).select("doc_id", "text")
+    keepers = m.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+
+    def one(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_surviving"),
+        )
+
+    return (
+        one(0, "total", d)
+        .unionAll(one(1, "nonempty", ne))
+        .unionAll(one(2, "gopher_quality", m))
+        .unionAll(one(3, "exact_dedup", keepers))
+    )

@@ -283,3 +283,16 @@ def test_dau_wau_planted(spark, tmp_path):
     # day 0: dau 2, wau 2; day 3: dau 1, wau 2 (both users active in the
     # trailing week that ends on day 3)
     assert got == {"2026-01-01": (2, 2), "2026-01-04": (1, 2)}
+
+
+def test_quality_funnel_monotone_and_consistent(spark, sf_dir):
+    rows = {r.stage: r.n_surviving for r in REGISTRY["pipeline_quality_funnel"].fn(spark, sf_dir).collect()}
+    assert list(rows) == ["total", "nonempty", "gopher_quality", "exact_dedup"] or set(rows) == {
+        "total", "nonempty", "gopher_quality", "exact_dedup"
+    }
+    # funnel counts must be monotonically non-increasing
+    assert rows["total"] >= rows["nonempty"] >= rows["gopher_quality"] >= rows["exact_dedup"]
+    # stage 2 must agree with the standalone gate query's keep flags
+    gate = REGISTRY["clean_gopher_quality"].fn(spark, sf_dir)
+    n_keep = gate.where("keep").count()
+    assert rows["gopher_quality"] == n_keep
