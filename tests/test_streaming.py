@@ -212,3 +212,79 @@ def test_stream_anomaly_equals_batch(spark, smoke_sf_dir):
         for r in REGISTRY["ts_anomaly_rolling_zscore"].fn(spark, smoke_sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_anomaly_state_carries_across_batches(spark, tmp_path):
+    """Split one user's in-order history across two micro-batches: the
+    ring buffer must carry, so the stream over two batches equals the
+    batch query over the union."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.streaming.stateful import rolling_anomalies
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    d0 = dt.datetime(2026, 1, 1)
+    calm = [
+        (i, d0 + dt.timedelta(minutes=i), 1, "view", 100.0 + (0.02 if i % 2 else -0.02), "{}")
+        for i in range(14)
+    ]
+    # batch 2: finishes the warm-up (14..19) then spikes
+    later = [
+        (i, d0 + dt.timedelta(minutes=i), 1, "view", 100.0 + (0.02 if i % 2 else -0.02), "{}")
+        for i in range(14, 20)
+    ] + [(99, d0 + dt.timedelta(minutes=60), 1, "view", 400.0, "{}")]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(calm, schema).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(str(src / "b1"))
+    # FileStreamSource orders by modification time: pin b0 strictly older
+    now = 1_700_000_000
+    for i, sub in enumerate(("b0", "b1")):
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 1000, now + i * 1000))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    # watermarks need TIMESTAMP, not NTZ (session TZ is UTC → identity)
+    out = rolling_anomalies(
+        stream.drop("props").withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_anom2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_id, r.n_win, r.z2_milli)
+        for r in spark.table("t_anom2").collect()
+    }
+    # batch twin over the union of both files
+    full = tmp_path / "full"
+    spark.createDataFrame(calm + later, schema).write.parquet(str(full / "events.parquet"))
+    want = {
+        (r.user_id, r.event_id, r.n_win, r.z2_milli)
+        for r in REGISTRY["ts_anomaly_rolling_zscore"].fn(spark, str(full)).collect()
+    }
+    assert want  # the spike must be flagged
+    assert got == want
