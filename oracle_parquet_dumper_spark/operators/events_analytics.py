@@ -636,18 +636,19 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT user_id, event_id, value, v,
              COUNT(*) OVER w AS n,
-             SUM(v) OVER w AS s,
-             SUM(v * v) OVER w AS ssq
+             SUM(CAST(v AS HUGEINT)) OVER w AS s,
+             SUM(CAST(v AS HUGEINT) * v) OVER w AS ssq
       FROM cents
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {ZSCORE_WIN} PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, event_id, value, n AS n_win,
-           CAST((1000 * (n - 1) * (n * v - s) * (n * v - s))
+           CAST((1000 * (n - 1) * (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s))
              // nullif(n * (n * ssq - s * s), 0) AS BIGINT) AS z2_milli
     FROM stats
     WHERE n >= {ZSCORE_MIN_N}
-      AND (n - 1) * (n * v - s) * (n * v - s) > 9 * n * (n * ssq - s * s)
+      AND (n - 1) * (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
+            > 9 * n * (n * ssq - s * s)
     """,
     tags=("window", "timeseries", "dq"),
 )
@@ -658,17 +659,25 @@ def ts_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen, dq_anomaly_mad).
 
     All-integer formulation: values become cents, and |v - mean| >
-    3*std is cross-multiplied into (n-1)(nv-s)^2 > 9n(n*ssq - s^2) —
-    exact BIGINT arithmetic (maxima ~1e14 at 20-row windows), so the
-    oracle comparison has NO floating point anywhere and z^2 is emitted
-    as an exact integer-divided milli-unit.  One window shuffle keyed
-    by user_id with a bounded 20-row frame: O(1) state per row at any
-    scale, the same shape Structured Streaming would run with a
-    transformWithState 20-row ring buffer."""
+    3*std is cross-multiplied into (n-1)(nv-s)^2 > 9n(n*ssq - s^2).
+    The quadratic terms are computed in 128-bit integers — DECIMAL(38,0)
+    on Spark, HUGEINT on DuckDB — because the z2_milli numerator
+    1000(n-1)(nv-s)^2 reaches ~3.5e7 * v_cents^2 at a 20-row window and
+    would overflow BIGINT for values around $10k vs a calm window (under
+    ANSI mode a hard failure, not silent corruption); in 128-bit the
+    formulation is exact for |value| up to ~1.7e15 cents ($17 trillion),
+    i.e. any real monetary input.  The oracle comparison has NO floating
+    point anywhere and z^2 is emitted as an exact integer-divided
+    milli-unit (both engines truncate positive quotients identically;
+    the streaming twin's Python ints are arbitrary-precision already).
+    One window shuffle keyed by user_id with a bounded 20-row frame:
+    O(1) state per row at any scale, the same shape Structured Streaming
+    would run with a transformWithState 20-row ring buffer."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -680,11 +689,12 @@ def ts_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         v.alias("v"),
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(v).over(w).alias("s"),
-        F.sum(v * v).over(w).alias("ssq"),
+        F.sum(v.cast(d38)).over(w).alias("s"),
+        F.sum((v.cast(d38) * v).cast(d38)).over(w).alias("ssq"),
     )
-    n, s, ssq, vv = F.col("n"), F.col("s"), F.col("ssq"), F.col("v")
-    dev2 = (n * vv - s) * (n * vv - s)
+    n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
+    dv = F.col("v").cast(d38)
+    dev2 = (n * dv - s) * (n * dv - s)
     var_n = n * (n * ssq - s * s)
     return (
         stats.where((n >= ZSCORE_MIN_N) & ((n - 1) * dev2 > 9 * var_n))
@@ -694,8 +704,8 @@ def ts_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             n.alias("n_win"),
             F.expr(
-                f"(1000 * (n - 1) * (n * v - s) * (n * v - s)) "
-                f"div nullif(n * (n * ssq - s * s), 0)"
+                f"CAST((1000 * (n - 1) * (n * CAST(v AS {d38}) - s) * (n * CAST(v AS {d38}) - s)) "
+                f"div nullif(n * (n * ssq - s * s), CAST(0 AS {d38})) AS BIGINT)"
             ).alias("z2_milli"),
         )
     )

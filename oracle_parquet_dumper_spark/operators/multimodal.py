@@ -544,7 +544,12 @@ def audio_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     WITH samples AS (
       SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS v
       FROM (SELECT doc_id, list_transform(split(text, ''), c -> ascii(c)) AS s
-            FROM documents)
+            FROM documents
+            -- ASCII-only, non-empty: split('','') yields [''] (a phantom
+            -- 0-sample) and ascii() returns CODEPOINTS while the kernel
+            -- reads UTF-8 OCTETS, so the two sides are provably equal
+            -- exactly on this restriction (1 char == 1 byte == its code).
+            WHERE length(text) > 0 AND length(text) = strlen(text))
     ),
     marked AS (
       SELECT doc_id, pos // {AUDIO_FRAME} AS frame_id, v,
@@ -573,9 +578,17 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, 1:N batch generator, integer feature columns — is real.
     Oracle-checked because the stub PCM equals the text's ASCII codes,
     which DuckDB reproduces with split+ascii; all outputs are exact
-    integers.  At 100 TB: kernel is O(batch), no state across rows, and
-    frames inherit the scan's partitioning — the decode stage scales
-    with executors like any map."""
-    d = load_table(spark, sf_dir, "documents")
+    integers.  Both sides restrict to NON-EMPTY, ASCII-ONLY docs
+    (length == octet_length): outside that set the kernel reads UTF-8
+    octets while the oracle's ascii() reads codepoints (and DuckDB's
+    split('','') emits a phantom '' sample), so the restriction is what
+    makes the equivalence hold for ANY input, not just the current
+    all-ASCII fixtures.  The JVM-side filter also keeps non-decodable
+    docs out of the Arrow boundary.  At 100 TB: kernel is O(batch), no
+    state across rows, and frames inherit the scan's partitioning — the
+    decode stage scales with executors like any map."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
+    )
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(audio_frame_features, AUDIO_FRAME_SCHEMA)

@@ -94,7 +94,10 @@ def rolling_anomaly_kernel(key, pdfs, state):
     pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
     for row in pdf.itertuples():
         v = int(round(row.value * 100))
-        win = ring[-ANOMALY_WIN:]
+        # invariant: ring is trimmed to the last ANOMALY_WIN entries at
+        # the end of every iteration (and state restores already-trimmed
+        # rings), so the whole ring IS the trailing window.
+        win = ring
         n = len(win)
         if n >= ANOMALY_MIN_N:
             s = sum(win)

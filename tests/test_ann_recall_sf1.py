@@ -42,7 +42,7 @@ def _mean_recall_ppm(spark, sf_dir: str, name: str) -> float:
         ("sim_recall_eval_ivf", 100_000),
     ],
 )
-def test_recall_floor_sf01(spark, sf_dir, name, floor_ppm):
+def test_recall_floor_sf01(spark, name, floor_ppm):
     assert _mean_recall_ppm(spark, "/root/testdata/sf0.1", name) >= floor_ppm
 
 

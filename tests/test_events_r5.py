@@ -75,6 +75,43 @@ def test_rolling_zscore_flags_planted_spike(spark, tmp_path):
     assert spike.z2_milli > 9_000
 
 
+def test_rolling_zscore_128bit_no_overflow(spark, tmp_path):
+    # Regression (round-6 ADVICE): a $40k spike over a calm ~$10k window
+    # drives the z2_milli numerator 1000(n-1)(nv-s)^2 to ~6.8e19 — past
+    # BIGINT — which under ANSI mode crashed the old all-BIGINT
+    # formulation.  The DECIMAL(38,0)/HUGEINT arithmetic must (a) not
+    # error, (b) produce the exact big-int value, (c) agree with the
+    # DuckDB oracle at the same magnitude.
+    rows = []
+    for i in range(20):
+        rows.append((i, _t(i), 1, "view", 10_000.0 + (0.02 if i % 2 else -0.02), "{}"))
+    rows.append((99, _t(30), 1, "view", 40_000.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = REGISTRY["ts_anomaly_rolling_zscore"].fn(spark, sf).collect()
+    assert [r.event_id for r in got] == [99]
+    (spike,) = got
+    # exact expected value in arbitrary-precision Python ints
+    win = [1_000_000 + (2 if i % 2 else -2) for i in range(20)]
+    n, v = len(win), 4_000_000
+    s, ssq = sum(win), sum(x * x for x in win)
+    num = 1000 * (n - 1) * (n * v - s) ** 2
+    assert num > 2**63 - 1  # the planted case really does exceed BIGINT
+    assert spike.z2_milli == num // (n * (n * ssq - s * s))
+    # cross-engine at the overflow-triggering magnitude
+    import duckdb
+
+    from oracle_parquet_dumper_spark.testing import compare
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    spec = REGISTRY["ts_anomaly_rolling_zscore"]
+    rep = compare("zscore_128bit", spec.fn(spark, sf), con, spec.oracle)
+    con.close()
+    assert rep.match, rep.detail
+
+
 def test_rolling_zscore_zero_variance_window(spark, tmp_path):
     # Identical history then a different value: flagged (infinite z),
     # z2_milli NULL via the nullif guard, and no crash in ANSI mode.
