@@ -26,10 +26,47 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def box_state() -> dict:
+    """Contamination tripwire: a concurrently-running Spark JVM (or a
+    loaded box) inflates every timing near-uniformly — round 5 shipped
+    an artifact ~1.8x slow from exactly this.  Sampled BEFORE our own
+    JVM starts; stamped into the output JSON so a dirty run is
+    self-reporting, with a WARNING on stderr."""
+    other_jvms = 0
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as fh:
+                if fh.read().strip() == "java":
+                    other_jvms += 1
+        except OSError:  # raced process exit
+            continue
+    load1 = os.getloadavg()[0]
+    cores = os.cpu_count() or 1
+    clean = other_jvms == 0 and load1 <= cores
+    return {
+        "other_jvms": other_jvms,
+        "load1": round(load1, 2),
+        "cores": cores,
+        "clean": clean,
+    }
+
+
 def main() -> None:
     from oracle_parquet_dumper_spark import plans
     from oracle_parquet_dumper_spark.session import get_spark
     from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    env = box_state()
+    if not env["clean"]:
+        print(
+            f"WARNING: dirty box at bench start ({env['other_jvms']} other JVM(s), "
+            f"load1={env['load1']} vs {env['cores']} cores) — timings are "
+            "contaminated; rerun on a quiet box. Stamping env into the JSON.",
+            file=sys.stderr,
+        )
 
     spark = get_spark("bench")
 
@@ -76,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else SF_DIR,
+                "env": env,
             }
         )
     )

@@ -561,27 +561,24 @@ def _emb_lsh_oracle() -> str:
 
 
 @query(
-    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_narrow_demo",
     oracle=_emb_lsh_oracle(),
-    tags=("dedup", "embedding", "lsh", "flagship"),
-    bench=True,
+    tags=("dedup", "embedding", "lsh", "demo"),
 )
-def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection blocked by banded sign-LSH — the
-    scale-path flagship for pairwise vector dedup.
+def dedup_embedding_cosine_narrow_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMO: the 4-sign-bit (16-bucket/band) banding this repo MEASURED
+    dying at scale — kept as the cautionary baseline for the capacity
+    rule, bench-barred and demoted from the flagship name (round-6
+    verdict item #1).
 
-    ``dedup_embedding_cosine`` blocks on the 10-value ``label`` column:
-    within-block pair count is O((n/10)^2), so one stratum's growth
-    quadratically dominates a task.  Here candidates come from a
-    (band, bucket) equi-join over 4 bands x 4 sign bits
-    (functions/lsh.py): pair cost is bounded by *bucket occupancy*
-    (~n/2^4 per band uniformly), not by any stratum size, and the bucket
-    is a precomputable partition column at 100 TB.  Exact rounded cosine
-    then verifies candidates; output is the per-doc near-dup summary a
-    curation pass consumes (docs with >=1 near-dup above 0.3).
-
-    Oracle-checked: the SQL twin regenerates the same seeded planes and
-    rounded-dot sign bits, so candidate sets match exactly."""
+    With 4-bit bands, bucket occupancy is ~n/16 per band, so candidate
+    pairs grow ~n^2/256: SCALING.md measured 23.5x wall-clock for 10x
+    data at sf1 (~50M exact verifications), while the 8-bit flagship
+    ``dedup_embedding_cosine_lsh`` measured 3.3x on the same decade.
+    Bits per band must scale ~log2(n / target_occupancy) — see
+    ``functions.lsh.capacity_bits``.  Still oracle-checked (the SQL twin
+    regenerates the same seeded planes), and its denser candidate set is
+    what keeps the small-SF fixture oracle rich (268 pairs at sf0.01)."""
     from oracle_parquet_dumper_spark.functions.lsh import banded_buckets
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
 
@@ -1481,24 +1478,35 @@ def _emb_lsh_wide_oracle() -> str:
 
 
 @query(
-    "dedup_embedding_cosine_lsh_wide",
+    "dedup_embedding_cosine_lsh",
     oracle=_emb_lsh_wide_oracle(),
-    tags=("dedup", "embedding", "lsh"),
+    tags=("dedup", "embedding", "lsh", "flagship"),
     bench=True,
 )
-def dedup_embedding_cosine_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capacity-scaled twin of ``dedup_embedding_cosine_lsh``:
-    identical pipeline, 8 sign bits per band (256 buckets/band) instead
-    of 4 (16).
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection blocked by banded sign-LSH — the
+    scale-path flagship for pairwise vector dedup, registered on the
+    CAPACITY-SCALED 8-sign-bit banding (4 bands x 256 buckets/band).
 
-    The sf1 bench measured WHY this knob exists (SCALING.md round 4):
-    with 4-bit bands, bucket occupancy is ~n/16 per band, so candidate
-    pairs grow ~n^2/256 and the flagship went 21x for 10x data (69 s at
-    sf1, ~50M exact verifications).  Doubling bits cuts expected
-    within-bucket pairs ~256x; recall drops per the banded s-curve
-    (1-(1-p^r)^B), the standard trade.  The production rule: bits per
-    band ~ log2(n / target_bucket_occupancy) — re-bucket as the corpus
-    grows, exactly like choosing partition counts."""
+    Why 8 bits is the flagship (round-6 verdict item #1): pair cost in
+    banded LSH is bounded by bucket occupancy (~n/2^bits per band), so
+    candidate pairs grow ~n^2/4^bits — the bits knob must scale
+    ~log2(n / target_occupancy) exactly like a partition count
+    (``functions.lsh.capacity_bits`` derives it from corpus size).
+    SCALING.md measured the decade sf0.1 -> sf1: this 8-bit config 3.3x
+    for 10x data; the 4-bit config it replaced 23.5x (~50M exact
+    verifications) — that one survives as the demo-tagged, bench-barred
+    ``dedup_embedding_cosine_narrow_demo``.  Recall follows the banded
+    s-curve 1-(1-p^r)^B (the standard trade), regression-pinned by
+    tests/test_ann_recall_sf1.py so re-tuning can't silently trade it
+    away.
+
+    The (band, bucket) equi-join is a precomputable partition column at
+    100 TB; exact rounded cosine verifies candidates; output is the
+    per-doc near-dup summary a curation pass consumes (docs with >=1
+    near-dup above 0.3).  Oracle-checked: the SQL twin regenerates the
+    same seeded planes and rounded-dot sign bits, so candidate sets
+    match exactly."""
     from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_wide
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
 

@@ -410,7 +410,7 @@ def events_window_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_q, f_q, m_q, COUNT(*) AS n_users
     FROM tiled GROUP BY r_q, f_q, m_q
     """,
-    tags=("agg", "events", "window"),
+    tags=("agg", "events", "window", "skew-source"),
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user Recency (days since last event,
@@ -430,7 +430,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two-pass bucket-offset pattern, operators/global_index.py), so all
     three quartiles come out of one partitioned pass; the standard NTILE
     integer formula then reproduces the oracle's tiles exactly, and a
-    per-user pivot reassembles (r_q, f_q, m_q)."""
+    per-user pivot reassembles (r_q, f_q, m_q).
+
+    The index pass uses the QUANTILE bucketer (round-6 verdict #3):
+    monetary is heavy-tailed user data, and equi-width min/max bounds
+    concentrate most users into a few low buckets — a partial straggler
+    at extreme scale.  Approx-percentile boundaries keep per-bucket
+    occupancy even; the index (and hence the oracle hash) is unchanged
+    because any monotone bucketer yields the same exact index."""
     ev = load_table(spark, sf_dir, "events")
     from oracle_parquet_dumper_spark.operators.global_index import (
         ntile_expr,
@@ -452,25 +459,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
-    # ONE 1-row broadcast aggregate carries the recency anchor AND the
-    # per-metric bucketing bounds for the global-index pass (recency
-    # bounds derive from the last_day bounds: min recency is 0, max is
-    # max_day - min(last_day)), saving a second bounds pass.
-    anchor = per_user.agg(
-        F.max("last_day").alias("max_day"),
-        F.min("last_day").alias("min_day"),
-        F.min("freq").alias("mn_f"),
-        F.max("freq").alias("mx_f"),
-        F.min("monetary_cents").alias("mn_m"),
-        F.max("monetary_cents").alias("mx_m"),
-    )
+    anchor = per_user.agg(F.max("last_day").alias("max_day"))
     scored = per_user.crossJoin(F.broadcast(anchor)).select(
         "user_id",
         F.datediff("max_day", "last_day").alias("recency_days"),
         "freq",
         "monetary_cents",
-        F.datediff("max_day", "min_day").alias("mx_r"),
-        "mn_f", "mx_f", "mn_m", "mx_m",
     )
     melted = scored.select(
         "user_id",
@@ -479,30 +473,16 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("r").alias("metric"),
                     F.col("recency_days").cast("long").alias("v"),
-                    F.lit(0).cast("long").alias("mn"),
-                    F.col("mx_r").cast("long").alias("mx"),
                 ),
+                F.struct(F.lit("f").alias("metric"), (-F.col("freq")).alias("v")),
                 F.struct(
-                    F.lit("f").alias("metric"),
-                    (-F.col("freq")).alias("v"),
-                    (-F.col("mx_f")).alias("mn"),
-                    (-F.col("mn_f")).alias("mx"),
-                ),
-                F.struct(
-                    F.lit("m").alias("metric"),
-                    (-F.col("monetary_cents")).alias("v"),
-                    (-F.col("mx_m")).alias("mn"),
-                    (-F.col("mn_m")).alias("mx"),
+                    F.lit("m").alias("metric"), (-F.col("monetary_cents")).alias("v")
                 ),
             )
         ).alias("mv"),
-    ).select("user_id", "mv.metric", "mv.v", "mv.mn", "mv.mx")
+    ).select("user_id", "mv.metric", "mv.v")
     idx = with_global_index(
-        melted,
-        "v",
-        ["user_id"],
-        group_cols=["metric"],
-        precomputed_bounds=("mn", "mx"),
+        melted, "v", ["user_id"], group_cols=["metric"], bucketer="quantile"
     )
     tiles = idx.select(
         "user_id", "metric", ntile_expr(F.col("_gidx"), F.col("_gn"), 4).alias("tile")

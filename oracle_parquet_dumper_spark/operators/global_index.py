@@ -31,10 +31,17 @@ Spark and DuckDB implement the standard semantics this module states),
 which is what lets the DuckDB oracles keep using the window form.
 
 Skew note: equi-width bucketing concentrates heavily-skewed value
-distributions into few buckets; at 100 TB swap step 1's bucket function
-for approx-quantile boundaries (any monotone bucketer works — the index
-math is unchanged).  The default 64 buckets matches local[32]; a cluster
-run should set n_buckets ~= 2-4x executor cores.
+distributions into few buckets, recreating a partial straggler at
+extreme scale.  ``bucketer="quantile"`` swaps step 1's bucket function
+for approx-percentile boundaries — still monotone (bucket = number of
+boundaries below the value), so the index math is untouched and even a
+run-to-run wobble in the approximate boundaries cannot change the
+output, only bucket sizes.  Callers whose value column is unbounded
+user data (monetary amounts, prices) should use it; ties are the one
+skew it cannot split (equal values MUST share a bucket for
+correctness — a 50%-duplicated value puts 50% in one bucket under any
+monotone bucketer).  The default 64 buckets matches local[32]; a
+cluster run should set n_buckets ~= 2-4x executor cores.
 
 No reference counterpart (the reference never orders anything but its
 catalog listing, main.py:224-232); this is Part-B engine infrastructure.
@@ -60,6 +67,8 @@ def with_global_index(
     cum_col: str = "_gcum",
     wtot_col: str = "_gwtot",
     precomputed_bounds: tuple[str, str] | None = None,
+    bucketer: str = "width",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Add ``idx_col`` = dense 0-based index in ``(value_col ASC,
     *tiebreak_cols ASC)`` order and ``n_col`` = total row count —
@@ -82,29 +91,61 @@ def with_global_index(
     already carries (row-constant per group) bucketing bounds — e.g. a
     1-row aggregate it needed anyway.  Bounds only steer bucket SIZES;
     any row-constant pair that brackets the values keeps the index exact.
+
+    ``bucketer``: ``"width"`` (default) buckets equi-width over the
+    broadcast min/max; ``"quantile"`` buckets by approx-percentile
+    boundaries (bucket = #boundaries strictly below the value — monotone,
+    ties share a bucket), which keeps bucket OCCUPANCY even under
+    heavy-tailed value distributions.  Use it whenever ``value_col`` is
+    unbounded user data.  The boundary relation is lazily checkpointed:
+    approx percentiles are merge-order sensitive, and the two plan
+    references to the bucketed relation (counts + join) must see ONE
+    consistent boundary set.
+
+    ``bucket_col`` keeps the internal bucket id under that name —
+    bucket ids size the within-bucket window tasks 1:1, so
+    ``groupBy(bucket_col).count()`` is the direct occupancy/straggler
+    probe for a production corpus (and what the skew tests assert on).
     """
     gb = list(group_cols or [])
     v = F.col(value_col).cast("double")
 
-    # 1. broadcast per-group bounds; equi-width monotone bucketing.
-    if precomputed_bounds is not None:
-        mn_c, mx_c = precomputed_bounds
-        bounded = df.withColumn("_mn", F.col(mn_c).cast("double")).withColumn(
-            "_mx", F.col(mx_c).cast("double")
+    if bucketer not in ("width", "quantile"):
+        raise ValueError(f"unknown bucketer: {bucketer!r}")
+    if bucketer == "quantile" and precomputed_bounds is not None:
+        raise ValueError("precomputed_bounds only applies to the width bucketer")
+
+    # 1. broadcast per-group bounds; monotone bucketing.
+    if bucketer == "quantile":
+        pcts = [i / float(n_buckets) for i in range(1, n_buckets)]
+        qagg = F.percentile_approx(v, F.array(*[F.lit(p) for p in pcts])).alias("_qb")
+        bounds = (
+            df.groupBy(*gb).agg(qagg) if gb else df.agg(qagg)
+        ).localCheckpoint(eager=False)
+        bounded = (
+            df.join(F.broadcast(bounds), gb) if gb else df.crossJoin(F.broadcast(bounds))
         )
-    elif gb:
-        bounds = df.groupBy(*gb).agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
-        bounded = df.join(F.broadcast(bounds), gb)
+        bucket = F.size(F.filter(F.col("_qb"), lambda b: v > b)).cast("int")
+        hb = bounded.withColumn("_gb", bucket).drop("_qb")
     else:
-        bounds = df.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
-        bounded = df.crossJoin(F.broadcast(bounds))
-    width = (F.col("_mx") - F.col("_mn")) / float(n_buckets)
-    bucket = (
-        F.when(F.col("_mx") <= F.col("_mn"), F.lit(0))
-        .otherwise(F.least(F.floor((v - F.col("_mn")) / width), F.lit(n_buckets - 1)))
-        .cast("int")
-    )
-    hb = bounded.withColumn("_gb", bucket).drop("_mn", "_mx")
+        if precomputed_bounds is not None:
+            mn_c, mx_c = precomputed_bounds
+            bounded = df.withColumn("_mn", F.col(mn_c).cast("double")).withColumn(
+                "_mx", F.col(mx_c).cast("double")
+            )
+        elif gb:
+            bounds = df.groupBy(*gb).agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+            bounded = df.join(F.broadcast(bounds), gb)
+        else:
+            bounds = df.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+            bounded = df.crossJoin(F.broadcast(bounds))
+        width = (F.col("_mx") - F.col("_mn")) / float(n_buckets)
+        bucket = (
+            F.when(F.col("_mx") <= F.col("_mn"), F.lit(0))
+            .otherwise(F.least(F.floor((v - F.col("_mn")) / width), F.lit(n_buckets - 1)))
+            .cast("int")
+        )
+        hb = bounded.withColumn("_gb", bucket).drop("_mn", "_mx")
 
     # 2. bucket counts -> exclusive running offsets + group totals.  The
     # count relation has <= n_buckets rows per group, so these windows
@@ -146,6 +187,9 @@ def with_global_index(
         out = out.withColumn(
             cum_col, F.col("_woff") + F.sum(weight_col).over(run_w)
         ).drop("_woff")
+    if bucket_col is not None:
+        out = out.withColumnRenamed("_gb", bucket_col)
+        return out.drop("_off")
     return out.drop("_gb", "_off")
 
 

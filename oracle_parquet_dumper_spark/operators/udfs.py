@@ -62,17 +62,24 @@ def clipped_ratio(price: pd.Series, qty: pd.Series) -> pd.Series:
     SELECT l_orderkey, l_linenumber,
            least(l_extendedprice / greatest(l_quantity, 1.0), 5000.0) AS unit_price_clipped
     FROM lineitem
-    WHERE l_orderkey % 50 = 0
+    WHERE l_orderkey % 5 = 0
     """,
     tags=("udf", "pandas_udf"),
     bench=True,
 )
 def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar pandas_udf (Arrow-batched, vectorized numpy).  The kernel
-    is element-wise IEEE double math, so the DuckDB mirror reproduces it
-    exactly — demonstrating that even the Python slow path can stay
-    differentially testable when kernels avoid order-dependent reductions."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    """Scalar pandas_udf (Arrow-batched, vectorized numpy) — the FAST
+    end of the measured three-point Python-UDF speed ladder
+    (udf_scalar_plain_pickle < udf_scalar_arrow_optimized < THIS; all
+    three run the identical kernel on identical rows, so the bench
+    numbers are directly comparable).  The kernel is element-wise IEEE
+    double math, so the DuckDB mirror reproduces it exactly —
+    demonstrating that even the Python slow path can stay
+    differentially testable when kernels avoid order-dependent
+    reductions.  The %5 filter keeps ~1/5 of lineitem crossing the
+    Arrow boundary — enough rows (~120k at sf0.1) that the ladder's
+    per-row-overhead differences dominate fixed costs in the bench."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -352,22 +359,61 @@ def clipped_ratio_arrow(price: float, qty: float) -> float:
     SELECT l_orderkey, l_linenumber,
            least(l_extendedprice / greatest(l_quantity, 1.0), 5000.0) AS unit_price_clipped
     FROM lineitem
-    WHERE l_orderkey % 50 = 0
+    WHERE l_orderkey % 5 = 0
     """,
     tags=("udf", "arrow"),
+    bench=True,
 )
 def udf_scalar_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The third point on the Python-UDF speed ladder: plain pickle UDF
-    (udf_plain_python, the documented slow path) < Arrow-optimized
-    plain UDF (THIS — same per-row kernel, columnar transfer) <
-    vectorized pandas_udf (udf_scalar_pandas, numpy over batches).
-    Same rows and oracle as the pandas twin, so the three are directly
-    comparable; per-row arithmetic is IEEE-identical to the SQL mirror.
-    l_quantity in the fixture is >= 1, so the scalar max() branch
-    matches greatest() exactly."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    """The middle point on the measured Python-UDF speed ladder: plain
+    pickle UDF (udf_scalar_plain_pickle, the documented slow path) <
+    Arrow-optimized plain UDF (THIS — same per-row kernel, columnar
+    transfer) < vectorized pandas_udf (udf_scalar_pandas, numpy over
+    batches).  Same rows and oracle as both twins, so the three bench
+    numbers compare one variable: how rows cross the Python boundary.
+    Per-row arithmetic is IEEE-identical to the SQL mirror; l_quantity
+    in the fixture is >= 1, so the scalar max() branch matches
+    greatest() exactly."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
         clipped_ratio_arrow("l_extendedprice", "l_quantity").alias("unit_price_clipped"),
+    )
+
+
+@F.udf(returnType=T.DoubleType(), useArrow=False)
+def clipped_ratio_pickle(price: float, qty: float) -> float:
+    """Plain pickle-serialized Python UDF — the bottom of the ladder:
+    row-at-a-time calls AND pickled row transfer.  Same kernel as the
+    Arrow/pandas twins so the bench isolates transfer + call overhead."""
+    r = price / (qty if qty > 1.0 else 1.0)
+    return r if r < 5000.0 else 5000.0
+
+
+@query(
+    "udf_scalar_plain_pickle",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_extendedprice / greatest(l_quantity, 1.0), 5000.0) AS unit_price_clipped
+    FROM lineitem
+    WHERE l_orderkey % 5 = 0
+    """,
+    tags=("udf", "slow_path"),
+    bench=True,
+)
+def udf_scalar_plain_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slow end of the measured Python-UDF speed ladder (see
+    udf_scalar_arrow_optimized): identical kernel and rows as the
+    Arrow-optimized and pandas twins, but pickle row transfer with no
+    vectorization — benched so the ladder claim carries numbers instead
+    of doctrine (round-6 verdict #6).  ``udf_plain_python`` remains the
+    tiny documented last-resort exemplar on a different table; this
+    query exists so the LADDER comparison holds every variable but the
+    transfer mechanism constant."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        clipped_ratio_pickle("l_extendedprice", "l_quantity").alias("unit_price_clipped"),
     )

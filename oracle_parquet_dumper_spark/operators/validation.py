@@ -159,7 +159,7 @@ def dq_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(MAX(o_totalprice), 2) AS hi
     FROM t GROUP BY tile ORDER BY tile
     """,
-    tags=("validation", "window", "agg"),
+    tags=("validation", "window", "agg", "skew-source"),
 )
 def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-depth (quantile) histogram: each tile holds ~1/{N} of the
@@ -169,7 +169,12 @@ def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment from a distributed global row index (two-pass
     bucket-offset pattern, operators/global_index.py) plus the standard
     NTILE integer formula.  The tie-break on the unique key makes the
-    index — and hence the oracle hash — deterministic."""
+    index — and hence the oracle hash — deterministic.  The index pass
+    uses the QUANTILE bucketer: totalprice is unbounded monetary data,
+    so equi-width min/max bounds would pile most orders into the low
+    buckets (the exact skew an equi-DEPTH histogram exists to expose);
+    approx-percentile boundaries keep bucket occupancy even, and the
+    index is bucketer-invariant (any monotone bucketing is exact)."""
     from oracle_parquet_dumper_spark.operators.global_index import (
         ntile_expr,
         with_global_index,
@@ -177,7 +182,10 @@ def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     idx = with_global_index(
-        o.select("o_totalprice", "o_orderkey"), "o_totalprice", ["o_orderkey"]
+        o.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        bucketer="quantile",
     )
     return (
         idx.select(

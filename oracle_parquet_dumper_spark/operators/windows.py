@@ -241,7 +241,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 25 = 0
     """,
-    tags=("window",),
+    tags=("window", "skew-source"),
 )
 def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank/cume_dist over a global ordering.  The oracle keeps
@@ -254,12 +254,17 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     each a single IEEE divide of exact integers, bit-identical to the
     engines' own window functions.  No row ever crosses a
-    single-partition WindowExec, however large the input."""
+    single-partition WindowExec, however large the input.  Quantile
+    bucketer: totalprice is unbounded monetary data (same skew class as
+    dq_histogram_equidepth), and the index is bucketer-invariant."""
     from oracle_parquet_dumper_spark.operators.global_index import with_global_index
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 25 == 0)
     idx = with_global_index(
-        o.select("o_totalprice", "o_orderkey"), "o_totalprice", ["o_orderkey"]
+        o.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        bucketer="quantile",
     )
     pct = F.when(F.col("_gn") == 1, F.lit(0.0)).otherwise(
         F.col("_gidx").cast("double") / (F.col("_gn") - 1).cast("double")

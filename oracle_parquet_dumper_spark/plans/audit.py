@@ -37,6 +37,7 @@ class PlanAudit:
     pushed_filter_scans: int = 0
     codegen_stages: int = 0
     unpartitioned_windows: int = 0
+    quantile_bucketers: int = 0
     aqe: bool = False
     warnings: list[str] = field(default_factory=list)
 
@@ -193,6 +194,14 @@ def audit_text(name: str, plan: str) -> PlanAudit:
         re.findall(r"PushedFilters: \[(?!\])", plan)
     )
     a.codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    # the quantile bucketer's signature (operators/global_index.py):
+    # bucket = size(filter(_qb, v > boundary)) over the broadcast
+    # boundary array.  The approx-percentile AGGREGATE itself is hidden
+    # behind the boundary relation's localCheckpoint (a Scan
+    # ExistingRDD in the plan), so the projection expression is the
+    # detectable marker; distinct expr-ids keep re-derived subtrees
+    # from inflating the count.
+    a.quantile_bucketers = len(set(re.findall(r"size\(filter\(_qb#\d+", plan)))
     a.aqe = "AdaptiveSparkPlan" in plan
     return a
 
@@ -217,6 +226,18 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
             f"(allowlisted: {allowed}{' — ' + reason if reason else ''}) — "
             "entire input through ONE task; use the two-pass bucket-offset "
             "pattern (operators/global_index.py) or partition the window"
+        )
+    # A query tagged `skew-source` declares that its global-index value
+    # column is unbounded, heavy-tailed user data (monetary amounts,
+    # prices): equi-width min/max bucketing concentrates such a
+    # distribution into few buckets — a partial straggler at extreme
+    # scale.  The tag therefore REQUIRES the quantile bucketer's
+    # approx-percentile signature in the plan (round-6 verdict #7).
+    if "skew-source" in t and not a.quantile_bucketers:
+        w.append(
+            "skew-source query buckets equi-width — pass "
+            'bucketer="quantile" to with_global_index so heavy-tailed '
+            "values keep even bucket occupancy"
         )
     # graph analytics (wedge/closing joins) and multi-stage pipeline
     # resamplers legitimately chain many keyed exchanges; everything

@@ -107,3 +107,72 @@ def test_data_window_is_partitioned(spark):
     )
     a_g = audit_text("gig", out_g._jdf.queryExecution().executedPlan().toString())
     assert a_g.unpartitioned_windows == 0
+
+
+
+def _zipf_fixture(spark, n=6400):
+    # heavy-tailed: v ~ 1e6/rank — the top value is ~6400x the bottom,
+    # so 64 equi-width buckets put ~99% of rows in bucket 0
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.lit(1_000_000.0) / F.col("id")).alias("v")
+    )
+
+
+def _max_bucket_share(spark, bucketer, n=6400):
+    df = _zipf_fixture(spark, n)
+    out = with_global_index(df, "v", ["k"], bucketer=bucketer, bucket_col="b")
+    top = out.groupBy("b").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
+    return top / n
+
+
+def test_quantile_bucketer_even_occupancy_under_zipf(spark):
+    """Planted-Zipf occupancy (round-6 verdict #3 done-criteria): on a
+    heavy-tailed value column the equi-width bucketer exceeds 1/2 max
+    bucket share; the quantile bucketer stays <= 2/64."""
+    assert _max_bucket_share(spark, "width") > 0.5
+    assert _max_bucket_share(spark, "quantile") <= 2 / 64
+
+
+def test_quantile_bucketer_same_exact_index(spark):
+    """The index is bucketer-invariant: both bucketers reproduce the
+    single-partition row_number truth bit-for-bit, ungrouped and
+    grouped (boundaries only steer bucket sizes)."""
+    df = _zipf_fixture(spark, 2000)
+    want = df.select("k", (F.row_number().over(W.orderBy("v", "k")) - 1).alias("want"))
+    for bucketer in ("width", "quantile"):
+        got = with_global_index(df, "v", ["k"], bucketer=bucketer).select("k", "_gidx")
+        assert got.join(want, "k").where(F.col("_gidx") != F.col("want")).count() == 0
+    g = df.withColumn("g", F.col("k") % 3)
+    got_g = with_global_index(
+        g, "v", ["k"], group_cols=["g"], bucketer="quantile", n_buckets=16
+    )
+    want_g = g.select(
+        "k",
+        (F.row_number().over(W.partitionBy("g").orderBy("v", "k")) - 1).alias("want"),
+    )
+    assert got_g.join(want_g, "k").where(F.col("_gidx") != F.col("want")).count() == 0
+
+
+def test_bucketer_arg_validation(spark):
+    import pytest
+
+    df = _zipf_fixture(spark, 10).withColumn("lo", F.lit(0.0)).withColumn("hi", F.lit(1.0))
+    with pytest.raises(ValueError, match="precomputed_bounds"):
+        with_global_index(
+            df, "v", ["k"], precomputed_bounds=("lo", "hi"), bucketer="quantile"
+        )
+    with pytest.raises(ValueError, match="bucketer"):
+        with_global_index(df, "v", ["k"], bucketer="bogus")
+
+
+def test_skew_source_lint_requires_quantile_bucketer(spark):
+    """plans/audit: a `skew-source`-tagged query must show the quantile
+    bucketer's plan signature; the equi-width shape is flagged."""
+    from oracle_parquet_dumper_spark.plans.audit import audit_text, lint
+
+    df = _zipf_fixture(spark, 500)
+    for bucketer, expect_warn in (("width", True), ("quantile", False)):
+        out = with_global_index(df, "v", ["k"], bucketer=bucketer)
+        a = audit_text("probe", out._jdf.queryExecution().executedPlan().toString())
+        warns = lint(a, tags=("skew-source",))
+        assert any("bucketer" in w for w in warns) == expect_warn, (bucketer, warns)

@@ -170,9 +170,10 @@ def test_minhash_lsh_single_reused_band_exchange(spark, sf_dir):
 
 def test_embedding_lsh_reused_band_exchange(spark, sf_dir):
     """dedup_embedding_cosine_lsh's band self-join must read ONE
-    materialized band exchange from both sides — the 16 sign-bit dot
-    products are per-row fold expressions, so without reuse the join
-    would evaluate all of them twice."""
+    materialized band exchange from both sides — the 32 sign-bit dot
+    products (8-bit capacity-scaled banding) are per-row fold
+    expressions, so without reuse the join would evaluate all of them
+    twice."""
     df = REGISTRY["dedup_embedding_cosine_lsh"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
