@@ -1884,3 +1884,120 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# --- Sorted-neighborhood method (SNM) ---------------------------------------
+
+SNM_WINDOW = 8       # compare each record to its next-8 sort neighbors
+SNM_PREFIX = 40      # edit distance over the first 40 normalized chars
+SNM_LEV_MAX = 12     # pair threshold
+_SNM_NORM_SQL = "lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))"
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH nk AS (
+      SELECT doc_id, {_SNM_NORM_SQL} AS norm FROM documents
+    ),
+    r AS (
+      SELECT doc_id, substring(norm, 1, {SNM_PREFIX}) AS pre,
+             row_number() OVER (ORDER BY norm, doc_id) - 1 AS idx
+      FROM nk
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             b.idx - a.idx AS rank_gap,
+             levenshtein(a.pre, b.pre) AS lev
+      FROM r a JOIN r b
+        ON b.idx > a.idx AND b.idx <= a.idx + {SNM_WINDOW}
+    )
+    SELECT doc_a, doc_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+           CAST(lev AS BIGINT) AS lev
+    FROM pairs WHERE lev <= {SNM_LEV_MAX}
+    """,
+    tags=("dedup", "window", "scale"),
+    bench=True,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernandez & Stolfo,
+    SIGMOD'95) — the classic entity-resolution blocking alternative to
+    LSH: sort every record by a normalized key, then compare each
+    record only to its next {SNM_WINDOW} sort neighbors (candidates =
+    O(n*w), no hashing, catches prefix-preserving edits that shingle
+    bands dilute).  Pairs within edit distance {SNM_LEV_MAX} over the
+    first {SNM_PREFIX} normalized chars are emitted with their sort
+    distance.
+
+    The global sort rank comes from ``with_global_index`` — NOT an
+    unpartitioned window: records bucket by a monotone 56-bit encoding
+    of the first 8 normalized chars (7 bits/char, so integer order ==
+    prefix lexicographic order; ASCII-only after the [^a-zA-Z0-9]
+    strip), with the QUANTILE bucketer since key prefixes are
+    heavy-tailed user data.  Neighbor candidates then come from a
+    BANDED self-join (band = idx div w; the left side map-side emits
+    bands g and g+1, so every pair with 0 < idx_b - idx_a <= w matches
+    exactly once) — rank adjacency without any window over data rows.
+    The DuckDB oracle states the same semantics declaratively
+    (row_number + range self-join).
+
+    Scale shape: normalize+encode map-side; the global index costs two
+    bounded exchanges (global_index.py); the banded join shuffles each
+    side once on the band id with ~2x fan-out on the left; Levenshtein
+    runs JVM-side on {SNM_PREFIX}-char prefixes only.  Multi-pass SNM
+    (a second sort key, e.g. reversed) is the standard recall
+    complement; this registers the single-pass primitive."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias("norm"),
+    )
+    # monotone 56-bit prefix encoding: 7 bits per char, ascii('') = 0
+    # pads short strings low, exactly like lexicographic order does
+    enc = sum(
+        [
+            F.shiftleft(
+                F.ascii(F.substring("norm", i + 1, 1)).cast("long"),
+                7 * (7 - i),
+            )
+            for i in range(8)
+        ],
+        start=F.lit(0).cast("long"),
+    )
+    keyed = with_global_index(
+        docs.withColumn("num8", enc),
+        value_col="num8",
+        tiebreak_cols=["norm", "doc_id"],
+        bucketer="quantile",
+        idx_col="idx",
+    ).select("doc_id", F.substring("norm", 1, SNM_PREFIX).alias("pre"), "idx")
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pre").alias("pre_a"),
+        F.col("idx").alias("idx_a"),
+        F.explode(
+            F.array(
+                F.expr(f"idx div {SNM_WINDOW}"),
+                F.expr(f"idx div {SNM_WINDOW} + 1"),
+            )
+        ).alias("band"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pre").alias("pre_b"),
+        F.col("idx").alias("idx_b"),
+        F.expr(f"idx div {SNM_WINDOW}").alias("band"),
+    )
+    gap = F.col("idx_b") - F.col("idx_a")
+    return (
+        a.join(b, "band")
+        .where((gap > 0) & (gap <= SNM_WINDOW))
+        .select(
+            "doc_a",
+            "doc_b",
+            gap.cast("long").alias("rank_gap"),
+            F.levenshtein("pre_a", "pre_b").cast("long").alias("lev"),
+        )
+        .where(F.col("lev") <= SNM_LEV_MAX)
+    )

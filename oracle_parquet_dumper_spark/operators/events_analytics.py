@@ -174,18 +174,27 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ignore-nulls ``last``/``first`` window frames), falling back to
     nearest-value extrapolation at the edges.
 
-    Scale shape: the event log is reduced map-side FIRST — the partial
-    (user_id, hour) max combines before anything shuffles, so both
-    exchanges move per-hour rows, not raw events.  Every later stage
-    keys on a user_id prefix (bounds agg, spine join, both window
-    frames), so the join output's user_id partitioning feeds the window
-    sorts with no further exchange; the spine explode is map-side over
-    the one-row-per-user bounds relation.
+    Scale shape (round-6 rewrite): the event log is reduced map-side
+    FIRST — the partial (user_id, hour) max combines before anything
+    shuffles — and then gap rows are generated DIRECTLY from
+    consecutive-present pairs: one lead() window over the (small)
+    present relation hands every pair (h_i, v_i) -> (h_{i+1}, v_{i+1})
+    its own gap, which a map-side sequence+explode expands into the
+    missing hours with the interpolation inputs already in-row.  That
+    replaces the previous spine-join formulation's THREE extra passes
+    over the full spine (left join, row_number, and the
+    forward+backward ignore-nulls frames) with one window over present
+    rows only — the spine (which a sparse series makes arbitrarily
+    larger than present) is never shuffled, joined, or sorted, only
+    emitted.  Because each user's spine spans first..last present hour,
+    the pair walk covers every spine row exactly once (k=0 is the
+    present row itself; the per-user last row emits just itself), so
+    the oracle — still the declarative two-frame window spec — is
+    unchanged, and k/n here equal (idx-pi)/(ni-pi) there, keeping the
+    interpolation doubles bit-identical.
     The hour bucket value is MAX(value) (order-independent, bit-exact
-    cross-engine); the interpolation arithmetic mirrors the oracle
-    expression shape exactly so both engines emit identical doubles.
-    No reference counterpart (the reference exports tables as-is,
-    main.py:144-146); Part B timeseries extension."""
+    cross-engine).  No reference counterpart (the reference exports
+    tables as-is, main.py:144-146); Part B timeseries extension."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").where(
@@ -194,44 +203,41 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     present = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.max("value").alias("v"))
-    spine = (
-        present.groupBy("user_id")
-        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
-        )
-    )
-    wo = W.partitionBy("user_id").orderBy("h")
-    g = spine.join(present, ["user_id", "h"], "left").withColumn(
-        "idx", F.row_number().over(wo)
-    )
-    wp = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    wn = wo.rowsBetween(W.currentRow, W.unboundedFollowing)
-    idx_if_present = F.when(F.col("v").isNotNull(), F.col("idx"))
-    f = g.select(
+    wl = W.partitionBy("user_id").orderBy("h")
+    pairs = present.select(
         "user_id",
         "h",
         "v",
-        "idx",
-        F.last("v", ignorenulls=True).over(wp).alias("pv"),
-        F.last(idx_if_present, ignorenulls=True).over(wp).alias("pi"),
-        F.first("v", ignorenulls=True).over(wn).alias("nv"),
-        F.first(idx_if_present, ignorenulls=True).over(wn).alias("ni"),
+        F.lead("h").over(wl).alias("nh"),
+        F.lead("v").over(wl).alias("nv"),
+    ).withColumn(
+        # gap length in hour steps to the next present hour (>= 1);
+        # NULL on each user's last present row -> emit only itself
+        "n",
+        ((F.unix_timestamp("nh") - F.unix_timestamp("h")) / 3600).cast("long"),
     )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        (F.col("idx") - F.col("pi")).cast("double")
-        / (F.col("ni") - F.col("pi")).cast("double")
-    )
-    return f.select(
+    rows = pairs.select(
         "user_id",
-        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(interp)
-        .alias("v_filled"),
-        F.when(F.col("v").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_present"),
+        "h",
+        "v",
+        "nv",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.coalesce(F.col("n") - 1, F.lit(0)))
+        ).alias("k"),
+    )
+    interp = F.col("v") + (F.col("nv") - F.col("v")) * (
+        F.col("k").cast("double") / F.col("n").cast("double")
+    )
+    return rows.select(
+        "user_id",
+        F.date_format(
+            F.col("h")
+            + F.expr("make_interval(0, 0, 0, 0, CAST(k AS INT), 0, 0)"),
+            "yyyy-MM-dd HH:00",
+        ).alias("hour"),
+        F.when(F.col("k") == 0, F.col("v")).otherwise(interp).alias("v_filled"),
+        F.when(F.col("k") == 0, F.lit(1)).otherwise(F.lit(0)).alias("was_present"),
     )
 
 
@@ -936,4 +942,216 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("long").alias("dau"),
             F.col("wau").cast("long").alias("wau"),
         )
+    )
+
+
+@query(
+    "events_survival_hazard",
+    oracle="""
+    WITH lt AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               AS lifetime_days
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT lifetime_days, COUNT(*) AS n_ended
+      FROM lt GROUP BY lifetime_days
+    ),
+    r AS (
+      SELECT lifetime_days, n_ended,
+             SUM(n_ended) OVER (ORDER BY lifetime_days DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_risk,
+             SUM(n_ended) OVER () AS n_total
+      FROM d
+    )
+    SELECT lifetime_days, CAST(n_ended AS BIGINT) AS n_ended,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_ended AS DOUBLE) / n_at_risk AS hazard,
+           CAST(n_at_risk - n_ended AS DOUBLE) / n_total AS survival
+    FROM r
+    """,
+    tags=("agg", "events", "window", "stats"),
+)
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-indexed churn table (the discrete-time survival-analysis
+    shape): per observed lifetime k (days between a user's first and
+    last event), how many users' observed span ENDED at k (``n_ended``),
+    how many were still at risk (span >= k, ``n_at_risk``), the hazard
+    d_k/n_k and the empirical survival S(k) = P(span > k).
+
+    Complements ``events_retention_cohorts`` (calendar-cohort triangle):
+    this is the lifetime-axis marginal a growth team reads churn rates
+    off.  With no censoring, Kaplan-Meier's product-limit estimator
+    degenerates to the empirical survival function — so S(k) is ONE
+    integer ratio per row (single IEEE divide, cross-engine exact)
+    instead of an order-sensitive float product.
+
+    Scale: the per-user span is one groupBy; the lifetime distribution
+    has <= observation-window-days rows REGARDLESS of data size (29 at
+    the fixture, ~3650 for a decade of data), so the reverse-cumsum
+    window runs on a bounded relation (allowlisted in plans/audit.py) —
+    the same bounded-relation argument as clean_length_band.  No row
+    ever crosses an unpartitioned window."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    lt = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "lifetime_days"
+        )
+    )
+    d = lt.groupBy("lifetime_days").agg(F.count(F.lit(1)).alias("n_ended"))
+    # both frames share one ordering so Spark plans ONE WindowExec over
+    # the bounded lifetime-distribution relation
+    rev = W.orderBy(F.col("lifetime_days").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.orderBy(F.col("lifetime_days").desc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = d.select(
+        F.col("lifetime_days").cast("long").alias("lifetime_days"),
+        F.col("n_ended").cast("long").alias("n_ended"),
+        F.sum("n_ended").over(rev).cast("long").alias("n_at_risk"),
+        F.sum("n_ended").over(tot).alias("n_total"),
+    )
+    return r.select(
+        "lifetime_days",
+        "n_ended",
+        "n_at_risk",
+        (F.col("n_ended").cast("double") / F.col("n_at_risk")).alias("hazard"),
+        (
+            (F.col("n_at_risk") - F.col("n_ended")).cast("double") / F.col("n_total")
+        ).alias("survival"),
+    )
+
+
+CUPED_VARIANTS = 2  # deterministic assignment: user_id % CUPED_VARIANTS
+
+
+@query(
+    "events_cuped_adjusted",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS mn_s,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx_s
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, user_id % {CUPED_VARIANTS} AS variant,
+             SUM(CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        < CAST((mn_s + mx_s) // 2 AS BIGINT)
+                      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        >= CAST((mn_s + mx_s) // 2 AS BIGINT)
+                      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM u
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sxv,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS syv
+      FROM u GROUP BY variant
+    )
+    SELECT v.variant, v.n_users,
+           CAST(CAST(v.syv AS VARCHAR) AS DOUBLE) / v.n_users AS mean_post,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS theta,
+           (CAST(CAST(v.syv AS VARCHAR) AS DOUBLE) / v.n_users)
+             - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+               * ((CAST(CAST(v.sxv AS VARCHAR) AS DOUBLE) / v.n_users)
+                  - (CAST(CAST(g.sx AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(g.n AS VARCHAR) AS DOUBLE)))
+             AS mean_post_cuped
+    FROM v CROSS JOIN g
+    """,
+    tags=("agg", "events", "stats", "experiment"),
+)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM'13): per deterministic variant (user_id % 2), the raw
+    post-period mean metric and the CUPED-adjusted mean
+    ``ybar_v - theta * (xbar_v - xbar)``, where the covariate x is each
+    user's PRE-period metric and ``theta = cov(x,y)/var(x)`` is pooled
+    across all users.  Pre/post split at the midpoint of the dataset's
+    time range (exact integer epoch-second arithmetic).
+
+    Float portability: x and y are exact cents (BIGINT); every moment —
+    n, Sx, Sy, Sxy, Sxx, and the theta numerator/denominator
+    n*Sxy - Sx*Sy / n*Sxx - Sx² — is exact DECIMAL(38,0) (Sxy alone
+    reaches ~3e18 at sf1, and n*Sxy ~3e23 overflows BIGINT, the
+    ts_anomaly_rolling_zscore lesson).  Doubles appear only at the
+    final scalar expression, built from single casts of exact decimals
+    (through VARCHAR — the registry's correctly-rounded-cast
+    convention) combined in an identical op tree on both engines, so
+    the adjusted means are bit-identical.
+
+    Scale shape: one broadcast 1-row time-bounds aggregate; ONE shuffle
+    keyed by user_id for the per-user covariate/metric rollup
+    (map-side partial agg); from there everything aggregates to a
+    2-row variant relation and a broadcast 1-row moment relation.
+    theta is computed IN-PLAN (no driver collect) and joined back by
+    broadcast cross join.  No reference counterpart (main.py:144-146
+    exports tables as-is); Part B experimentation extension."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn_s"),
+        F.max(F.unix_timestamp("ts")).alias("mx_s"),
+    )
+    cut = F.expr("(mn_s + mx_s) div 2")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_timestamp("ts") < cut, cents).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(F.unix_timestamp("ts") >= cut, cents).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % CUPED_VARIANTS).alias("variant"), "x", "y"
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast(d38).alias("sxv"),
+        F.sum("y").cast(d38).alias("syv"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    j = v.crossJoin(F.broadcast(g))
+    theta = dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / dbl(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_post = dbl(F.col("syv")) / F.col("n_users")
+    xbar_v = dbl(F.col("sxv")) / F.col("n_users")
+    xbar = dbl(F.col("sx")) / dbl(F.col("n"))
+    return j.select(
+        F.col("variant").cast("long").alias("variant"),
+        "n_users",
+        mean_post.alias("mean_post"),
+        theta.alias("theta"),
+        (mean_post - theta * (xbar_v - xbar)).alias("mean_post_cuped"),
     )

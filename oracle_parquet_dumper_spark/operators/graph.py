@@ -384,3 +384,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(TRI_TOP)
     )
+
+
+@query(
+    "graph_neighbor_jaccard",
+    oracle="""
+    WITH ps AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM ps GROUP BY s),
+    inter AS (
+      SELECT a.s AS sa, b.s AS sb, COUNT(*) AS n_common
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT sa, sb, CAST(n_common AS BIGINT) AS n_common,
+           CAST(da.d + db.d - n_common AS BIGINT) AS n_union,
+           CAST(n_common AS DOUBLE) / (da.d + db.d - n_common) AS jaccard
+    FROM inter JOIN deg da ON da.s = sa JOIN deg db ON db.s = sb
+    ORDER BY jaccard DESC, sa, sb
+    LIMIT 20
+    """,
+    tags=("graph", "join", "similarity", "topk"),
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: the 20 supplier pairs whose
+    supplied-part sets overlap most (|N(a) ∩ N(b)| / |N(a) ∪ N(b)|) —
+    the classic "who is interchangeable with whom" signal, and the
+    common-neighbors primitive under most link-prediction scores.
+
+    Candidate pairs come from a WEDGE join through the bipartite
+    part→supplier relation, so the fan-out per part is (suppliers per
+    part choose 2) — bounded by the SMALL side's degree (~4 in TPC-H,
+    never by supplier count), the same degree-bounding argument as
+    ``supplier_edges``'s per-order self-join.  That keeps total wedges
+    O(parts · k²), linear in data for bounded k.  Jaccard itself is
+    exact integers (intersection from the wedge count, union by
+    inclusion-exclusion off the degree relation) with ONE IEEE divide —
+    the float-portability convention — and the top-20 runs through
+    TakeOrderedAndProject (rank ties broken by the (sa, sb) key, so the
+    cut is deterministic cross-engine).
+
+    Scale: the wedge join is keyed on the part column (co-located if ps
+    is bucketed by p); a celebrity part supplied by thousands would
+    need the per-key cap/salting treatment (join_skew_planted_salted)
+    before the wedge — flagged, not hidden, at k² fan-out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = ps.select("p", F.col("s").alias("sa"))
+    b = ps.select(F.col("p").alias("p2"), F.col("s").alias("sb"))
+    inter = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("db"))
+    j = (
+        inter.join(da, "sa")
+        .join(db, "sb")
+        .select(
+            "sa",
+            "sb",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("da") + F.col("db") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.col("jaccard").desc(), "sa", "sb").limit(20)

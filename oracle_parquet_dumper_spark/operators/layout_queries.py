@@ -183,3 +183,208 @@ def layout_hilbert_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("sk_hi"),
         )
     )
+
+
+# --- Zone-map pruning effectiveness -----------------------------------------
+
+ZM_PROBES = 8          # one probe per eighth of the scaled partkey space
+ZM_PROBE_SHIFT = 5     # probe id = scaled_partkey >> 5 (256/8 = 32 wide)
+
+
+def _zm_scale_sql(col: str, i: int) -> str:
+    """Min-max scale ``col`` to 8 bits — the exact expression
+    ``_zorder_tiles_sql`` uses, shared so both layouts' tile math is
+    one formula."""
+    top = (1 << ZQ_BITS) - 1
+    mn, mx = f"mn{i}", f"mx{i}"
+    span = f"(CASE WHEN {mx} > {mn} THEN {mx} - {mn} ELSE 1.0 END)"
+    return (
+        f"LEAST(CAST(FLOOR((CAST({col} AS DOUBLE) - {mn}) / {span} * {top}) "
+        f"AS BIGINT), {top})"
+    )
+
+
+def _zonemap_pruning_sql() -> str:
+    terms = " + ".join(
+        f"(((s{i} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(ZQ_BITS)
+        for i in range(2)
+    )
+    return f"""
+    WITH mm AS (
+      SELECT MIN(CAST(l_partkey AS DOUBLE)) AS mn0, MAX(CAST(l_partkey AS DOUBLE)) AS mx0,
+             MIN(CAST(l_suppkey AS DOUBLE)) AS mn1, MAX(CAST(l_suppkey AS DOUBLE)) AS mx1,
+             MIN(CAST(l_orderkey AS DOUBLE)) AS mn2, MAX(CAST(l_orderkey AS DOUBLE)) AS mx2
+      FROM lineitem
+    ),
+    scaled AS (
+      SELECT {_zm_scale_sql('l_partkey', 0)} AS s0,
+             {_zm_scale_sql('l_suppkey', 1)} AS s1,
+             {_zm_scale_sql('l_orderkey', 2)} AS ntile
+      FROM lineitem CROSS JOIN mm
+    ),
+    cells AS (
+      SELECT ({terms}) >> {ZQ_TILE_SHIFT} AS ztile, ntile,
+             s0 >> {ZM_PROBE_SHIFT} AS p,
+             COUNT(*) AS n_rows, MIN(s0) AS s_lo, MAX(s0) AS s_hi
+      FROM scaled GROUP BY 1, 2, 3
+    ),
+    tiles AS (
+      SELECT 'zorder' AS layout, ztile AS tile,
+             SUM(n_rows) AS n_rows, MIN(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+      FROM cells GROUP BY ztile
+      UNION ALL
+      SELECT 'keyrange' AS layout, ntile AS tile,
+             SUM(n_rows) AS n_rows, MIN(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+      FROM cells GROUP BY ntile
+    ),
+    probes AS (
+      SELECT CAST(p AS BIGINT) AS probe,
+             CAST(p * {1 << ZM_PROBE_SHIFT} AS BIGINT) AS lo,
+             CAST(p * {1 << ZM_PROBE_SHIFT} + {(1 << ZM_PROBE_SHIFT) - 1} AS BIGINT) AS hi
+      FROM (SELECT unnest(range(0, {ZM_PROBES})) AS p)
+    ),
+    matching AS (
+      SELECT p AS probe, SUM(n_rows) AS rows_matching FROM cells GROUP BY p
+    ),
+    scan AS (
+      SELECT t.layout, pr.probe,
+             COUNT(*) AS n_tiles,
+             SUM(CASE WHEN t.s_hi < pr.lo OR t.s_lo > pr.hi THEN 0 ELSE 1 END)
+               AS tiles_scanned,
+             SUM(CASE WHEN t.s_hi < pr.lo OR t.s_lo > pr.hi THEN 0 ELSE t.n_rows END)
+               AS rows_scanned
+      FROM tiles t CROSS JOIN probes pr
+      GROUP BY t.layout, pr.probe
+    )
+    SELECT s.layout, s.probe,
+           CAST(s.n_tiles AS BIGINT) AS n_tiles,
+           CAST(s.tiles_scanned AS BIGINT) AS tiles_scanned,
+           CAST(s.rows_scanned AS BIGINT) AS rows_scanned,
+           CAST(COALESCE(m.rows_matching, 0) AS BIGINT) AS rows_matching,
+           CASE WHEN COALESCE(m.rows_matching, 0) > 0
+                THEN CAST(s.rows_scanned AS DOUBLE) / m.rows_matching
+           END AS scan_amplification
+    FROM scan s LEFT JOIN matching m ON m.probe = s.probe
+    """
+
+
+@query(
+    "layout_zonemap_pruning",
+    oracle=_zonemap_pruning_sql(),
+    tags=("layout", "scale"),
+    bench=True,
+)
+def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning effectiveness report: simulate parquet
+    row-group min/max skipping for 8 partkey range probes under TWO
+    file layouts — z-order tiles vs a plain orderkey-range ("arrival
+    order") layout — and report, per (layout, probe), how many tiles a
+    zone-map-aware scan must touch, how many rows those tiles hold, and
+    the scan amplification (rows_scanned / rows_matching).  This is the
+    quantitative form of the claim ``layout_zorder_tiles`` makes
+    structurally: clustering by an interleaved key turns min/max stats
+    into multi-dimensional skipping, while an arrival-order layout
+    leaves every tile's partkey envelope at full width (amplification
+    ~= n_total / n_matching, i.e. no skipping at all).
+
+    All pruning math is INTEGER (probes are eighths of the 8-bit scaled
+    partkey space; tile envelopes are min/max of the scaled value), so
+    both engines agree bit-for-bit; the one double is the final
+    amplification ratio — a single IEEE divide per row, NULL when the
+    probe matches nothing.
+
+    Scale shape: ONE pass over (l_orderkey, l_partkey, l_suppkey) into
+    a partial-agg'd (ztile, keytile, probe) cell relation (bounded by
+    256*256*8, sparse in practice); every later stage — the two layout
+    rollups, the broadcast 8-row probe cross join, the matching-rows
+    join — touches cell/tile relations of at most a few thousand rows
+    regardless of data size.  The report itself is 16 rows at any SF.
+    No reference counterpart (the reference writes flat directories,
+    main.py:245-253); Part B layout extension."""
+    top = (1 << ZQ_BITS) - 1
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    mm = li.agg(
+        F.min(F.col("l_partkey").cast("double")).alias("mn0"),
+        F.max(F.col("l_partkey").cast("double")).alias("mx0"),
+        F.min(F.col("l_suppkey").cast("double")).alias("mn1"),
+        F.max(F.col("l_suppkey").cast("double")).alias("mx1"),
+        F.min(F.col("l_orderkey").cast("double")).alias("mn2"),
+        F.max(F.col("l_orderkey").cast("double")).alias("mx2"),
+    )
+
+    def scale(col: str, i: int):
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        return F.least(
+            F.floor((F.col(col).cast("double") - mn) / span * top).cast("long"),
+            F.lit(top),
+        )
+
+    scaled = li.crossJoin(F.broadcast(mm)).select(
+        scale("l_partkey", 0).alias("s0"),
+        scale("l_suppkey", 1).alias("s1"),
+        scale("l_orderkey", 2).alias("ntile"),
+    )
+    z = sum(
+        [
+            F.shiftleft(F.shiftrightunsigned(F.col(f"s{i}"), b) % 2, b * 2 + i)
+            for b in range(ZQ_BITS)
+            for i in range(2)
+        ],
+        start=F.lit(0),
+    )
+    cells = (
+        scaled.withColumn("ztile", F.shiftrightunsigned(z, ZQ_TILE_SHIFT))
+        .withColumn("p", F.shiftrightunsigned(F.col("s0"), ZM_PROBE_SHIFT))
+        .groupBy("ztile", "ntile", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("s0").alias("s_lo"),
+            F.max("s0").alias("s_hi"),
+        )
+    )
+    def rollup(tile_col: str, layout: str):
+        return cells.groupBy(F.col(tile_col).alias("tile")).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("s_lo").alias("s_lo"),
+            F.max("s_hi").alias("s_hi"),
+        ).select(F.lit(layout).alias("layout"), "tile", "n_rows", "s_lo", "s_hi")
+
+    tiles = rollup("ztile", "zorder").unionAll(rollup("ntile", "keyrange"))
+    w = 1 << ZM_PROBE_SHIFT
+    probes = spark.range(ZM_PROBES).select(
+        F.col("id").alias("probe"),
+        (F.col("id") * w).alias("lo"),
+        (F.col("id") * w + (w - 1)).alias("hi"),
+    )
+    matching = cells.groupBy(F.col("p").alias("probe")).agg(
+        F.sum("n_rows").alias("rows_matching")
+    )
+    pruned = F.when((F.col("s_hi") < F.col("lo")) | (F.col("s_lo") > F.col("hi")), 1).otherwise(0)
+    scan = (
+        tiles.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(1 - pruned).alias("tiles_scanned"),
+            F.sum(F.when(pruned == 1, 0).otherwise(F.col("n_rows"))).alias(
+                "rows_scanned"
+            ),
+        )
+    )
+    out = scan.join(F.broadcast(matching), "probe", "left")
+    rm = F.coalesce(F.col("rows_matching"), F.lit(0))
+    return out.select(
+        "layout",
+        F.col("probe").cast("long").alias("probe"),
+        F.col("n_tiles").cast("long").alias("n_tiles"),
+        F.col("tiles_scanned").cast("long").alias("tiles_scanned"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        rm.cast("long").alias("rows_matching"),
+        F.when(rm > 0, F.col("rows_scanned").cast("double") / rm).alias(
+            "scan_amplification"
+        ),
+    )

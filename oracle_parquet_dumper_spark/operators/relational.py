@@ -2345,3 +2345,250 @@ def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 500 = 0
         """
     )
+
+
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH = 64     # counters per row
+CMS_SAMPLE_MOD = 97  # which user_ids the report shows (bounded output)
+
+
+def _cms_oracle() -> str:
+    return f"""
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS dep),
+    h AS MATERIALIZED (
+      SELECT e.user_id, d.dep,
+             CAST(('0x' || substring(md5('cms' || CAST(d.dep AS VARCHAR) || ':'
+                                         || CAST(e.user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {CMS_WIDTH} AS b
+      FROM events e CROSS JOIN depths d
+    ),
+    counters AS (SELECT dep, b, COUNT(*) AS c FROM h GROUP BY dep, b),
+    tru AS (
+      SELECT user_id, COUNT(*) AS true_cnt FROM events
+      WHERE user_id % {CMS_SAMPLE_MOD} = 0 GROUP BY user_id
+    ),
+    uh AS (SELECT DISTINCT user_id, dep, b FROM h
+           WHERE user_id % {CMS_SAMPLE_MOD} = 0),
+    est AS (
+      SELECT u.user_id, MIN(c.c) AS cms_est
+      FROM uh u JOIN counters c ON c.dep = u.dep AND c.b = u.b
+      GROUP BY u.user_id
+    )
+    SELECT t.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est
+    FROM tru t JOIN est e ON t.user_id = e.user_id
+    """
+
+
+@query(
+    "agg_cms_frequency",
+    oracle=_cms_oracle(),
+    tags=("agg", "approx", "sketch"),
+)
+def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) point queries, made
+    oracle-checkable the same way as ``agg_kmv_distinct``: the d=4
+    salted md5 hashes are replayed bit-identically by both engines, so
+    the sketch — normally "approximate" — is DETERMINISTIC given the
+    hash family.  Counters[dep][h_dep(key)] accumulate row counts; a
+    point estimate is min over depths; the report joins the estimate to
+    the true per-user count (est >= true always — CMS errs only upward,
+    which the driver hash implicitly verifies on every sampled user).
+
+    Scale: the counter relation is d x w = {CMS_DEPTH * CMS_WIDTH} rows
+    REGARDLESS of input size, and the groupBy reaches it through
+    map-side partial aggregation — per partition at most d*w counter
+    rows cross the exchange, the textbook mergeable-sketch property
+    (the same argument as agg_incremental_merge).  Point lookups then
+    BROADCAST the counters; nothing keyed by user ever shuffles except
+    the true-count comparison, which a production sketch consumer
+    wouldn't compute.  The fixture width keeps collisions visible
+    (1500+ users onto 64 counters/row) so the est-vs-true gap is a real
+    demonstration, not a degenerate identity."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(dep: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cms{dep}:"), F.col("user_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        )
+
+    hashed = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dep).alias("dep"), bucket(dep).alias("b"))
+                    for dep in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("db"),
+    ).select("user_id", F.col("db.dep").alias("dep"), F.col("db.b").alias("b"))
+    counters = hashed.groupBy("dep", "b").agg(F.count(F.lit(1)).alias("c"))
+    sampled = F.col("user_id") % CMS_SAMPLE_MOD == 0
+    tru = ev.where(sampled).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    uh = hashed.where(sampled).distinct()
+    est = (
+        uh.join(F.broadcast(counters), ["dep", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return tru.join(est, "user_id").select(
+        "user_id",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )
+
+
+HLL_M = 64          # registers (2^6 buckets)
+HLL_ALPHA_M = 0.709  # standard alpha for m = 64
+# register sum scaled by 2^HLL_SHIFT so Z = sum(2^-M_j) is EXACT BIGINT
+# arithmetic: max sum = m * 2^56 = 2^62 < 2^63, and the smallest term
+# 2^(56-55) = 2 is still integral (rank <= 55 on a 54-bit suffix).
+HLL_SHIFT = 56
+# the estimator numerator alpha * m^2 * 2^shift folded to ONE double in
+# Python and injected verbatim into BOTH engines — folding it engine-side
+# would round differently (DuckDB parses 0.709 as DECIMAL, Spark as
+# DOUBLE), and a 1-ulp numerator drift shows up in the hash.
+HLL_NUMERATOR = HLL_ALPHA_M * HLL_M * HLL_M * float(1 << HLL_SHIFT)
+
+
+def _hll_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    jw AS (SELECT event_type, hv % {HLL_M} AS j, hv // {HLL_M} AS w FROM h),
+    ranks AS (
+      SELECT event_type, j,
+             CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS r
+      FROM jw
+    ),
+    regs AS (SELECT event_type, j, MAX(r) AS m_j FROM ranks GROUP BY event_type, j),
+    axis AS (
+      SELECT t.event_type, b.j
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) b
+    ),
+    full_regs AS (
+      SELECT a.event_type, COALESCE(r.m_j, 0) AS m_j
+      FROM axis a LEFT JOIN regs r ON a.event_type = r.event_type AND a.j = r.j
+    ),
+    s AS (
+      SELECT event_type,
+             SUM(1::BIGINT << ({HLL_SHIFT} - m_j)) AS reg_sum,
+             SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS n_zero
+      FROM full_regs GROUP BY event_type
+    ),
+    tru AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type)
+    SELECT t.event_type, CAST(t.exact_distinct AS BIGINT) AS exact_distinct,
+           {HLL_NUMERATOR!r} / s.reg_sum AS hll_estimate,
+           CAST(s.n_zero AS BIGINT) AS zero_registers
+    FROM tru t JOIN s ON t.event_type = s.event_type
+    """
+
+
+@query(
+    "agg_hll_deterministic",
+    oracle=_hll_oracle(),
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet et al.) distinct-count, DETERMINISTIC and
+    oracle-checked — completing the replayable-sketch trio (KMV
+    ``agg_kmv_distinct`` for distincts by order statistics, CMS
+    ``agg_cms_frequency`` for point frequencies, HLL here for distincts
+    by register maxima).  Spark's own HLL (``agg_approx``) stays
+    rows-only because its hash is engine-internal; seeding the register
+    pipeline with the shared md5 hash makes every register — and hence
+    the estimate — bit-identical across engines.
+
+    All-integer register math: the 60-bit hash splits into bucket j
+    (low 6 bits) and a 54-bit suffix w; rank = 55 - bit_length(w)
+    (leading zeros + 1, via the shared ``bin()`` string — no float
+    log2, which is NOT portable at power-of-two boundaries).  The
+    harmonic denominator Z = sum(2^-M_j) is rescaled by 2^{HLL_SHIFT} so the
+    register sum is EXACT BIGINT (max 2^62); alpha*m^2/Z is then ONE
+    IEEE divide — the float-portability convention.  The raw estimator
+    is emitted as-is with zero_registers alongside: production HLL
+    switches to linear counting (m*ln(m/V)) below 2.5m, but ln() is a
+    libm call this repo's portability rules exclude, and the report
+    carries V so a consumer can apply it.
+
+    Scale: registers are the textbook mergeable state — the per-group
+    relation is m = {HLL_M} rows REGARDLESS of input (partial max per
+    (group, j) combines map-side), the full-axis completion joins a
+    broadcast {HLL_M}-row axis, and nothing keyed by user survives past
+    the first dedup-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("hll:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    # w must be the exact integer quotient: hv is 60 bits, and a double
+    # divide would lose bits above 2^53 — `div` keeps it in BIGINT.
+    jw = h.select(
+        "event_type",
+        (F.col("hv") % HLL_M).alias("j"),
+        F.expr(f"hv div {HLL_M}").alias("w"),
+    )
+    ranks = jw.select(
+        "event_type",
+        "j",
+        F.when(F.col("w") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin("w"))
+        ).alias("r"),
+    )
+    regs = ranks.groupBy("event_type", "j").agg(F.max("r").alias("m_j"))
+    types = ev.select("event_type").distinct()
+    axis = types.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(HLL_M).select(F.col("id").cast("long").alias("j"))
+        )
+    )
+    full_regs = axis.join(regs, ["event_type", "j"], "left").select(
+        "event_type", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    s = full_regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_SHIFT} - m_j)")).alias("reg_sum"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    tru = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    # raw estimate as the bare IEEE divide — no round(): an integer
+    # round of a computed double is a half-tie landmine cross-engine
+    est = F.lit(HLL_NUMERATOR) / F.col("reg_sum")
+    return tru.join(s, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        est.alias("hll_estimate"),
+        F.col("n_zero").cast("long").alias("zero_registers"),
+    )

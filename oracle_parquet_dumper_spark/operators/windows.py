@@ -759,3 +759,85 @@ def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
         F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_last_hour"),
     )
+
+
+@query(
+    "window_rolling_slope",
+    oracle="""
+    WITH xy AS (
+      SELECT user_id, event_id, ts,
+             date_diff('second',
+                       MIN(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id),
+                       CAST(ts AS TIMESTAMP)) AS x,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             COUNT(*)   OVER w AS n,
+             SUM(x)     OVER w AS sx,
+             SUM(y)     OVER w AS sy,
+             SUM(x * y) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx
+      FROM xy
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(n AS BIGINT) AS n_pts,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+           END AS slope_cents_per_s
+    FROM s
+    """,
+    tags=("window", "events", "stats", "timeseries"),
+)
+def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: per user, the least-squares slope of event
+    value over time across the trailing 8 events — the "is this metric
+    drifting" primitive a moving average (window_moving_avg) can't give
+    you, since an average is blind to direction.
+
+    All-integer accumulation: x = seconds since the user's first event
+    (BIGINT; anchoring per-user keeps x small so every windowed moment
+    — sx, sy, sxy, sxx and the slope numerator/denominator — stays
+    exact in 64 bits: |num| <= n*max(x)*n*max(y) ~ 9e12 at the fixture,
+    and ~5e17 even for a decade-long user at $10k values), and ONE IEEE
+    divide at the end — the repo's float-portability convention, so the
+    DuckDB twin is bit-identical.  A constant-time window (all x equal,
+    e.g. same-second burst) has zero denominator -> NULL slope.
+
+    Scale: one (user) shuffle shared by the anchor window and the
+    rolling frame; the 8-row ROWS frame is O(1) state per row in both
+    engines' streaming window operators.  For multi-decade spans at
+    dollar scales beyond ~$100k, widen the moment sums to
+    DECIMAL(38,0) (the ts_anomaly_rolling_zscore convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = W.partitionBy("user_id")
+    xy = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_timestamp("ts") - F.min(F.unix_timestamp("ts")).over(anchor)).alias(
+            "x"
+        ),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, W.currentRow)
+    s = xy.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "user_id",
+        "event_id",
+        F.col("n").cast("long").alias("n_pts"),
+        F.when(den > 0, num.cast("double") / den).alias("slope_cents_per_s"),
+    )

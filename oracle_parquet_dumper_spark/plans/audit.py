@@ -142,6 +142,14 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     "clean_length_band": (1, "aggregated length distribution"),
     # trailing average over per-month counts — rows = calendar months
     "dq_partition_completeness": (1, "per-month counts"),
+    # reverse cumsum + total over the per-lifetime-day distribution —
+    # rows = observation-window days (29 at the fixture), not users
+    "events_survival_hazard": (1, "per-lifetime-day counts"),
+    # global_index bucket-offsets window (<= 64 rows); it appears TWICE
+    # because the indexed relation feeds both sides of the banded
+    # neighbor self-join (the shuffle under it is reused, the 64-row
+    # window recomputes per consumer — free)
+    "dedup_sorted_neighborhood": (2, "bucket offsets, <= 64 rows x 2 join sides"),
 }
 
 

@@ -241,16 +241,20 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
 
 
 def test_gapfill_partial_agg_before_exchanges(spark, sf_dir):
-    """ts_gapfill_interpolate must reduce the event log map-side before
-    anything shuffles (partial max under every exchange) and feed both
-    window frames from the join's user_id partitioning — no exchange
-    between the join and the Window operators."""
+    """ts_gapfill_interpolate (consecutive-pair formulation): the event
+    log reduces map-side before anything shuffles (partial max under
+    every exchange); ONE lead() window over present rows replaces the
+    old spine join + row_number + two ignore-nulls frames; the gap
+    expansion is a map-side Generate ABOVE the window — the spine is
+    emitted, never shuffled, joined, or sorted."""
     plan = plan_of(spark, sf_dir, "ts_gapfill_interpolate")
     assert "partial_max" in plan
-    # windows run on the join output without re-shuffling: no Exchange
-    # line may appear above (before, in print order) the first Window
-    first_window = plan.index("Window")
-    assert "Exchange" not in plan[:first_window]
+    assert plan.count("Window") == 1
+    assert "Join" not in plan  # no spine join anymore
+    # explode(sequence(...)) runs above (downstream of) the window
+    assert plan.index("Generate") < plan.index("Window")
+    # exactly two exchanges: the (user, hour) agg and the user window
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_maxsim_broadcasts_query_tokens(spark, sf_dir):
