@@ -393,3 +393,112 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# snapshot-diff simulation constants: the "old" snapshot is missing
+# every ADD_MOD-th key (later-arrived rows), the "new" snapshot bumps
+# every CHG_MOD-th price by one cent (updates) and drops every
+# DEL_MOD-th key (deletions)
+DIFF_ADD_MOD = 97
+DIFF_CHG_MOD = 101
+DIFF_DEL_MOD = 89
+
+_DIFF_DIGEST_SQL = (
+    "md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, CAST(cents AS VARCHAR), strftime(o_orderdate, '%Y-%m-%d')))"
+)
+
+
+@query(
+    "dq_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    old AS (
+      SELECT o_orderkey, {_DIFF_DIGEST_SQL} AS dig
+      FROM base WHERE o_orderkey % {DIFF_ADD_MOD} != 0
+    ),
+    new AS (
+      SELECT o_orderkey, {_DIFF_DIGEST_SQL} AS dig
+      FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+                   cents + CASE WHEN o_orderkey % {DIFF_CHG_MOD} = 0
+                                THEN 1 ELSE 0 END AS cents
+            FROM base WHERE o_orderkey % {DIFF_DEL_MOD} != 0)
+    ),
+    j AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.dig != n.dig THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n FROM j GROUP BY status
+    """,
+    tags=("dq", "join", "pipeline"),
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the validation step behind the exporter's
+    incremental-append story (exporter.py's crash-replay appends): given
+    two versions of a table, classify every key as added / removed /
+    changed / unchanged and report counts.  Here the two versions are
+    simulated deterministically from ``orders`` (old is missing every
+    {DIFF_ADD_MOD}-th key; new bumps every {DIFF_CHG_MOD}-th price by a
+    cent and drops every {DIFF_DEL_MOD}-th key) so the expected counts
+    are checkable; in production both sides are real snapshot reads.
+
+    The diff ships (key, md5-digest) pairs ONLY — change detection
+    compares 16-byte digests, never the row bodies, so a 100-column
+    table diffs with the same shuffle volume as a 2-column one (the
+    dedup_exact digest-only convention applied to versioning).  The
+    digest input renders floats as exact integer cents and dates as
+    ISO strings (both engines format identically); the FULL OUTER join
+    shuffles both sides by key once; the classification is a map-side
+    CASE into a 4-row aggregate.  Companion to ``dq_table_checksum``
+    (one digest for the whole table: tells you THAT it changed;
+    this tells you WHERE)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def dig(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("cents").cast("string"),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+            )
+        )
+
+    old = base.where(F.col("o_orderkey") % DIFF_ADD_MOD != 0).select(
+        F.col("o_orderkey").alias("k_old"), dig(base).alias("dig_old")
+    )
+    bumped = base.where(F.col("o_orderkey") % DIFF_DEL_MOD != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % DIFF_CHG_MOD == 0, 1).otherwise(0),
+    )
+    new = bumped.select(
+        F.col("o_orderkey").alias("k_new"), dig(bumped).alias("dig_new")
+    )
+    j = old.join(new, old["k_old"] == new["k_new"], "full_outer")
+    status = (
+        F.when(F.col("k_old").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("dig_old") != F.col("dig_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

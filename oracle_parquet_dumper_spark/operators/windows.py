@@ -841,3 +841,85 @@ def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pts"),
         F.when(den > 0, num.cast("double") / den).alias("slope_cents_per_s"),
     )
+
+
+EWMA_K = 8  # trailing window; weights 2^-(0..7), integer-scaled by 2^7
+
+
+@query(
+    "window_ewma_truncated",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, event_id, c,
+             lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+             lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+             lag(c, 5) OVER w AS c5, lag(c, 6) OVER w AS c6,
+             lag(c, 7) OVER w AS c7
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(c * 128
+                + COALESCE(c1, 0) * 64 + COALESCE(c2, 0) * 32
+                + COALESCE(c3, 0) * 16 + COALESCE(c4, 0) * 8
+                + COALESCE(c5, 0) * 4 + COALESCE(c6, 0) * 2
+                + COALESCE(c7, 0) AS DOUBLE)
+           / (128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                  + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                  + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                  + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                  + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                  + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END)
+             AS ewma_cents
+    FROM l
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def window_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) truncated to
+    the trailing {EWMA_K} events per user — the streaming smoother
+    behind latency/error-rate dashboards.  A full EWMA is an infinite
+    recurrence no SQL window expresses; truncating at 8 terms bounds
+    the tail contribution below 2^-7 < 0.8% while keeping the operator
+    a plain window — and, more importantly here, keeps it EXACT.
+
+    Float portability trick: with alpha = 1/2 the weights are dyadic
+    (2^-k), so scaling by 2^7 makes numerator and denominator exact
+    BIGINTs (num <= 255 * max_cents, den = 255 for a full window) and
+    the EWMA itself ONE IEEE divide — the convention every float
+    emitting query in this repo follows.  An arbitrary-alpha EWMA
+    would multiply doubles per term and diverge cross-engine in the
+    last ulp; the dyadic family is the portable sweet spot.
+
+    Scale shape: ONE (user_id) exchange feeds a single WindowExec
+    evaluating all 7 lag()s (both engines batch same-frame window
+    functions); O(1) state per row in the streaming window operator.
+    The ``streaming/stateful.py`` ring-buffer kernel is the
+    applyInPandasWithState twin of exactly this shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    lags = [F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, EWMA_K)]
+    l = x.select("user_id", "event_id", "c", *lags)
+    num = F.col("c") * 128
+    den = F.lit(128)
+    for k in range(1, EWMA_K):
+        wgt = 1 << (7 - k)
+        num = num + F.coalesce(F.col(f"c{k}"), F.lit(0)) * wgt
+        den = den + F.when(F.col(f"c{k}").isNull(), 0).otherwise(wgt)
+    return l.select(
+        "user_id",
+        "event_id",
+        (num.cast("double") / den).alias("ewma_cents"),
+    )

@@ -132,3 +132,70 @@ def rolling_anomalies(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --- streaming truncated EWMA ----------------------------------------------
+# Streaming twin of operators/windows.window_ewma_truncated: alpha=1/2
+# EWMA truncated at EWMA_K terms, integer-scaled by 2^(EWMA_K-1) so
+# numerator/denominator are exact BIGINTs and the emitted double is one
+# IEEE divide — bit-identical to the batch window query (asserted by
+# tests/test_streaming.py::test_stream_ewma_equals_batch).  State is the
+# per-user ring of the last EWMA_K-1 cent values, O(1) per key.
+
+EWMA_K = 8  # = windows.EWMA_K
+
+EWMA_STATE = T.StructType([T.StructField("ring", T.ArrayType(T.LongType()))])
+EWMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ewma_cents", T.DoubleType()),
+    ]
+)
+
+
+def ewma_kernel(key, pdfs, state):
+    """Per-user trailing-{EWMA_K} dyadic EWMA across micro-batches; rows
+    within a batch process in (ts, event_id) order, matching the batch
+    window's ordering."""
+    ring = list(state.get[0]) if state.exists else []  # oldest .. newest
+    out = {k: [] for k in ("user_id", "event_id", "ewma_cents")}
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    top = 1 << (EWMA_K - 1)
+    for row in pdf.itertuples():
+        c = math_floor_cents(row.value)
+        num, den = c * top, top
+        for k, prev in enumerate(reversed(ring[-(EWMA_K - 1):]), start=1):
+            w = 1 << (EWMA_K - 1 - k)
+            num += prev * w
+            den += w
+        out["user_id"].append(key[0])
+        out["event_id"].append(row.event_id)
+        out["ewma_cents"].append(num / den)
+        ring.append(c)
+        ring = ring[-(EWMA_K - 1):]
+    state.update((ring,))
+    yield pd.DataFrame(out)
+
+
+def math_floor_cents(value: float) -> int:
+    """floor(value * 100) exactly as Spark's FLOOR(value * 100) — IEEE
+    multiply then floor (NOT decimal re-rounding)."""
+    import math
+
+    return int(math.floor(value * 100))
+
+
+def ewma_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming per-user truncated EWMA via applyInPandasWithState."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            ewma_kernel,
+            outputStructType=EWMA_OUT,
+            stateStructType=EWMA_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -436,3 +436,40 @@ def test_lateral_topk_decorrelates_to_ranked_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "subquery_lateral_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zonemap_cells_exchange_reused(spark, sf_dir):
+    """layout_zonemap_pruning's (ztile, keytile, probe) cell aggregate
+    feeds three consumers (two layout rollups + matching counts); the
+    plan must REUSE that exchange, not rescan lineitem per consumer —
+    physical lineitem passes stay at two (bounds agg + cells) at any
+    scale.  Exchange reuse is an AQE-final-plan property, so execute
+    first and read the adaptive plan."""
+    df = REGISTRY["layout_zonemap_pruning"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_window_single_exchange(spark, sf_dir):
+    """All 7 lag()s share one frame -> ONE WindowExec over ONE user_id
+    exchange; no joins, no extra passes."""
+    plan = plan_of(spark, sf_dir, "window_ewma_truncated")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_ships_digests_only(spark, sf_dir):
+    """dq_snapshot_diff's full-outer join must move (key, digest) pairs
+    only: the exchanges under the SMJ carry exactly the join key and
+    the md5 column, never row bodies (o_custkey/o_orderstatus are
+    consumed map-side by the digest)."""
+    plan = plan_of(spark, sf_dir, "dq_snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(k_(old|new)[^\n]*", plan):
+        line = m.group(0)
+        assert "o_orderstatus" not in line and "o_custkey" not in line

@@ -295,3 +295,45 @@ def test_sorted_neighborhood_matches_oracle_pairs(spark, sf_dir):
         ).fetchall()
     )
     assert spark_rows == oracle_rows
+
+
+def test_ewma_truncated_math(spark, tmp_path):
+    """Constant series -> EWMA equals the constant at every row
+    (weights normalize out); a planted 2-point series reproduces the
+    exact dyadic-rational value 500/3."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(minutes=i), 1, 7.77) for i in range(10)]
+    rows += [(100, t0, 2, 1.00), (101, t0 + datetime.timedelta(minutes=1), 2, 2.00)]
+    d = tmp_path / "sf"
+    _events(spark, rows).withColumn("event_type", F.lit("x")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    out = {r.event_id: r.ewma_cents for r in
+           REGISTRY["window_ewma_truncated"].fn(spark, str(d)).collect()}
+    for i in range(10):
+        assert out[i] == 777.0, i
+    assert out[100] == 100.0
+    # (200*128 + 100*64) / (128 + 64) = 32000/192 = 500/3 exactly
+    assert out[101] == 32000 / 192
+
+
+def test_snapshot_diff_planted(spark, tmp_path):
+    """Keys 1..200: added = multiples of 97 (2), removed = multiples of
+    89 (2), changed = multiples of 101 (1), unchanged = 195."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(k, 1, "O", 10.0, t0) for k in range(1, 201)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp",
+    ).selectExpr("*", "'1-URGENT' AS o_orderpriority").write.parquet(
+        str(d / "orders.parquet")
+    )
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.status: r.n for r in
+           REGISTRY["dq_snapshot_diff"].fn(spark, str(d)).collect()}
+    assert got == {"added": 2, "removed": 2, "changed": 1, "unchanged": 195}

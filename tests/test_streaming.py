@@ -288,3 +288,25 @@ def test_stream_anomaly_state_carries_across_batches(spark, tmp_path):
     }
     assert want  # the spike must be flagged
     assert got == want
+
+
+def test_stream_ewma_equals_batch(spark, smoke_sf_dir):
+    """The applyInPandasWithState truncated-EWMA twin emits exactly the
+    batch window query's doubles when data arrives in order (single
+    batch) — same integer numerator/denominator, same one IEEE
+    divide."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.streaming.stateful import ewma_stream
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = ewma_stream(events.drop("props"))
+    ops.run_to_memory(stream, "t_ewma", output_mode="update")
+    got = {
+        (r.user_id, r.event_id, r.ewma_cents)
+        for r in spark.table("t_ewma").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.ewma_cents)
+        for r in REGISTRY["window_ewma_truncated"].fn(spark, smoke_sf_dir).collect()
+    }
+    assert got == want
