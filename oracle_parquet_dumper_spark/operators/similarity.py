@@ -951,3 +951,169 @@ def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_nano").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --- Product quantization + asymmetric distance computation -----------------
+
+PQ_SUBS = 8        # subspaces (64-dim -> 8 dims each)
+PQ_DSUB = 8
+# codebook = the subvectors of 8 fixed seed vectors (sorted, so j =
+# rank by vec_id); codebook REFINEMENT is k-means' job (emb_kmeans_lloyd
+# demonstrates the deterministic Lloyd loop) — this query demonstrates
+# the encode + ADC machinery those codebooks plug into.
+PQ_SEED_IDS = (7, 61, 113, 167, 223, 281, 337, 449)
+
+
+def _pq_dist_sql(evec: str, cvec: str, s: int) -> str:
+    """Explicit left-associated sum of 8 squared diffs for subspace s
+    (1-indexed SQL arrays) — the exact op tree the Spark side builds,
+    so the doubles agree bit-for-bit."""
+    terms = [
+        f"(({evec}[{s * PQ_DSUB + k + 1}]::DOUBLE - {cvec}[{s * PQ_DSUB + k + 1}]::DOUBLE)"
+        f" * ({evec}[{s * PQ_DSUB + k + 1}]::DOUBLE - {cvec}[{s * PQ_DSUB + k + 1}]::DOUBLE))"
+        for k in range(PQ_DSUB)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _pq_oracle() -> str:
+    seed_vals = ", ".join(
+        f"({vid}, {j})" for j, vid in enumerate(PQ_SEED_IDS)
+    )
+    enc_branches = "\n      UNION ALL ".join(
+        f"SELECT vec_id, j, {s} AS s, {_pq_dist_sql('ev', 'cv', s)} AS d FROM pairs"
+        for s in range(PQ_SUBS)
+    )
+    lut_branches = "\n      UNION ALL ".join(
+        f"SELECT j, {s} AS s, {_pq_dist_sql('qv', 'cv', s)} AS d FROM qpairs"
+        for s in range(PQ_SUBS)
+    )
+    return f"""
+    WITH m(svid, j) AS (VALUES {seed_vals}),
+    cb AS MATERIALIZED (
+      SELECT m.j, e.embedding AS cv FROM embeddings e JOIN m ON e.vec_id = m.svid
+    ),
+    pairs AS MATERIALIZED (
+      SELECT e.vec_id, cb.j, e.embedding AS ev, cb.cv
+      FROM embeddings e CROSS JOIN cb
+      WHERE e.vec_id != {QUERY_VEC_ID}
+    ),
+    dists AS ({enc_branches}),
+    codes AS (
+      SELECT vec_id, s, MIN(struct_pack(d := d, j := j)).j AS code
+      FROM dists GROUP BY vec_id, s
+    ),
+    qpairs AS MATERIALIZED (
+      SELECT cb.j, cb.cv, q.embedding AS qv
+      FROM cb CROSS JOIN (SELECT embedding FROM embeddings
+                          WHERE vec_id = {QUERY_VEC_ID}) q
+    ),
+    lut AS ({lut_branches})
+    SELECT c.vec_id,
+           CAST(CAST(SUM(CAST(l.d AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)
+             AS adc_dist
+    FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+    GROUP BY c.vec_id
+    ORDER BY adc_dist ASC, c.vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query(
+    "sim_topk_pq_adc",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "topk", "scale"),
+)
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance computation (Jégou,
+    Douze & Schmid, TPAMI'11) — the vector-COMPRESSION leg that
+    completes the ANN family next to sign-LSH (bucketing), IVF (coarse
+    partitioning) and int8 (scalar quantization): each 64-dim vector is
+    encoded as {PQ_SUBS} x 3-bit codes (one codeword index per
+    {PQ_DSUB}-dim subspace; 3 bytes vs 256 for float32, ~85x), and a
+    query scores a candidate WITHOUT decompressing it by summing
+    per-subspace lookup-table entries (ADC).  The codebook here is the
+    subvectors of {PQ_SUBS} fixed seed vectors — codebook REFINEMENT is
+    the deterministic Lloyd loop's job (``emb_kmeans_lloyd``); this
+    query pins the encode + ADC machinery those codebooks plug into.
+
+    Cross-engine determinism: encode argmin is MIN over (distance,
+    codeword) structs (ties to the lowest index); every distance is an
+    explicit left-associated sum of squared diffs built identically in
+    both engines; the ADC total uses the decimal-sum convention, so the
+    final doubles — and hence the top-{TOP_K} cut — are bit-identical.
+
+    Scale shape: the codebook and the query vector are bounded model
+    state ({PQ_SUBS} + 1 rows, the iterative.py collect precedent);
+    encoding is a broadcast-expand ({PQ_SUBS} codewords/vector) into a
+    map-side-combined (vec_id, subspace) argmin; the ADC join
+    broadcasts the 64-row lookup table; the only full exchanges move
+    (vec_id, code) / (vec_id, partial decimal sum) rows — never
+    vectors.  In production the 3-byte codes are precomputed at ingest
+    (the int8 story, 85x smaller), and ADC streams codes at memory
+    bandwidth."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double("embedding").alias("vd"))
+    cb_rows = {
+        r.vec_id: list(r.vd)
+        for r in base.where(F.col("vec_id").isin(*PQ_SEED_IDS)).collect()
+    }
+    qvec = [
+        list(r.vd)
+        for r in base.where(F.col("vec_id") == QUERY_VEC_ID).collect()
+    ][0]
+    codebook = [cb_rows[vid] for vid in PQ_SEED_IDS]  # j = rank by vec_id
+
+    def dist_expr(s: int, cw: list[float]):
+        out = None
+        for k in range(PQ_DSUB):
+            i = s * PQ_DSUB + k
+            diff = F.col("vd").getItem(i) - F.lit(cw[i])
+            t = diff * diff
+            out = t if out is None else out + t
+        return out
+
+    # per subspace: argmin over the 8 codewords via MIN of (d, j)
+    # structs — map-side expression, no shuffle
+    code_cols = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist_expr(s, codebook[j]).alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(len(PQ_SEED_IDS))
+                ]
+            )
+        )["j"].alias(f"c{s}")
+        for s in range(PQ_SUBS)
+    ]
+    encoded = base.where(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", *code_cols
+    )
+    # ADC lookup table computed from the SAME collected doubles the
+    # oracle derives relationally; chained DECIMAL adds == SUM(DECIMAL)
+    def lut_entry(s: int, j: int) -> float:
+        out = 0.0
+        for k in range(PQ_DSUB):
+            i = s * PQ_DSUB + k
+            d = qvec[i] - codebook[j][i]
+            out = out + d * d
+        return out
+
+    adc = None
+    for s in range(PQ_SUBS):
+        lut_s = F.array(*[F.lit(lut_entry(s, j)) for j in range(len(PQ_SEED_IDS))])
+        term = F.element_at(lut_s, F.col(f"c{s}") + 1).cast("decimal(25,12)")
+        adc = term if adc is None else adc + term
+    return (
+        encoded.select("vec_id", adc.cast("double").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -337,3 +337,75 @@ def test_snapshot_diff_planted(spark, tmp_path):
     got = {r.status: r.n for r in
            REGISTRY["dq_snapshot_diff"].fn(spark, str(d)).collect()}
     assert got == {"added": 2, "removed": 2, "changed": 1, "unchanged": 195}
+
+
+def test_pq_encode_planted(spark, tmp_path):
+    """A vector that IS a codebook seed must encode to that seed's
+    index in every subspace (distance 0 beats every other codeword),
+    and its ADC distance to a query equal to the same seed is 0."""
+    import random
+
+    from oracle_parquet_dumper_spark.operators.similarity import (
+        PQ_SEED_IDS,
+        QUERY_VEC_ID,
+    )
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    rng = random.Random(7)
+    rows = []
+    seed_vecs = {}
+    for vid in range(500):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((vid, v, 0))
+        if vid in PQ_SEED_IDS:
+            seed_vecs[vid] = v
+    # plant: query vector == seed 61's vector, and vec 450 == seed 113's
+    s61, s113 = seed_vecs[61], seed_vecs[113]
+    rows[QUERY_VEC_ID] = (QUERY_VEC_ID, list(s61), 0)
+    rows[450] = (450, list(s113), 0)
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    out = REGISTRY["sim_topk_pq_adc"].fn(spark, str(d)).collect()
+    by_id = {r.vec_id: r.adc_dist for r in out}
+    # seed 61 == the query -> its codes hit j=1 everywhere, ADC exactly 0
+    assert by_id.get(61) == 0.0
+    assert out[0].vec_id == 61  # rank 1
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """PQ with an unrefined 3-bit seed codebook is deliberately coarse
+    (codebook quality is emb_kmeans_lloyd's job), but ADC top-10 must
+    still overlap the exact L2 top-10 ABOVE CHANCE: 10 of ~500
+    candidates -> expected random overlap 0.2, so a floor of 2 is 10x
+    chance (measured 2/10 on the fixture).  The bit-exact encode/ADC
+    semantics are pinned by the DuckDB oracle and the planted test,
+    not by this quality floor."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.functions.vectors import as_double
+    from oracle_parquet_dumper_spark.operators.similarity import QUERY_VEC_ID, TOP_K
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    approx = {r.vec_id for r in REGISTRY["sim_topk_pq_adc"].fn(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("vd")
+    )
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("vd").alias("qv"))
+    l2 = F.aggregate(
+        F.zip_with("vd", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r.vec_id
+        for r in e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", l2.alias("d"))
+        .orderBy(F.col("d").asc(), "vec_id")
+        .limit(TOP_K)
+        .collect()
+    }
+    assert len(approx & exact) >= 2
