@@ -2001,3 +2001,133 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("lev") <= SNM_LEV_MAX)
     )
+
+
+@query(
+    "dedup_sorted_neighborhood_multipass",
+    oracle=f"""
+    WITH nk AS (
+      SELECT doc_id, {_SNM_NORM_SQL} AS norm FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id, substring(norm, 1, {SNM_PREFIX}) AS pre,
+             row_number() OVER (ORDER BY norm, doc_id) - 1 AS idx
+      FROM nk
+    ),
+    r2 AS (
+      SELECT doc_id, substring(norm, 1, {SNM_PREFIX}) AS pre,
+             row_number() OVER (ORDER BY reverse(norm), doc_id) - 1 AS idx
+      FROM nk
+    ),
+    cand AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b,
+             CASE WHEN a.doc_id < b.doc_id THEN a.pre ELSE b.pre END AS pa,
+             CASE WHEN a.doc_id < b.doc_id THEN b.pre ELSE a.pre END AS pb
+      FROM r1 a JOIN r1 b ON b.idx > a.idx AND b.idx <= a.idx + {SNM_WINDOW}
+      UNION
+      SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id),
+             CASE WHEN a.doc_id < b.doc_id THEN a.pre ELSE b.pre END,
+             CASE WHEN a.doc_id < b.doc_id THEN b.pre ELSE a.pre END
+      FROM r2 a JOIN r2 b ON b.idx > a.idx AND b.idx <= a.idx + {SNM_WINDOW}
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, levenshtein(pa, pb) AS lev FROM cand
+    )
+    SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev
+    FROM scored WHERE lev <= {SNM_LEV_MAX}
+    """,
+    tags=("dedup", "window", "scale"),
+)
+def dedup_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood (the recall complement the
+    single-pass ``dedup_sorted_neighborhood`` docstring names): pass 1
+    sorts by the normalized text, pass 2 by its REVERSE, so records
+    that differ in their first characters — invisible to a
+    prefix-sorted neighborhood — become sort-adjacent by their shared
+    suffix.  The union of both passes' within-window pairs is scored
+    once (edit distance over the {SNM_PREFIX}-char prefix); pairs are
+    key-normalized (doc_a < doc_b) before the union so a pair found by
+    both passes emits once.
+
+    Pass 1 reuses the single-pass candidate machinery verbatim; pass 2
+    runs the SAME banded-join shape over a second
+    ``with_global_index`` whose bucketing key encodes the reversed
+    string's first 8 chars.  Because each pass is O(n*w) candidates,
+    k passes cost k linear sweeps — the standard SNM recall/cost
+    trade (Hernandez & Stolfo run 3 passes over independent keys)."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias("norm"),
+    )
+
+    def enc(col: str):
+        return sum(
+            [
+                F.shiftleft(
+                    F.ascii(F.substring(col, i + 1, 1)).cast("long"),
+                    7 * (7 - i),
+                )
+                for i in range(8)
+            ],
+            start=F.lit(0).cast("long"),
+        )
+
+    def pass_pairs(keyed):
+        a = keyed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pre").alias("pa"),
+            F.col("idx").alias("idx_a"),
+            F.explode(
+                F.array(
+                    F.expr(f"idx div {SNM_WINDOW}"),
+                    F.expr(f"idx div {SNM_WINDOW} + 1"),
+                )
+            ).alias("band"),
+        )
+        b = keyed.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("pre").alias("pb"),
+            F.col("idx").alias("idx_b"),
+            F.expr(f"idx div {SNM_WINDOW}").alias("band"),
+        )
+        gap = F.col("idx_b") - F.col("idx_a")
+        return (
+            a.join(b, "band")
+            .where((gap > 0) & (gap <= SNM_WINDOW))
+            .select("doc_a", "doc_b", "pa", "pb")
+        )
+
+    def indexed(df, sort_col):
+        return with_global_index(
+            df.withColumn("num8", enc(sort_col)),
+            value_col="num8",
+            tiebreak_cols=[sort_col, "doc_id"],
+            bucketer="quantile",
+            idx_col="idx",
+        ).select(
+            "doc_id", F.substring("norm", 1, SNM_PREFIX).alias("pre"), "idx"
+        )
+
+    flip = F.col("doc_a") > F.col("doc_b")
+
+    def normed(pairs):
+        return pairs.select(
+            F.when(flip, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_a"),
+            F.when(flip, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_b"),
+            F.when(flip, F.col("pb")).otherwise(F.col("pa")).alias("pa"),
+            F.when(flip, F.col("pa")).otherwise(F.col("pb")).alias("pb"),
+        )
+
+    p1 = normed(pass_pairs(indexed(docs, "norm")))
+    p2 = normed(
+        pass_pairs(indexed(docs.withColumn("rnorm", F.reverse("norm")), "rnorm"))
+    )
+    cand = p1.unionAll(p2).distinct()
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("pa", "pb").cast("long").alias("lev"),
+    ).where(F.col("lev") <= SNM_LEV_MAX)

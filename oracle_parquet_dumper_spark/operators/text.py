@@ -793,3 +793,135 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# RAKE candidate-phrase delimiter set: the shared stop list plus any
+# punctuation.  8 stopwords is deliberately tiny (the fixture corpus is
+# synthetic); production swaps in SMART/Fox lists without touching the
+# pipeline shape.
+_RAKE_STOP_RE = r"\b(the|a|of|and|to|in|is|it)\b"
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '|', 'g'),
+                            '{_RAKE_STOP_RE}', '|', 'g') AS d
+      FROM documents
+    ),
+    pl AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(d, '|'),
+                 p -> list_filter(string_split(p, ' '), t -> length(t) > 0)),
+                 ws -> len(ws) > 0) AS pls
+      FROM norm
+    ),
+    ph AS (
+      SELECT doc_id, unnest(pls) AS ws,
+             unnest(range(1, len(pls) + 1)) AS pid
+      FROM pl
+    ),
+    occ AS (
+      SELECT doc_id, pid, array_to_string(ws, ' ') AS phrase,
+             len(ws) AS plen, unnest(ws) AS word
+      FROM ph
+    ),
+    wsc AS (
+      SELECT doc_id, word,
+             CAST((SUM(plen) * 1000000) // COUNT(*) AS BIGINT) AS wscore
+      FROM occ GROUP BY doc_id, word
+    ),
+    psc AS (
+      SELECT o.doc_id, o.pid, o.phrase, MAX(o.plen) AS n_words,
+             SUM(w.wscore) AS score_ppm
+      FROM occ o JOIN wsc w ON o.doc_id = w.doc_id AND o.word = w.word
+      GROUP BY o.doc_id, o.pid, o.phrase
+    ),
+    dp AS (
+      SELECT doc_id, phrase, MAX(n_words) AS n_words,
+             MAX(score_ppm) AS score_ppm
+      FROM psc GROUP BY doc_id, phrase
+    ),
+    rk AS (
+      SELECT doc_id, phrase, n_words, score_ppm,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_ppm DESC, phrase) AS rank
+      FROM dp WHERE n_words >= 2
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+           CAST(score_ppm AS BIGINT) AS score_ppm,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM rk WHERE rank <= 3
+    """,
+    tags=("text", "keywords"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of content words between stopword/punctuation
+    delimiters; each word scores degree/frequency (degree = summed
+    length of every phrase it appears in — words that travel in long
+    phrases win), a phrase scores the sum of its member-word scores,
+    and the top 3 multi-word phrases per document are reported.
+
+    All-integer scoring: word score = (deg * 1e6) div freq in ppm, so
+    phrase sums and the (score, phrase) ranking are exact in BIGINT on
+    both engines — no float division anywhere.
+
+    Scale shape: tokenization and phrase splitting are pure column
+    expressions (codegen); the two aggregates and the word-score join
+    are all keyed by (doc_id, ...) — per-document keys, so data
+    distributes evenly at any corpus size and no global state exists.
+    The top-3 window partitions by doc_id (never unpartitioned)."""
+    d = load_table(spark, sf_dir, "documents")
+    delim = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "|"),
+        _RAKE_STOP_RE,
+        "|",
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(delim, "\\|"),
+            lambda p: F.filter(F.split(p, " "), lambda t: F.length(t) > 0),
+        ),
+        lambda ws: F.size(ws) > 0,
+    )
+    ph = d.select("doc_id", F.posexplode(phrases).alias("pid0", "ws"))
+    occ = ph.select(
+        "doc_id",
+        (F.col("pid0") + 1).alias("pid"),
+        F.array_join("ws", " ").alias("phrase"),
+        F.size("ws").alias("plen"),
+        F.explode("ws").alias("word"),
+    )
+    wsc = occ.groupBy("doc_id", "word").agg(
+        F.expr("(SUM(plen) * 1000000) div COUNT(*)").alias("wscore")
+    )
+    psc = (
+        occ.join(wsc, ["doc_id", "word"])
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(F.max("plen").alias("n_words"), F.sum("wscore").alias("score_ppm"))
+    )
+    dp = psc.groupBy("doc_id", "phrase").agg(
+        F.max("n_words").alias("n_words"), F.max("score_ppm").alias("score_ppm")
+    )
+    return (
+        dp.where(F.col("n_words") >= 2)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("score_ppm").desc(), "phrase"
+                )
+            ),
+        )
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "phrase",
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )

@@ -923,3 +923,127 @@ def window_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (num.cast("double") / den).alias("ewma_cents"),
     )
+
+
+def _holt_coeffs(n: int) -> list[int]:
+    """Integer coefficients (over denominator 2^14) of the one-step
+    Holt forecast l_t + b_t for a length-``n`` trailing window, oldest
+    value first, with alpha = beta = 1/2 and l_0 = y_0, b_0 = 0.
+
+    With dyadic smoothing constants every level/trend update divides by
+    2, so after at most 7 updates all weights are exact multiples of
+    2^-14 — the same float-portability trick as window_ewma_truncated,
+    extended to a two-state recurrence.  The weights always sum to 2^14
+    (a constant series forecasts itself) and older points carry the
+    NEGATIVE weights that make Holt extrapolate trend, which no
+    single-state EWMA can."""
+    from fractions import Fraction
+
+    lvl: dict[int, Fraction] = {0: Fraction(1)}
+    trd: dict[int, Fraction] = {}
+    for j in range(1, n):
+        keys = set(lvl) | set(trd) | {j}
+        nl = {
+            k: Fraction(
+                (Fraction(1) if k == j else Fraction(0))
+                + lvl.get(k, Fraction(0))
+                + trd.get(k, Fraction(0)),
+                2,
+            )
+            for k in keys
+        }
+        nt = {
+            k: (nl.get(k, Fraction(0)) - lvl.get(k, Fraction(0))) / 2
+            + trd.get(k, Fraction(0)) / 2
+            for k in keys
+        }
+        lvl, trd = nl, nt
+    f = {k: lvl.get(k, Fraction(0)) + trd.get(k, Fraction(0)) for k in set(lvl) | set(trd)}
+    out = [f.get(j, Fraction(0)) * 2**14 for j in range(n)]
+    assert all(c.denominator == 1 for c in out)
+    return [int(c) for c in out]
+
+
+def _holt_case_sql() -> str:
+    """One CASE expression over the lag columns c, c1..c7 computing the
+    scaled Holt forecast numerator — textually identical SQL for Spark
+    and DuckDB, generated from the same coefficient table so the two
+    engines cannot drift."""
+
+    def branch(n: int) -> str:
+        cs = _holt_coeffs(n)
+        # y_0 (oldest) = lag n-1, ..., y_{n-1} (newest) = lag 0 = c
+        terms = []
+        for j, coef in enumerate(cs):
+            lag = n - 1 - j
+            col = "c" if lag == 0 else f"c{lag}"
+            terms.append(f"({coef}) * {col}")
+        return " + ".join(terms)
+
+    whens = "\n           ".join(
+        f"WHEN c{n - 1} IS NOT NULL THEN {branch(n)}" for n in range(EWMA_K, 1, -1)
+    )
+    return f"CASE {whens}\n           ELSE 16384 * c END"
+
+
+@query(
+    "window_holt_linear_truncated",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, event_id, c,
+             lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+             lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+             lag(c, 5) OVER w AS c5, lag(c, 6) OVER w AS c6,
+             lag(c, 7) OVER w AS c7
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST({_holt_case_sql()} AS DOUBLE) / 16384 AS holt_forecast_cents
+    FROM l
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def window_holt_linear_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) one-step forecast, alpha =
+    beta = 1/2, truncated to the trailing {EWMA_K} events per user —
+    the trend-aware upgrade of ``window_ewma_truncated``: a steadily
+    rising series is forecast ABOVE its last value (the trend state
+    extrapolates) where any EWMA lags below it.
+
+    Exactness: the two-state recurrence (l_t = (y_t + l_{{t-1}} +
+    b_{{t-1}})/2; b_t = (l_t - l_{{t-1}})/2 + b_{{t-1}}/2, seeded l = y,
+    b = 0 at the window edge) unrolls to fixed per-window-length weight
+    vectors that are exact multiples of 2^-14 (``_holt_coeffs``), so
+    the numerator is pure BIGINT (|num| <= 2^14 * max_cents ~ 9e10) and
+    the forecast is ONE IEEE divide by 2^14 — bit-identical across
+    engines.  Both the Spark expression and the DuckDB oracle embed the
+    SAME generated CASE text (``_holt_case_sql``), eliminating
+    transcription drift.
+
+    Scale shape: identical to the EWMA — ONE (user_id) exchange, one
+    WindowExec batching all 7 lag()s, O(1) per-row state; the
+    streaming ring-buffer kernel (streaming/stateful.py) carries the
+    same trailing window across micro-batches."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    lags = [F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, EWMA_K)]
+    l = x.select("user_id", "event_id", "c", *lags)
+    return l.select(
+        "user_id",
+        "event_id",
+        (F.expr(_holt_case_sql()).cast("double") / 16384).alias(
+            "holt_forecast_cents"
+        ),
+    )

@@ -150,6 +150,23 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # neighbor self-join (the shuffle under it is reused, the 64-row
     # window recomputes per consumer — free)
     "dedup_sorted_neighborhood": (2, "bucket offsets, <= 64 rows x 2 join sides"),
+    # two passes (forward + reversed key) x two join sides of each
+    # banded self-join — four references to <= 64-row offsets windows
+    "dedup_sorted_neighborhood_multipass": (
+        4,
+        "bucket offsets, <= 64 rows x 2 passes x 2 join sides",
+    ),
+}
+
+# The >10-exchange heuristic flags accidental subtree re-derivation.
+# A query listed here runs a DELIBERATE multi-sweep algorithm whose
+# exchange count is the algorithm, not an accident — the budget pins
+# the expected count so growth still fails the lint.
+EXCHANGE_BUDGET: dict[str, tuple[int, str]] = {
+    # 2 independent sort passes x the single-pass shape (6 exchanges
+    # each: quantile boundaries, bucket counts, within-bucket ranks /
+    # band join sides) + the cross-pass distinct
+    "dedup_sorted_neighborhood_multipass": (14, "2 SNM passes + union distinct"),
 }
 
 
@@ -252,7 +269,8 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
     # else above the threshold has historically been accidental subtree
     # re-derivation (graph_triangle_count hit 109 before materializing
     # its oriented-edge relation once).
-    if a.exchanges > 10 and not (t & {"iterative", "graph", "pipeline"}):
+    budget = EXCHANGE_BUDGET.get(a.name, (10, ""))[0]
+    if a.exchanges > budget and not (t & {"iterative", "graph", "pipeline"}):
         w.append(f"{a.exchanges} exchanges — audit for a reusable partitioning")
     a.warnings = w
     return w

@@ -409,3 +409,113 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
         .collect()
     }
     assert len(approx & exact) >= 2
+
+
+def test_snm_multipass_superset_and_suffix_recall(spark, tmp_path):
+    """The reversed-key pass must FIND a pair the prefix pass cannot:
+    two docs identical except for their FIRST word sort far apart
+    forward but adjacent reversed.  Multipass output must contain
+    every single-pass pair (as a normalized pair set) plus the planted
+    suffix pair."""
+    filler = [
+        (i, f"filler document number {i:03d} with common words inside")
+        for i in range(10, 40)
+    ]
+    texts = [
+        (1, "alpha shared tail of considerable length here ending zz"),
+        (2, "omega shared tail of considerable length here ending zz"),
+    ] + filler
+    d = tmp_path / "sf"
+    spark.createDataFrame(texts, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars"
+    ).write.parquet(str(d / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    single = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in REGISTRY["dedup_sorted_neighborhood"].fn(spark, str(d)).collect()
+    }
+    multi = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_sorted_neighborhood_multipass"].fn(
+            spark, str(d)
+        ).collect()
+    }
+    assert single <= multi
+    assert (1, 2) in multi       # suffix twins: reversed pass finds them
+    assert (1, 2) not in single  # prefix pass cannot (alpha.. vs omega..)
+
+
+def test_rake_ranks_long_phrases_and_drops_singletons(spark, tmp_path):
+    """RAKE's degree scoring must rank words that travel in long
+    phrases above frequent-but-isolated words, and the report keeps
+    only multi-word phrases."""
+    texts = [
+        (
+            1,
+            "deep neural network training. the deep neural network "
+            "converges. loss is small. loss is down. loss is flat.",
+        ),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(texts, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars"
+    ).write.parquet(str(d / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["text_rake_keywords"].fn(spark, str(d)).collect()
+    assert rows, "expected keyword rows"
+    by_rank = {r.rank: r for r in rows if r.doc_id == 1}
+    assert by_rank[1].phrase.startswith("deep neural network")
+    # 'loss' appears 4x but never in a multi-word phrase: excluded.
+    assert all("loss" not in r.phrase for r in rows)
+    # degree/freq in ppm: each of deep/neural/network has freq 2 and
+    # degree 8 (two 4-word phrases) -> 4e6 each; phrase sums 4 words.
+    assert by_rank[1].score_ppm == 16_000_000
+
+
+def test_holt_forecast_matches_recurrence_and_extrapolates(spark, tmp_path):
+    """The unrolled Holt CASE must equal the direct two-state
+    recurrence (simulated here with exact Fractions, independent of
+    _holt_coeffs), and on a rising series must forecast ABOVE both the
+    last value and the EWMA — the trend-awareness that justifies the
+    second state."""
+    from datetime import datetime
+    from fractions import Fraction
+
+    rows = [
+        (1, i, datetime(2024, 1, 1, 0, i), float(i))  # cents = 100*i
+        for i in range(1, 13)
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, value double"
+    ).selectExpr(
+        "user_id", "event_id", "ts", "'view' AS event_type", "value"
+    ).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {
+        r.event_id: r.holt_forecast_cents
+        for r in REGISTRY["window_holt_linear_truncated"].fn(spark, str(d)).collect()
+    }
+    ewma = {
+        r.event_id: r.ewma_cents
+        for r in REGISTRY["window_ewma_truncated"].fn(spark, str(d)).collect()
+    }
+
+    def holt_sim(cents):
+        lvl, trd = Fraction(cents[0]), Fraction(0)
+        for y in cents[1:]:
+            nl = Fraction(y + lvl + trd, 2)
+            trd = (nl - lvl) / 2 + trd / 2
+            lvl = nl
+        return float(lvl + trd)
+
+    for eid in (8, 12):  # full 8-term window rows
+        window = [100 * i for i in range(eid - 7, eid + 1)]
+        assert got[eid] == holt_sim(window)
+        assert got[eid] > 100 * eid  # extrapolates above last value
+        assert got[eid] > ewma[eid]  # and above the trend-blind EWMA
