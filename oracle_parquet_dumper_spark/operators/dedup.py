@@ -2131,3 +2131,88 @@ def dedup_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> Dat
         "doc_b",
         F.levenshtein("pa", "pb").cast("long").alias("lev"),
     ).where(F.col("lev") <= SNM_LEV_MAX)
+
+
+SUBSTR_GRAM = 50  # chars; the Lee et al. (2022) ExactSubstr threshold
+
+
+@query(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, i AS pos, md5(substring(text, i, {SUBSTR_GRAM})) AS h
+      FROM documents,
+           LATERAL unnest(range(1, length(text) - {SUBSTR_GRAM - 2})) AS t(i)
+      WHERE length(text) >= {SUBSTR_GRAM}
+    ),
+    dh AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h
+      ) WHERE nd >= 2
+    ),
+    dp AS (SELECT g.doc_id, g.pos FROM g JOIN dh USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dp
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {SUBSTR_GRAM} - MIN(pos) AS BIGINT) AS span_len,
+           COUNT(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("dedup", "substring", "scale"),
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (the ExactSubstr recipe of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): every {SUBSTR_GRAM}-char gram
+    is digested at every position; grams appearing in >= 2 DISTINCT
+    documents mark their positions; per document, runs of consecutive
+    marked positions merge into MAXIMAL spans — exactly the cut-list a
+    training-data pipeline removes.  (Lee et al. build a suffix array;
+    the gram-digest formulation finds the same >= {SUBSTR_GRAM}-char
+    cross-document repeats because any such repeat contains a shared
+    gram at every offset, and trades the suffix array's global order
+    for embarrassing parallelism.)
+
+    Scale shape: the gram relation is |corpus chars| rows of 16-byte
+    digests — only digests + (doc_id, pos) ever shuffle, never text.
+    Two digest-keyed exchanges (frequency count, duplicate-mark
+    semi-join) + one (doc_id)-keyed islands window; all partitioned by
+    high-cardinality keys, no hot spots.  Within-doc-only repeats are
+    deliberately NOT marked (nd counts distinct docs) — the within-doc
+    screen is ``text_repetition_ratio``'s job."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= SUBSTR_GRAM
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SUBSTR_GRAM - 1))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"md5(substring(text, pos, {SUBSTR_GRAM}))").alias("h"),
+    )
+    dh = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dp = grams.join(dh, "h").select("doc_id", "pos")
+    isl = dp.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + SUBSTR_GRAM - F.min("pos")).cast("long").alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("grp")

@@ -592,3 +592,98 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(audio_frame_features, AUDIO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME = 64  # chars per fake frame (stub decode, see module doc)
+VIDEO_CUT_MILLI = 3000  # scene-cut threshold on |delta mean luma|, milli-units
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ml_prev", T.LongType()),
+        T.StructField("ml_cur", T.LongType()),
+        T.StructField("delta_milli", T.LongType()),
+    ]
+)
+
+
+def scene_cut_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: STUB video decode (payload bytes = the frame
+    stream; a real build swaps in ffmpeg keyframe extraction here),
+    frames of {VIDEO_FRAME} bytes, per-frame mean luma in exact
+    milli-units ((1000*sum) // n), and a scene cut wherever consecutive
+    frame means jump by more than {VIDEO_CUT_MILLI}.  The per-payload
+    sequential diff lives INSIDE the kernel (frames of one video never
+    span batches because the fan-out happens here), so no window/state
+    is needed Spark-side — the shape real shot-detection uses."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_idx", "ml_prev", "ml_cur", "delta_milli")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            prev = None
+            for i in range(0, len(b), VIDEO_FRAME):
+                fr = b[i : i + VIDEO_FRAME]
+                ml = int(1000 * int(fr.sum()) // len(fr))
+                if prev is not None and abs(ml - prev) > VIDEO_CUT_MILLI:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // VIDEO_FRAME)
+                    out["ml_prev"].append(prev)
+                    out["ml_cur"].append(ml)
+                    out["delta_milli"].append(abs(ml - prev))
+                prev = ml
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_video_scene_cut",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS v
+      FROM (SELECT doc_id, list_transform(split(text, ''), c -> ascii(c)) AS s
+            FROM documents
+            -- same ASCII-only, non-empty restriction as
+            -- mm_audio_frame_energy: 1 char == 1 byte == its code
+            WHERE length(text) > 0 AND length(text) = strlen(text))
+    ),
+    fr AS (
+      SELECT doc_id, pos // {VIDEO_FRAME} AS frame_idx,
+             CAST((1000 * SUM(v)) // COUNT(*) AS BIGINT) AS ml
+      FROM samples GROUP BY doc_id, pos // {VIDEO_FRAME}
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, ml,
+             lag(ml) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS mp
+      FROM fr
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           mp AS ml_prev, ml AS ml_cur,
+           abs(ml - mp) AS delta_milli
+    FROM d
+    WHERE mp IS NOT NULL AND abs(ml - mp) > {VIDEO_CUT_MILLI}
+    """,
+    tags=("multimodal", "pandas_udf", "video"),
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut (shot boundary) detection over opaque binary
+    payloads: frame the stream into {VIDEO_FRAME}-byte fake frames,
+    compute per-frame mean luma exactly in milli-units, and report
+    every transition whose mean jumps by more than {VIDEO_CUT_MILLI} —
+    the eighth mm_* operator, the temporal-DIFF complement of
+    mm_frame_sample's stateless chunking.  Decode is the documented
+    deterministic stub (no codecs in the container; the reference
+    excludes binary columns outright, main.py:96-97) but the
+    frame-to-frame sequential comparison inside an Arrow-batched
+    kernel is exactly how a real shot detector runs at scale: one
+    payload's frames never cross batches, so the diff needs no
+    Spark-side window or shuffle — the ONLY exchange in the plan is
+    the parquet scan's.  Same ASCII/non-empty input restriction as
+    mm_audio_frame_energy (octets == codepoints on that domain), so
+    the oracle replays the kernel bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
+    )
+    p = with_payload(d).select("doc_id", "payload")
+    return p.mapInPandas(scene_cut_kernel, SCENE_CUT_SCHEMA)

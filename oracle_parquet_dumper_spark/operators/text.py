@@ -925,3 +925,151 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_words").cast("long").alias("n_words"),
         )
     )
+
+
+# Fixed search query for the BM25 ranker: one genuinely rare term
+# (df ~5% of docs in the fixture corpus) plus two common ones, so the
+# idf machinery visibly dominates the ranking.
+BM25_TERMS = ("dup", "vector", "spark")
+
+
+def _bm25_step_exprs(h128: str, idiv: str) -> list[tuple[str, str]]:
+    """Ordered (column, SQL) steps computing the BM25 per-(doc,term)
+    score from columns tf, dl, df, n_docs, corpus_len — ONE generator
+    emits both engines' SQL (``h128`` is the 128-bit cast template,
+    ``idiv`` the integer-division operator), so the arithmetic cannot
+    drift between Spark and DuckDB.
+
+    idf: quarter-bit fixed-point floor(4*log2(1 + (N-df+0.5)/(df+0.5)))
+    = floor(4*log2(u/v)) with u = 2N+2, v = 2df+1 — computed EXACTLY in
+    integers: e = floor(log2(u/v)) via bit lengths (bin()), then two
+    more bits by repeated squaring of the residual ratio, every
+    comparison exact in 128-bit (u^4 <= 1e20 for corpora up to ~2.4e9
+    docs).  No libm log anywhere — the repo's float-portability rule.
+
+    tf saturation: k1 = 6/5, b = 3/4 multiplied through, so
+    tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)) with avgdl = L/N becomes
+    the single integer fraction 44*tf*L / (20*tf*L + 6*L + 18*dl*N),
+    emitted in ppm."""
+
+    def H(x: str) -> str:
+        return h128.format(x)
+
+    return [
+        ("u", "2 * n_docs + 2"),
+        ("v", "2 * df + 1"),
+        ("e0", "length(bin(u)) - length(bin(v))"),
+        ("e", "e0 - (CASE WHEN u < (v << e0) THEN 1 ELSE 0 END)"),
+        ("s", "v << e"),
+        ("b1", f"CASE WHEN {H('u')} * u >= 2 * {H('s')} * s THEN 1 ELSE 0 END"),
+        (
+            "b2",
+            f"CASE WHEN {H('u')} * u * u * u >= "
+            f"{H('s')} * s * s * s * (2 << (2 * b1)) THEN 1 ELSE 0 END",
+        ),
+        ("idf_q2", "4 * e + 2 * b1 + b2"),
+        (
+            "tfsat_ppm",
+            f"CAST((1000000 * 44 * {H('tf')} * corpus_len) {idiv} "
+            f"(20 * tf * {H('corpus_len')} + 6 * corpus_len + 18 * dl * n_docs) "
+            "AS BIGINT)",
+        ),
+    ]
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    steps = _bm25_step_exprs("CAST({} AS HUGEINT)", "//")
+    chain, prev = [], "j"
+    for i, (col, sql) in enumerate(steps):
+        name = f"x{i}"
+        chain.append(f"{name} AS (SELECT *, {sql} AS {col} FROM {prev})")
+        prev = name
+    chained = ",\n    ".join(chain)
+    return f"""
+    WITH dls AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> length(x) > 0)) AS dl
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> length(x) > 0)) AS dl,
+             unnest(list_filter(string_split(lower(text), ' '),
+                 x -> length(x) > 0)) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, MAX(dl) AS dl, COUNT(*) AS tf
+      FROM toks WHERE w IN ({terms}) GROUP BY doc_id, w
+    ),
+    dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    corp AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS corpus_len FROM dls),
+    j AS (
+      SELECT t.doc_id, t.tf, t.dl, d.df, c.n_docs, c.corpus_len
+      FROM tf t JOIN dfr d USING (w) CROSS JOIN corp c
+    ),
+    {chained},
+    per AS (
+      SELECT doc_id, MAX(dl) AS n_tokens,
+             SUM(idf_q2 * tfsat_ppm) AS score_ppm
+      FROM {prev} GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM per ORDER BY score_ppm DESC, doc_id LIMIT 20
+    """
+
+
+@query(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "scale"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document search for a fixed query ({BM25_TERMS}) — top 20
+    documents by Okapi BM25 with k1 = 6/5 and b = 3/4, ALL-INTEGER:
+    the tf-saturation fraction is multiplied through to one integer
+    division and the idf is an exact quarter-bit fixed-point log2
+    (``_bm25_step_exprs`` — the SAME generated arithmetic runs on both
+    engines, 128-bit where squares demand it).  The rare query term
+    ('dup', df ~5%) earns idf_q2 ~17 while the common terms earn ~1,
+    so ranking is idf-dominated exactly as BM25 intends.
+
+    Scale shape: term filter happens BEFORE any aggregation (the
+    exploded relation is |terms-hit| rows, not |tokens|); df (|terms|
+    rows) and the corpus stats (1 row) are broadcast; per-doc scoring
+    shuffles only docs containing query terms, keyed by doc_id; the
+    final top-20 is a TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = words_col_lower()
+    dls = d.select("doc_id", F.size(toks).alias("dl"))
+    base = d.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("w")
+    ).where(F.col("w").isin(*BM25_TERMS))
+    tf = base.groupBy("doc_id", "w").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dfr = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    corp = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("corpus_len"),
+    )
+    j = tf.join(F.broadcast(dfr), "w").crossJoin(F.broadcast(corp))
+    for col, sql in _bm25_step_exprs("CAST({} AS DECIMAL(38,0))", "div"):
+        j = j.withColumn(col, F.expr(sql))
+    per = j.groupBy("doc_id").agg(
+        F.max("dl").alias("n_tokens"),
+        F.sum(F.col("idf_q2") * F.col("tfsat_ppm")).alias("score_ppm"),
+    )
+    return (
+        per.orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -199,3 +199,65 @@ def ewma_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --- streaming truncated Holt linear forecast ------------------------------
+# Streaming twin of operators/windows.window_holt_linear_truncated: the
+# level+trend recurrence with dyadic alpha=beta=1/2 over the trailing
+# EWMA_K values.  The kernel runs the recurrence DIRECTLY in exact
+# Fractions (the batch side runs the unrolled 2^-14 coefficient form;
+# tests assert both agree bit-for-bit — a genuine two-implementation
+# cross-check of the same math).  State: per-user ring of the last
+# EWMA_K-1 cent values, O(1) per key.
+
+HOLT_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("holt_forecast_cents", T.DoubleType()),
+    ]
+)
+
+
+def holt_kernel(key, pdfs, state):
+    """Per-user trailing-{EWMA_K} Holt one-step forecast across
+    micro-batches; rows within a batch process in (ts, event_id) order,
+    matching the batch window's ordering.  The emitted double is exact:
+    the forecast is a dyadic rational with denominator <= 2^14, and
+    float(Fraction) rounds correctly (here: exactly)."""
+    from fractions import Fraction
+
+    ring = list(state.get[0]) if state.exists else []  # oldest .. newest
+    out = {k: [] for k in ("user_id", "event_id", "holt_forecast_cents")}
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    for row in pdf.itertuples():
+        c = math_floor_cents(row.value)
+        window = (ring + [c])[-EWMA_K:]
+        lvl, trd = Fraction(window[0]), Fraction(0)
+        for y in window[1:]:
+            nl = Fraction(y + lvl + trd, 2)
+            trd = (nl - lvl) / 2 + trd / 2
+            lvl = nl
+        out["user_id"].append(key[0])
+        out["event_id"].append(row.event_id)
+        out["holt_forecast_cents"].append(float(lvl + trd))
+        ring.append(c)
+        ring = ring[-(EWMA_K - 1) :]
+    state.update((ring,))
+    yield pd.DataFrame(out)
+
+
+def holt_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming per-user truncated Holt forecast via
+    applyInPandasWithState (ring-buffer state, update mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            holt_kernel,
+            outputStructType=HOLT_OUT,
+            stateStructType=EWMA_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

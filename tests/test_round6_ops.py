@@ -519,3 +519,103 @@ def test_holt_forecast_matches_recurrence_and_extrapolates(spark, tmp_path):
         assert got[eid] == holt_sim(window)
         assert got[eid] > 100 * eid  # extrapolates above last value
         assert got[eid] > ewma[eid]  # and above the trend-blind EWMA
+
+
+def test_bm25_idf_dominates_and_log2_is_exact(spark, tmp_path):
+    """A single occurrence of the rare term must outrank a document
+    stuffed with the common term, and the quarter-bit idf must equal
+    floor(4*log2(1 + (N-df+0.5)/(df+0.5))) computed in Python."""
+    import math
+
+    filler = [(i, "spark " + "noise word text here") for i in range(10, 28)]
+    texts = [
+        (1, "dup appears once among plain words"),
+        (2, "spark spark spark spark spark spark spark spark"),
+    ] + filler
+    d = tmp_path / "sf"
+    spark.createDataFrame(texts, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars"
+    ).write.parquet(str(d / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["text_bm25_search"].fn(spark, str(d)).collect()
+    ranked = [r.doc_id for r in rows]
+    assert ranked[0] == 1, ranked  # rare 'dup' beats stuffed 'spark'
+
+    # independent check of the fixed-point idf: recompute both docs'
+    # scores from first principles and compare exactly
+    n_docs, corpus_len = 20, sum(
+        len([w for w in t.split() if w]) for _, t in texts
+    )
+
+    def idf_q2(df):
+        return math.floor(
+            4 * math.log2(1 + (n_docs - df + 0.5) / (df + 0.5))
+        )
+
+    def tfsat_ppm(tf, dl):
+        return (1000000 * 44 * tf * corpus_len) // (
+            20 * tf * corpus_len + 6 * corpus_len + 18 * dl * n_docs
+        )
+
+    score1 = idf_q2(1) * tfsat_ppm(1, 6)  # doc 1: dup tf=1, dl=6
+    score2 = idf_q2(20) * tfsat_ppm(8, 8)  # doc 2: spark tf=8, dl=8
+    got = {r.doc_id: r.score_ppm for r in rows}
+    assert got[1] == score1
+    assert got[2] == score2
+
+
+def test_scene_cut_fires_exactly_at_planted_boundary(spark, tmp_path):
+    """Two flat 'scenes' (128 x 'a', then 128 x 'z') must yield exactly
+    ONE cut, at the first frame of the second scene, with the exact
+    integer luma means."""
+    texts = [(1, "a" * 128 + "z" * 128), (2, "m" * 256)]  # doc 2: no cuts
+    d = tmp_path / "sf"
+    spark.createDataFrame(texts, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars"
+    ).write.parquet(str(d / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["mm_video_scene_cut"].fn(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.frame_idx) == (1, 2)
+    assert (r.ml_prev, r.ml_cur) == (97000, 122000)  # ord('a'), ord('z')
+    assert r.delta_milli == 25000
+
+
+def test_exact_substring_spans_planted(spark, tmp_path):
+    """Two docs sharing one exact 60-char region (embedded at
+    different offsets, surrounded by unique text) must each report
+    exactly ONE maximal span covering the region; a third doc with no
+    50-char overlap reports nothing."""
+    shared = "x" * 60  # 60 shared chars -> 11 overlapping 50-grams
+    texts = [
+        (1, "unique-prefix-one " + shared + " unique-tail-111"),
+        (2, "a-very-different-and-longer-prefix-two " + shared + " tail2"),
+        (3, "no overlap here at all " + "y" * 60),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(texts, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars"
+    ).write.parquet(str(d / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["dedup_exact_substring_spans"].fn(spark, str(d)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    for doc_id, (prefix_len) in ((1, len("unique-prefix-one ")),
+                                 (2, len("a-very-different-and-longer-prefix-two "))):
+        spans = by_doc[doc_id]
+        assert len(spans) == 1, spans
+        s = spans[0]
+        # the maximal span is exactly the shared ' '+60x+' ' region the
+        # grams can certify: first/last gram positions bound it
+        assert s.span_start <= prefix_len + 1
+        assert s.span_start + s.span_len - 1 >= prefix_len + 60
+        assert s.n_grams >= 11

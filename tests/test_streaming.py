@@ -310,3 +310,25 @@ def test_stream_ewma_equals_batch(spark, smoke_sf_dir):
         for r in REGISTRY["window_ewma_truncated"].fn(spark, smoke_sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_holt_equals_batch(spark, smoke_sf_dir):
+    """The applyInPandasWithState Holt twin runs the level/trend
+    recurrence directly in Fractions; the batch query evaluates the
+    unrolled 2^-14 coefficient CASE.  Bit-identical doubles from the
+    two INDEPENDENT formulations cross-check the algebra end to end."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.streaming.stateful import holt_stream
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = holt_stream(events.drop("props"))
+    ops.run_to_memory(stream, "t_holt", output_mode="update")
+    got = {
+        (r.user_id, r.event_id, r.holt_forecast_cents)
+        for r in spark.table("t_holt").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.holt_forecast_cents)
+        for r in REGISTRY["window_holt_linear_truncated"].fn(spark, smoke_sf_dir).collect()
+    }
+    assert got == want
