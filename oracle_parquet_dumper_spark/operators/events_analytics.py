@@ -1155,3 +1155,327 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.alias("theta"),
         (mean_post - theta * (xbar_v - xbar)).alias("mean_post_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample inference over the event stream: Welch's t-test, CUSUM
+# changepoint, Kolmogorov-Smirnov.  No reference counterpart (the
+# reference exports tables verbatim, main.py:144-146); Part B
+# experimentation/monitoring extensions next to events_cuped_adjusted.
+# ---------------------------------------------------------------------------
+
+TT_TREAT = "purchase"
+TT_CONTROL = "view"
+
+
+@query(
+    "events_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(FLOOR(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS q
+      FROM events WHERE event_type IN ('{TT_TREAT}', '{TT_CONTROL}')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT MAX(CASE WHEN event_type = '{TT_TREAT}' THEN n END) AS n1,
+             MAX(CASE WHEN event_type = '{TT_TREAT}' THEN s END) AS s1,
+             MAX(CASE WHEN event_type = '{TT_TREAT}' THEN q END) AS q1,
+             MAX(CASE WHEN event_type = '{TT_CONTROL}' THEN n END) AS n2,
+             MAX(CASE WHEN event_type = '{TT_CONTROL}' THEN s END) AS s2,
+             MAX(CASE WHEN event_type = '{TT_CONTROL}' THEN q END) AS q2
+      FROM g
+    ),
+    v AS (
+      SELECT n1, n2,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n1 AS m1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n2 AS m2,
+             CAST(CAST(n1 * q1 - s1 * s1 AS VARCHAR) AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1) * n1) AS v1n,
+             CAST(CAST(n2 * q2 - s2 * s2 AS VARCHAR) AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * (n2 - 1) * n2) AS v2n
+      FROM m
+    )
+    SELECT n1 AS n_treat, n2 AS n_control,
+           m1 AS mean_treat_cents, m2 AS mean_control_cents,
+           (m1 - m2) / sqrt(v1n + v2n) AS t_stat,
+           (v1n + v2n) * (v1n + v2n)
+             / (v1n * v1n / (n1 - 1) + v2n * v2n / (n2 - 1)) AS df_welch
+    FROM v
+    """,
+    tags=("agg", "events", "stats", "experiment"),
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the '{TT_TREAT}' and
+    '{TT_CONTROL}' event-value distributions (Welch 1947): t statistic
+    plus the Welch-Satterthwaite degrees of freedom.
+
+    Float portability (the events_cuped_adjusted recipe): the only
+    inputs are EXACT integer moments per group — n, sum of cents,
+    sum of squared cents — carried as DECIMAL(38,0) (sum-of-squares
+    reaches ~2.4e15 at sf1 and the n*q variance numerator ~2.4e21,
+    past BIGINT; the decimal form stays exact to ~1e12 rows).  Doubles
+    appear only in the final scalar expression, each decimal entering
+    through ONE correctly-rounded cast (VARCHAR hop on the DuckDB
+    side, the registry convention), combined in an identical op tree —
+    division, subtraction, sqrt are all IEEE-correctly-rounded, so the
+    t statistic is bit-identical across engines.
+
+    Scale shape: one scan with the two-type filter pushed to parquet;
+    ONE map-side-partial aggregate keyed by event_type (2 groups);
+    everything after runs on a 2-row relation folded to 1 row.  No
+    window, no join, no Python."""
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(TT_TREAT, TT_CONTROL)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast(d38).alias("s"),
+        F.sum(cents.cast(d38) * cents).cast(d38).alias("q"),
+    )
+
+    def pick(t: str, c: str):
+        return F.max(F.when(F.col("event_type") == t, F.col(c)))
+
+    m = g.agg(
+        pick(TT_TREAT, "n").alias("n1"),
+        pick(TT_TREAT, "s").alias("s1"),
+        pick(TT_TREAT, "q").alias("q1"),
+        pick(TT_CONTROL, "n").alias("n2"),
+        pick(TT_CONTROL, "s").alias("s2"),
+        pick(TT_CONTROL, "q").alias("q2"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    v = m.select(
+        "n1",
+        "n2",
+        (dbl(F.col("s1")) / F.col("n1")).alias("m1"),
+        (dbl(F.col("s2")) / F.col("n2")).alias("m2"),
+        (
+            dbl(F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+            / (F.col("n1").cast("double") * (F.col("n1") - 1) * F.col("n1"))
+        ).alias("v1n"),
+        (
+            dbl(F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2"))
+            / (F.col("n2").cast("double") * (F.col("n2") - 1) * F.col("n2"))
+        ).alias("v2n"),
+    )
+    vn = F.col("v1n") + F.col("v2n")
+    return v.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n2").alias("n_control"),
+        F.col("m1").alias("mean_treat_cents"),
+        F.col("m2").alias("mean_control_cents"),
+        ((F.col("m1") - F.col("m2")) / F.sqrt(vn)).alias("t_stat"),
+        (
+            vn * vn
+            / (
+                F.col("v1n") * F.col("v1n") / (F.col("n1") - 1)
+                + F.col("v2n") * F.col("v2n") / (F.col("n2") - 1)
+            )
+        ).alias("df_welch"),
+    )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS t
+      FROM base GROUP BY event_type
+    ),
+    cum AS (
+      SELECT b.event_type, b.event_id, t.n,
+             SUM(CAST(t.n AS DECIMAL(38,0)) * b.c - t.t)
+               OVER (PARTITION BY b.event_type ORDER BY b.ts_us, b.event_id) AS s
+      FROM base b JOIN tot t USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, event_id, n, abs(s) AS d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, event_id) AS rk
+      FROM cum
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(event_id AS BIGINT) AS cp_event_id,
+           CAST(CAST(d AS VARCHAR) AS DOUBLE) / n AS cusum_abs_per_n
+    FROM r WHERE rk = 1
+    """,
+    tags=("window", "events", "timeseries", "stats"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type (Page 1954): the
+    event (in time order) where the cumulative sum of mean-centered
+    values attains its maximum absolute deviation — the classic
+    single-changepoint location estimator for a level shift.
+
+    All-integer formulation: centering by the mean would leave integer
+    arithmetic, so every value is scaled by n first — S_k =
+    sum_{{i<=k}} (n*c_i - T) = n*(C_k - k*T/n) with c in exact cents,
+    T the per-type total.  Per-row terms fit BIGINT to ~1e12 rows
+    (n*c <= 1e12 * 5e4 cents) but the RUNNING SUM reaches ~n*max|term|,
+    so it accumulates in DECIMAL(38,0) — exact at any realistic scale.
+    The one double (|S|/n, the mean-shift magnitude in cents) enters
+    through a single correctly-rounded cast on both engines.
+
+    Scale shape: the oracle states the running sum as a window
+    PARTITION BY event_type — but a low-cardinality partition key IS an
+    unpartitioned window in disguise (5 types = 5 tasks however big the
+    data).  The Spark plan instead computes the identical prefix sum on
+    the distributed global-index primitive (two-pass bucket offsets,
+    operators/global_index.py, group_cols=[event_type]): within-type
+    order is (epoch-microseconds, event_id) — exact integers, identical
+    on both engines — and the argmax is a map-side-partial struct-max
+    aggregate, never a second window."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is
+        # the identity instant and unix_micros is well-defined
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum("c").cast("long").alias("t"),
+    )
+    j = base.join(F.broadcast(tot), "event_type").withColumn(
+        "w", (F.col("n_ev").cast(d38) * F.col("c") - F.col("t")).cast(d38)
+    )
+    idx = with_global_index(
+        j, "ts_us", ["event_id"], group_cols=["event_type"], weight_col="w"
+    )
+    best = idx.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("_gcum")).alias("d"),
+                (-F.col("_gidx")).alias("neg_idx"),
+                F.col("event_id").alias("cp_event_id"),
+                F.col("n_ev").alias("n"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").alias("n"),
+        F.col("b.cp_event_id").alias("cp_event_id"),
+        (F.col("b.d").cast("string").cast("double") / F.col("b.n")).alias(
+            "cusum_abs_per_n"
+        ),
+    )
+
+
+KS_A = "purchase"
+KS_B = "view"
+
+
+@query(
+    "agg_ks_two_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c, event_type
+      FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+    ),
+    v AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM f GROUP BY c
+    ),
+    t AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2 FROM v
+    ),
+    cum AS (
+      SELECT v.c, t.n1, t.n2,
+             SUM(CAST(t.n2 AS DECIMAL(38,0)) * v.d1
+                 - CAST(t.n1 AS DECIMAL(38,0)) * v.d2) OVER (ORDER BY v.c) AS s
+      FROM v CROSS JOIN t
+    )
+    SELECT n1 AS n_a, n2 AS n_b, CAST(c AS BIGINT) AS at_value_cents,
+           CAST(CAST(abs(s) AS VARCHAR) AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+             AS ks_stat
+    FROM cum ORDER BY abs(s) DESC, c LIMIT 1
+    """,
+    tags=("agg", "events", "stats", "window"),
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the '{KS_A}' and
+    '{KS_B}' event-value distributions: D = max_x |F1(x) - F2(x)|, plus
+    the value where the ECDFs diverge most.
+
+    All-integer formulation: the ECDF difference at x is
+    |c1(x)/n1 - c2(x)/n2| = |n2*c1(x) - n1*c2(x)| / (n1*n2), so the
+    maximized quantity is the running sum of per-value weights
+    w = n2*d1 - n1*d2 over the VALUE-AGGREGATED distribution (one row
+    per distinct cents value — ties between the samples are handled
+    exactly, because the ECDF step at a tied value completes before the
+    difference is evaluated).  Weights are DECIMAL(38,0) (n2*d1 can
+    pass BIGINT at ~1e10 rows); the single double is the final
+    D / (n1*n2) division, identical op tree both engines.
+
+    Scale shape: the oracle's ``SUM(...) OVER (ORDER BY c)`` is THE
+    canonical single-partition window; the Spark plan computes the
+    identical prefix sum with the distributed global-index primitive
+    (operators/global_index.py) over the aggregated value distribution
+    — whose size is bounded by the value domain, not the row count —
+    after one map-side-partial groupBy(cents) and a broadcast 1-row
+    total.  The argmax is a struct-max aggregate, not a second sort.
+    The aggregated distribution is lazily localCheckpointed: the plan
+    references it four times (total, weights, bucket counts, bucket
+    join) and the checkpoint makes that ONE events scan + one shuffle
+    instead of four re-derivations (the lsh.py band convention)."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_A, KS_B)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    v = ev.select(cents.alias("c"), "event_type").groupBy("c").agg(
+        F.count(F.when(F.col("event_type") == KS_A, 1)).cast("long").alias("d1"),
+        F.count(F.when(F.col("event_type") == KS_B, 1)).cast("long").alias("d2"),
+    ).localCheckpoint(eager=False)
+    t = v.agg(
+        F.sum("d1").cast("long").alias("n1"), F.sum("d2").cast("long").alias("n2")
+    )
+    j = v.crossJoin(F.broadcast(t)).withColumn(
+        "w",
+        (F.col("n2").cast(d38) * F.col("d1") - F.col("n1").cast(d38) * F.col("d2"))
+        .cast(d38),
+    )
+    idx = with_global_index(j, "c", ["c"], weight_col="w")
+    best = idx.agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("_gcum")).alias("d"),
+                (-F.col("c")).alias("neg_c"),
+                F.col("c").alias("at_value_cents"),
+                F.col("n1").alias("n_a"),
+                F.col("n2").alias("n_b"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.n_a").alias("n_a"),
+        F.col("b.n_b").alias("n_b"),
+        F.col("b.at_value_cents").alias("at_value_cents"),
+        (
+            F.col("b.d").cast("string").cast("double")
+            / (F.col("b.n_a").cast("double") * F.col("b.n_b"))
+        ).alias("ks_stat"),
+    )

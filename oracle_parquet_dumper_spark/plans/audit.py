@@ -145,6 +145,10 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # reverse cumsum + total over the per-lifetime-day distribution —
     # rows = observation-window days (29 at the fixture), not users
     "events_survival_hazard": (1, "per-lifetime-day counts"),
+    # KS runs the global-index primitive UNGROUPED (the ECDF order is
+    # global), so its bucket-offsets window is unpartitioned — over the
+    # <= 64-row bucket-count relation only
+    "agg_ks_two_sample": (1, "bucket offsets, <= 64 rows"),
     # global_index bucket-offsets window (<= 64 rows); it appears TWICE
     # because the indexed relation feeds both sides of the banded
     # neighbor self-join (the shuffle under it is reused, the 64-row

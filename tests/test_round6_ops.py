@@ -619,3 +619,76 @@ def test_exact_substring_spans_planted(spark, tmp_path):
         assert s.span_start <= prefix_len + 1
         assert s.span_start + s.span_len - 1 >= prefix_len + 60
         assert s.n_grams >= 11
+
+
+def _typed_events(spark, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    ).withColumn("props", F.lit("{}"))
+
+
+def test_welch_ttest_planted(spark, tmp_path):
+    """treat=[1,2,3] dollars, control=[1,1]: sample variance of treat is
+    10000 cents^2, control 0 -> t = 100/sqrt(10000/3) = sqrt(3) exactly
+    and the Welch-Satterthwaite df collapses to n1-1 = 2."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase", 1.0),
+        (2, t0, 1, "purchase", 2.0),
+        (3, t0, 1, "purchase", 3.0),
+        (4, t0, 2, "view", 1.0),
+        (5, t0, 2, "view", 1.0),
+        (6, t0, 3, "click", 99.0),  # filtered out
+    ]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["events_welch_ttest"].fn(spark, str(d)).collect()
+    assert (r.n_treat, r.n_control) == (3, 2)
+    assert r.mean_treat_cents == 200.0 and r.mean_control_cents == 100.0
+    assert abs(r.t_stat - 3.0 ** 0.5) < 1e-15
+    assert abs(r.df_welch - 2.0) < 1e-12
+
+
+def test_cusum_changepoint_planted(spark, tmp_path):
+    """Level shift 0 -> $10 after the 3rd event: |CUSUM| of the
+    mean-centered series peaks at event 3 with mean deviation
+    3 * |0 - 500| = 1500 cents."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + datetime.timedelta(seconds=i), 1, "x",
+         0.0 if i < 3 else 10.0)
+        for i in range(6)
+    ]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["ts_changepoint_cusum"].fn(spark, str(d)).collect()
+    assert (r.event_type, r.n) == ("x", 6)
+    assert r.cp_event_id == 3
+    assert r.cusum_abs_per_n == 1500.0
+
+
+def test_ks_two_sample_planted(spark, tmp_path):
+    """A=[1,2], B=[2,3] dollars: ECDFs diverge most at x=1 where
+    F_A=0.5, F_B=0 -> D=0.5; the 100-cent tie with x=2 breaks to the
+    smaller value."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase", 1.0),
+        (2, t0, 1, "purchase", 2.0),
+        (3, t0, 2, "view", 2.0),
+        (4, t0, 2, "view", 3.0),
+    ]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["agg_ks_two_sample"].fn(spark, str(d)).collect()
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.at_value_cents == 100
+    assert r.ks_stat == 0.5
