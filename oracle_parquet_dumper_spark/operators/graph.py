@@ -458,3 +458,33 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.orderBy(F.col("jaccard").desc(), "sa", "sb").limit(20)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS degree FROM ps GROUP BY s)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph", "agg"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier->part bipartite graph: how
+    many suppliers supply exactly d distinct parts — the first plot in
+    any graph characterization (power-law check, skew probe for the
+    wedge joins in graph_neighbor_jaccard / graph_triangle_count, and
+    the direct input to the salting decision those docstrings flag).
+
+    Exact integers end to end.  Scale shape: one pushed-down scan ->
+    distinct on (s, p) (one shuffle, map-side partial) -> count per s
+    reusing the SAME (s,p)-hashed partitioning (degree counting needs
+    only s-colocation, which the distinct already provides — AQE
+    coalesces, no second wide exchange of data rows) -> the final
+    groupBy(degree) shuffles only the per-supplier degree relation,
+    already |suppliers| rows.  No reference counterpart."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    deg = ps.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))

@@ -2592,3 +2592,93 @@ def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("hll_estimate"),
         F.col("n_zero").cast("long").alias("zero_registers"),
     )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS n_row FROM cells GROUP BY 1),
+    c AS (SELECT status, CAST(SUM(n_obs) AS BIGINT) AS n_col FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM cells),
+    e AS (
+      SELECT priority, status, COALESCE(n_obs, 0) AS n_obs, n_row, n_col,
+             CAST(CAST(CAST(n_row AS DECIMAL(38,0)) * n_col AS VARCHAR) AS DOUBLE)
+               / n_tot AS expected
+      FROM r CROSS JOIN c
+      LEFT JOIN cells USING (priority, status)
+      CROSS JOIN t
+    )
+    SELECT priority, status, n_obs, n_row, n_col, expected,
+           (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+             / expected AS contrib
+    FROM e
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and order status: the full contingency table with each cell's
+    expected count and chi-square contribution (o-e)^2/e — the residual
+    view an analyst actually reads (the scalar statistic is the sum of
+    the contrib column; summing IEEE doubles in engine-defined order is
+    the one non-portable step, so the cells stay unsummed).
+
+    Float portability: counts are exact BIGINT; the row x col product
+    is DECIMAL(38,0) (BIGINT overflows at ~3e9 rows per margin) and
+    enters the double world through ONE correctly-rounded cast (the
+    VARCHAR-hop convention); expected and contrib are then identical
+    IEEE op trees on both engines.
+
+    Zero cells: groupBy yields only OBSERVED cells, but the chi-square
+    table needs every (row level, col level) combination — an empty
+    cell still contributes its full expected count.  The grid is
+    rebuilt as row-margin x col-margin (which enumerate exactly the
+    observed levels) with counts left-joined back and coalesced to 0.
+
+    Scale shape: ONE scan with a map-side-partial groupBy on the two
+    key columns; the cell relation (|priorities| x |statuses| = 15
+    rows) is lazily localCheckpointed, so the three margin re-reads
+    cost nothing, and every join after the scan is a broadcast over
+    <= 15 rows.  No reference counterpart (main.py:144-146)."""
+    d38 = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
+    r = cells.groupBy("priority").agg(F.sum("n_obs").cast("long").alias("n_row"))
+    c = cells.groupBy("status").agg(F.sum("n_obs").cast("long").alias("n_col"))
+    t = cells.agg(F.sum("n_obs").cast("long").alias("n_tot"))
+    expected = (
+        (F.col("n_row").cast(d38) * F.col("n_col")).cast(d38)
+        .cast("string")
+        .cast("double")
+        / F.col("n_tot")
+    )
+    e = (
+        r.crossJoin(F.broadcast(c))
+        .join(F.broadcast(cells), ["priority", "status"], "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "priority",
+            "status",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            "n_row",
+            "n_col",
+            expected.alias("expected"),
+        )
+    )
+    diff = F.col("n_obs").cast("double") - F.col("expected")
+    return e.select(
+        "priority", "status", "n_obs", "n_row", "n_col", "expected",
+        (diff * diff / F.col("expected")).alias("contrib"),
+    )

@@ -1117,3 +1117,101 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary sign codes: 64 float dims -> 64 Hamming bits in two BIGINT words.
+# The compact-code ANN layout (Charikar sign random projection with the
+# identity plane set): at 100 TB the codes are 16 bytes/vector instead
+# of 256, the distance kernel is two XOR+POPCNT ops in whole-stage
+# codegen, and the code columns are precomputable/sortable for pruning.
+# ---------------------------------------------------------------------------
+
+
+def _sign_word(emb, start: int):
+    """Bits start..start+31 (1-based dims) packed little-endian into a
+    non-negative BIGINT: bit i set iff emb[start+i] > 0.  2^i via double
+    pow is exact to 2^52, far past the 31 used here — no shift-overflow
+    games with the sign bit."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(emb, start, 32),
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sign_word_sql(start: int) -> str:
+    return (
+        "list_aggregate([CASE WHEN e[1] > 0 THEN CAST(2**(e[2]-1) AS BIGINT) "
+        "ELSE 0 END FOR e IN list_zip("
+        f"embedding[{start}:{start + 31}], range(1, 33))], 'sum')"
+    )
+
+
+@query(
+    "sim_topk_hamming_binary",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, {_sign_word_sql(1)} AS lo, {_sign_word_sql(33)} AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id,
+           CAST(bit_count(xor(b.lo, q.qlo)) + bit_count(xor(b.hi, q.qhi)) AS INT)
+             AS hdist
+    FROM b, q
+    WHERE b.vec_id != {QUERY_VEC_ID}
+    ORDER BY hdist, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity", "topk"),
+)
+def sim_topk_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-k over binary sign codes: binarize every embedding to
+    64 sign bits packed in two BIGINT words, then rank by
+    popcount(xor) distance to the query's code — the compact-code ANN
+    baseline (sign random projection, Charikar STOC 2002, with the
+    identity plane per dimension).
+
+    Exactness: a sign bit is ``dim > 0`` — a float comparison with one
+    defined answer — so codes, XOR, and popcount are all integers;
+    there is NO float in the ranking at all, the strongest possible
+    cross-engine portability.  Ties (many vectors share a distance)
+    break on vec_id.
+
+    Scale shape: codes are a pure map (one scan, whole-stage codegen);
+    the query code is a broadcast 1-row relation; the top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort).  At
+    100 TB the two code words are a precomputed 16-byte column — 16x
+    less IO than raw float32[64] — and double as a sort/prune key.
+    No reference counterpart (main.py exports tables verbatim)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        _sign_word("embedding", 1).alias("lo"),
+        _sign_word("embedding", 33).alias("hi"),
+    )
+    q = coded.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    return (
+        coded.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("int")
+            .alias("hdist"),
+        )
+        .orderBy("hdist", "vec_id")
+        .limit(TOP_K)
+    )

@@ -1073,3 +1073,61 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sents,
+             CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                  AS BIGINT) AS n_syllables
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_words, n_sents, n_syllables,
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+    FROM m WHERE n_words > 0
+    """,
+    tags=("text",),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document (Flesch 1948):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), with
+    the standard regex approximations — sentences are ``[.!?]+`` runs,
+    syllables are vowel-group runs over the lowercased text (the
+    classic heuristic: one syllable per maximal [aeiouy]+ cluster).
+    Both are floored at 1 so an unpunctuated fragment still scores.
+
+    Float portability: the three inputs are exact integer counts from
+    identical regexes (ASCII fixture domain, same class semantics in
+    Java regex and RE2); the score is one fixed IEEE op tree over
+    them — no double ever feeds another rounding step.
+
+    Scale shape: pure per-row map over one pushed-down scan (doc_id,
+    text only), zero shuffles, fully inside whole-stage codegen; at
+    100 TB this is the cheap-first quality gate the curation pipeline
+    orders before any expensive stage.  No reference counterpart."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    m = d.select(
+        "doc_id",
+        F.size(words_col()).cast("long").alias("n_words"),
+        F.greatest(F.lit(1), F.regexp_count("text", F.lit("[.!?]+")))
+        .cast("long")
+        .alias("n_sents"),
+        F.greatest(F.lit(1), F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")))
+        .cast("long")
+        .alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return m.select(
+        "doc_id", "n_words", "n_sents", "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        ).alias("flesch"),
+    )

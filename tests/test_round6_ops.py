@@ -692,3 +692,85 @@ def test_ks_two_sample_planted(spark, tmp_path):
     assert (r.n_a, r.n_b) == (2, 2)
     assert r.at_value_cents == 100
     assert r.ks_stat == 0.5
+
+
+def test_hamming_binary_planted(spark, tmp_path):
+    """Known sign patterns -> exact Hamming distances: identical code
+    (0), one flipped dim (1), upper word flipped (32), all flipped (64)."""
+    plus, minus = [1.0] * 64, [-1.0] * 64
+    one_flip = [-1.0] + [1.0] * 63
+    hi_flip = [1.0] * 32 + [-1.0] * 32
+    rows = [(0, plus, 0), (1, plus, 0), (2, one_flip, 0),
+            (3, minus, 0), (4, hi_flip, 0)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = [(r.vec_id, r.hdist)
+           for r in REGISTRY["sim_topk_hamming_binary"].fn(spark, str(d)).collect()]
+    assert got == [(1, 0), (2, 1), (4, 32), (3, 64)]
+
+
+def test_chi_square_zero_cell_planted(spark, tmp_path):
+    """2x2 with an EMPTY (B,F) cell: margins rA=4 rB=4 cO=6 cF=2 N=8 ->
+    expected 3,1,3,1; contributions 1/3, 1, 1/3, 1 — the zero cell MUST
+    appear with n_obs=0 and contrib == its expected count."""
+    rows = ([("A", "O")] * 2 + [("A", "F")] * 2 + [("B", "O")] * 4)
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(rows)],
+        "o_orderkey long, o_orderpriority string, o_orderstatus string",
+    ).write.parquet(str(d / "orders.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {
+        (r.priority, r.status): r
+        for r in REGISTRY["agg_chi_square_independence"].fn(spark, str(d)).collect()
+    }
+    assert set(got) == {("A", "O"), ("A", "F"), ("B", "O"), ("B", "F")}
+    bf = got[("B", "F")]
+    assert (bf.n_obs, bf.n_row, bf.n_col) == (0, 4, 2)
+    assert bf.expected == 1.0 and bf.contrib == 1.0
+    assert got[("A", "O")].contrib == (2.0 - 3.0) ** 2 / 3.0
+    assert got[("A", "F")].contrib == 1.0
+    assert got[("B", "O")].contrib == (4.0 - 3.0) ** 2 / 3.0
+
+
+def test_flesch_planted(spark, tmp_path):
+    """'The cat sat. The dog ran!' -> 6 words, 2 sentence breaks, 6
+    vowel groups: flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19; an
+    unpunctuated fragment floors sentences at 1."""
+    docs = [(1, "The cat sat. The dog ran!"), (2, "no punctuation here")]
+    d = tmp_path / "sf"
+    spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars",
+    ).write.parquet(str(d / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.doc_id: r
+           for r in REGISTRY["text_readability_flesch"].fn(spark, str(d)).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sents, r1.n_syllables) == (6, 2, 6)
+    assert r1.flesch == 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    r2 = got[2]
+    assert (r2.n_words, r2.n_sents) == (3, 1)
+    # 'o', 'u', 'ua', 'io', 'e', 'e' -> 6 vowel groups over 3 words
+    assert r2.n_syllables == 6
+
+
+def test_degree_distribution_planted(spark, tmp_path):
+    """Suppliers with part sets {p1,p2,p3}, {p2,p3}, {p3,p9} (dup rows
+    collapse) -> degrees 3,2,2 -> histogram {2: 2, 3: 1}."""
+    pairs = [(1, 1), (2, 1), (3, 1), (2, 2), (3, 2), (3, 3), (9, 3), (9, 3)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        pairs, "l_partkey long, l_suppkey long"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.degree: r.n_suppliers
+           for r in REGISTRY["graph_degree_distribution"].fn(spark, str(d)).collect()}
+    assert got == {2: 2, 3: 1}
