@@ -14,6 +14,7 @@ harness convention: no date-typed output columns).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from oracle_parquet_dumper_spark.plans.registry import query
@@ -1478,4 +1479,354 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.d").cast("string").cast("double")
             / (F.col("b.n_a").cast("double") * F.col("b.n_b"))
         ).alias("ks_stat"),
+    )
+
+
+@query(
+    "agg_mannwhitney_u",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c, event_type
+      FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+    ),
+    v AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM f GROUP BY c
+    ),
+    cum AS (
+      SELECT c, d1, d2, d1 + d2 AS d,
+             CAST(SUM(d1 + d2) OVER (ORDER BY c) AS BIGINT) AS cumd
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2,
+             CAST(SUM(CAST(d1 AS DECIMAL(38,0)) * (2 * cumd - d + 1)) AS DECIMAL(38,0)) AS two_r1,
+             CAST(SUM(CAST(d AS DECIMAL(38,0)) * d * d - d) AS DECIMAL(38,0)) AS tie_t
+      FROM cum
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           (CAST(CAST(two_r1 AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS VARCHAR) AS DOUBLE)) / 2
+             AS u_stat,
+           ((CAST(CAST(two_r1 AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS VARCHAR) AS DOUBLE)) / 2
+            - CAST(CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS VARCHAR) AS DOUBLE) / 2)
+           / sqrt(
+               (CAST(CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS VARCHAR) AS DOUBLE) / 12)
+               * (CAST(CAST(CAST(n1 + n2 + 1 AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(tie_t AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 - 1) AS VARCHAR) AS DOUBLE))
+             ) AS z_stat
+    FROM s
+    """,
+    tags=("agg", "events", "stats", "window", "experiment"),
+)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the '{KS_A}' and
+    '{KS_B}' event-value distributions, with exact MIDRANKS for ties and
+    the tie-corrected normal approximation (Mann & Whitney 1947) —
+    completing the classical two-sample panel next to the parametric
+    Welch t and the distributional KS.
+
+    All-integer rank algebra: over the VALUE-AGGREGATED distribution
+    (one row per distinct cents value with per-sample counts d1, d2,
+    pooled d), the midrank of value v is prefix(v) + (d+1)/2, so
+    2*R1 = sum d1 * (2*cumd - d + 1) with cumd the INCLUSIVE pooled
+    running count — exact integers carried in DECIMAL(38,0), like the
+    KS weights.  The tie term sum(d^3 - d) is likewise exact.  Doubles
+    appear only in the final scalar block, each decimal entering
+    through ONE VARCHAR-hop cast, combined in an identical op tree
+    (B^(3/2) is written b*sqrt(b)-style: no pow(), whose rounding is
+    not IEEE-pinned).
+
+    Scale shape: identical to agg_ks_two_sample — one pushed scan, one
+    map-side-partial groupBy(cents) bounded by the value domain, the
+    inclusive prefix count on the distributed global-index primitive
+    (ungrouped: rank order is global, so its <= 64-row bucket-offsets
+    window is allowlisted like KS), then a 1-row fold."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_A, KS_B)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    v = (
+        ev.select(cents.alias("c"), "event_type")
+        .groupBy("c")
+        .agg(
+            F.count(F.when(F.col("event_type") == KS_A, 1)).cast("long").alias("d1"),
+            F.count(F.when(F.col("event_type") == KS_B, 1)).cast("long").alias("d2"),
+        )
+        .withColumn("d", (F.col("d1") + F.col("d2")).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    idx = with_global_index(v, "c", ["c"], weight_col="d", cum_col="cumd")
+    s = idx.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+        F.sum(
+            F.col("d1").cast(d38) * (2 * F.col("cumd") - F.col("d") + 1)
+        ).cast(d38).alias("two_r1"),
+        F.sum(F.col("d").cast(d38) * F.col("d") * F.col("d") - F.col("d"))
+        .cast(d38)
+        .alias("tie_t"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u_stat = (dbl(F.col("two_r1")) - dbl((n1.cast(d38) * (n1 + 1)).cast(d38))) / 2
+    n1n2 = dbl((n1.cast(d38) * n2).cast(d38))
+    var_u = (n1n2 / 12) * (
+        dbl((n1 + n2 + 1).cast(d38))
+        - dbl(F.col("tie_t")) / dbl(((n1 + n2).cast(d38) * (n1 + n2 - 1)).cast(d38))
+    )
+    return s.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        u_stat.alias("u_stat"),
+        ((u_stat - n1n2 / 2) / F.sqrt(var_u)).alias("z_stat"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT src, CAST(SUM(n_pairs) AS BIGINT) AS n_src FROM pairs GROUP BY src)
+    SELECT src, dst, n_pairs,
+           CAST(n_pairs AS DOUBLE) / n_src AS prob
+    FROM pairs JOIN tot USING (src)
+    """,
+    tags=("window", "events", "stats"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = dst | current = src), the standard behavioral
+    model behind next-action prediction and funnel simulation (and the
+    row-normalized form of events_path_trigrams' pair counts).
+
+    Exactness: transitions come from lead() over (ts, event_id) — an
+    exact (timestamp, key) ordering identical on both engines — and
+    counts are exact BIGINT; the row-normalized probability is ONE
+    IEEE divide per cell.
+
+    Scale shape: the sequence window is PARTITIONED BY user_id (per-user
+    state, the scalable window class), then two map-side-partial
+    aggregates on tiny key domains (|types|^2 cells); the row-total
+    join broadcasts a <= |types|-row relation.  No global window, no
+    unbounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    )
+    pairs = (
+        seq.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .localCheckpoint(eager=False)
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n_pairs").cast("long").alias("n_src"))
+    return pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.col("n_src")).alias("prob"),
+    )
+
+
+@query(
+    "agg_moments_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(FLOOR(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(FLOOR(value * 100) AS BIGINT)
+                      * CAST(FLOOR(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s3,
+             CAST(SUM(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(FLOOR(value * 100) AS BIGINT)
+                      * CAST(FLOOR(value * 100) AS BIGINT)
+                      * CAST(FLOOR(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s4
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS f1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS f2,
+             CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS f3,
+             CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS f4
+      FROM m
+    ),
+    c AS (
+      SELECT event_type, n, nd, f1, f2, f3, f4,
+             (nd * f2) - (f1 * f1) AS b
+      FROM d
+    )
+    SELECT event_type, n AS n_events,
+           f1 / nd AS mean_cents,
+           ((nd * (nd * f3)) - (3 * ((nd * f1) * f2))) + (2 * ((f1 * f1) * f1))
+             AS a_num,
+           b AS b_den,
+           (((nd * (nd * f3)) - (3 * ((nd * f1) * f2))) + (2 * ((f1 * f1) * f1)))
+             / (b * sqrt(b)) AS skewness,
+           ((((nd * (nd * (nd * f4))) - (4 * ((nd * (nd * f1)) * f3)))
+              + (6 * (((nd * f1) * f1) * f2))) - (3 * (((f1 * f1) * f1) * f1)))
+             / (b * b) - 3 AS kurtosis_excess
+    FROM c
+    """,
+    tags=("agg", "events", "stats"),
+)
+def agg_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness g1 = A/B^(3/2) and excess kurtosis g2 = C/B^2 - 3 per
+    event type, from raw power sums: with S1..S4 the exact sums of
+    cents^1..4, A = n^2*S3 - 3n*S1*S2 + 2*S1^3, B = n*S2 - S1^2,
+    C = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4 (the n-scalings
+    cancel exactly between numerator and denominator, so no central
+    moments are ever formed).
+
+    Exact carriers are the POWER SUMS (DECIMAL(38,0): S4 <= n*c^4
+    stays exact to ~1e13 rows at c <= 56k cents); A, B, C are then a
+    FIXED explicitly-parenthesized IEEE tree over the four one-cast
+    doubles — deterministic cross-engine (every op is a correctly-
+    rounded primitive; B^(3/2) is b*sqrt(b), never pow()), though not
+    exact — which is the right trade at scale, where A and C as
+    integers would overflow any fixed decimal by ~1e50.
+
+    Scale shape: ONE scan, one map-side-partial aggregate keyed by
+    event_type; everything after runs on a |types|-row relation."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents.cast(d38)).cast(d38).alias("s1"),
+        F.sum(cents.cast(d38) * cents).cast(d38).alias("s2"),
+        F.sum(cents.cast(d38) * cents * cents).cast(d38).alias("s3"),
+        F.sum(cents.cast(d38) * cents * cents * cents).cast(d38).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    f1, f2, f3, f4 = (dbl(F.col(c)) for c in ("s1", "s2", "s3", "s4"))
+    b = (nd * f2) - (f1 * f1)
+    a = ((nd * (nd * f3)) - (3 * ((nd * f1) * f2))) + (2 * ((f1 * f1) * f1))
+    c4 = (
+        ((nd * (nd * (nd * f4))) - (4 * ((nd * (nd * f1)) * f3)))
+        + (6 * (((nd * f1) * f1) * f2))
+    ) - (3 * (((f1 * f1) * f1) * f1))
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (f1 / nd).alias("mean_cents"),
+        a.alias("a_num"),
+        b.alias("b_den"),
+        (a / (b * F.sqrt(b))).alias("skewness"),
+        (c4 / (b * b) - 3).alias("kurtosis_excess"),
+    )
+
+
+@query(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             lag(c) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS x,
+             c AS y
+      FROM base
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM p WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / (sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+             AS acf1
+    FROM s
+    """,
+    tags=("window", "events", "timeseries", "stats"),
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the event-value series per event type:
+    Pearson r between consecutive values in (ts, event_id) order — the
+    standard first diagnostic for serial dependence (and the term an
+    AR(1) fit would estimate).
+
+    Exact carriers: consecutive pairs' moment sums (n, Sx, Sy, Sxy,
+    Sxx, Syy) in DECIMAL(38,0) over exact cents; r is then a fixed
+    IEEE tree with one VARCHAR-hop cast per exact numerator and the
+    denominator written sqrt(a)*sqrt(b) on both engines.
+
+    Scale shape: the oracle's lag() window PARTITION BY event_type is
+    the low-cardinality-partition trap (5 types = 5 tasks forever), so
+    the Spark plan pairs consecutive rows through the distributed
+    global-index primitive GROUPED by type (the cusum/gapfill recipe):
+    index once, localCheckpoint, then self-join (type, i) to
+    (type, i+1) — a shuffle on the high-cardinality (type, index) key —
+    and one map-side-partial aggregate.  Bound: n*Sxy stays inside
+    DECIMAL(38,0) to ~1e9 rows/type at c <= 56k cents; past that the
+    engine raises (ANSI), never corrupts."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    idx = with_global_index(
+        base, "ts_us", ["event_id"], group_cols=["event_type"]
+    ).localCheckpoint(eager=False)
+    prev = idx.select("event_type", F.col("_gidx").alias("i"), F.col("c").alias("x"))
+    nxt = idx.select(
+        "event_type", (F.col("_gidx") - 1).alias("i"), F.col("c").alias("y")
+    )
+    pairs = prev.join(nxt, ["event_type", "i"])
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+    )
+    n = F.col("n")
+    num = dbl((n.cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38))
+    denx = dbl((n.cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38))
+    deny = dbl((n.cast(d38) * F.col("syy") - F.col("sy") * F.col("sy")).cast(d38))
+    return s.select(
+        "event_type",
+        n.alias("n_pairs"),
+        (num / (F.sqrt(denx) * F.sqrt(deny))).alias("acf1"),
     )

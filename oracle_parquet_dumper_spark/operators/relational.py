@@ -2682,3 +2682,87 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", "status", "n_obs", "n_row", "n_col", "expected",
         (diff * diff / F.col("expected")).alias("contrib"),
     )
+
+
+BAND_CENTS = 2500  # |acctbal difference| <= $25
+BAND_TOP = 20
+
+
+@query(
+    "join_band_closest_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS bal
+      FROM supplier
+    )
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           a.s_nationkey AS nation_a, b.s_nationkey AS nation_b,
+           CAST(abs(a.bal - b.bal) AS BIGINT) AS diff_cents
+    FROM s a JOIN s b
+      ON a.s_suppkey < b.s_suppkey
+      AND abs(a.bal - b.bal) <= {BAND_CENTS}
+    ORDER BY diff_cents, supp_a, supp_b
+    LIMIT {BAND_TOP}
+    """,
+    tags=("join", "topk"),
+)
+def join_band_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join made shuffle-joinable: the {BAND_TOP} supplier
+    pairs with the closest account balances, restricted to the
+    |diff| <= $25 band.  Naive SQL states this as a quadratic
+    theta-join (the oracle does exactly that); the Spark plan buckets
+    the balance axis at the band width, explodes the LEFT side to its
+    bucket plus both neighbors, equi-joins on the bucket key, and
+    re-checks the band as a residual filter — every qualifying pair is
+    found exactly once (the right row's bucket is unique, so probing
+    b-1/b/b+1 from the left covers |diff| <= width without dupes).
+
+    Exactness: balances are exact FLOOR cents (FLOOR, not CAST — DuckDB
+    CAST(double AS BIGINT) rounds while Spark truncates); bucket =
+    floor(bal/width) is pure integer-valued floor on a <= 2^53 double;
+    the distance, ordering, and ties (diff, supp_a, supp_b) are all
+    integers.
+
+    Scale shape: the equi-join shuffles on the bucket key, so per-task
+    work is bounded by 3x bucket occupancy ~ n * width / value_range —
+    linear per row, never the n^2 scan of the theta form (Spark would
+    otherwise plan BroadcastNestedLoopJoin).  Output is top-k through
+    TakeOrderedAndProject.  The full band RESULT is inherently
+    ~n^2 * width / range rows — the top-k cap is what keeps the
+    operator's output (and this query) scale-stable."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("bal"),
+    )
+    bucket = F.floor(F.col("bal") / F.lit(float(BAND_CENTS))).cast("long")
+    left = s.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_nationkey").alias("nation_a"),
+        F.col("bal").alias("bal_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bk"),
+    )
+    right = s.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_nationkey").alias("nation_b"),
+        F.col("bal").alias("bal_b"),
+        bucket.alias("bk"),
+    )
+    pairs = left.join(right, "bk").where(
+        (F.col("supp_a") < F.col("supp_b"))
+        & (F.abs(F.col("bal_a") - F.col("bal_b")) <= BAND_CENTS)
+    )
+    return (
+        pairs.select(
+            "supp_a",
+            "supp_b",
+            "nation_a",
+            "nation_b",
+            F.abs(F.col("bal_a") - F.col("bal_b")).cast("long").alias("diff_cents"),
+        )
+        .orderBy("diff_cents", "supp_a", "supp_b")
+        .limit(BAND_TOP)
+    )

@@ -1047,3 +1047,101 @@ def window_holt_linear_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "holt_forecast_cents"
         ),
     )
+
+
+@query(
+    "window_peak_open_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT o_custkey, CAST(o_orderdate AS DATE) + 30 AS d, -1 AS delta
+      FROM orders
+    ),
+    net AS (
+      SELECT o_custkey, d, CAST(SUM(delta) AS BIGINT) AS net
+      FROM b GROUP BY o_custkey, d
+    ),
+    cum AS (
+      SELECT o_custkey, d,
+             CAST(SUM(net) OVER (PARTITION BY o_custkey ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_now
+      FROM net
+    ),
+    pk AS (
+      SELECT o_custkey, open_now AS peak_open, d AS peak_date,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY open_now DESC, d) AS rk
+      FROM cum
+    )
+    SELECT o_custkey, peak_open, strftime(peak_date, '%Y-%m-%d') AS peak_date
+    FROM pk WHERE rk = 1
+    ORDER BY peak_open DESC, o_custkey
+    LIMIT 20
+    """,
+    tags=("window", "timeseries", "topk"),
+)
+def window_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency by sweep-line: for each customer, the
+    maximum number of simultaneously OPEN orders (an order stays open
+    for 30 days from o_orderdate) and the first date that peak is
+    reached — the classic interval-overlap-counting pattern (staffing
+    peaks, concurrent sessions, in-flight shipments) that naive SQL
+    states as a quadratic self-join ``a.start <= b.start < a.end``.
+
+    Sweep-line: every interval becomes +1 at its start and -1 at its
+    exclusive end; net deltas are pre-aggregated PER (customer, date)
+    so same-date boundary order is moot; the running sum at date d is
+    then exactly #(start <= d < start+30).  All integers; no floats
+    anywhere.
+
+    Scale shape: the cumulative window is PARTITIONED BY o_custkey —
+    per-customer state, millions of independent partitions, the
+    scalable window class (never the single-partition global sweep) —
+    over rows already reduced to distinct boundary dates.  The peak is
+    a map-side-partial struct-max argmax per customer (the oracle's
+    row_number-over-DESC states the identical selection), and the
+    global top-20 is TakeOrderedAndProject.
+    No reference counterpart (main.py:144-146)."""
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ in the fixture; normalize to DATE so
+    # the union does not coerce the boundaries back to timestamps
+    starts = o.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), F.lit(1).alias("delta")
+    )
+    ends = o.select(
+        "o_custkey",
+        F.date_add(F.to_date("o_orderdate"), 30).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("o_custkey", "d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = net.select(
+        "o_custkey", "d", F.sum("net").over(w).cast("long").alias("open_now")
+    )
+    pk = cum.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("open_now").alias("peak_open"),
+                (-F.unix_date("d")).alias("neg_days"),
+                F.col("d").alias("peak_date"),
+            )
+        ).alias("b")
+    )
+    return (
+        pk.select(
+            "o_custkey",
+            F.col("b.peak_open").alias("peak_open"),
+            F.date_format("b.peak_date", "yyyy-MM-dd").alias("peak_date"),
+        )
+        .orderBy(F.col("peak_open").desc(), "o_custkey")
+        .limit(20)
+    )

@@ -149,6 +149,8 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # global), so its bucket-offsets window is unpartitioned — over the
     # <= 64-row bucket-count relation only
     "agg_ks_two_sample": (1, "bucket offsets, <= 64 rows"),
+    # Mann-Whitney midranks: same ungrouped global-index shape as KS
+    "agg_mannwhitney_u": (1, "bucket offsets, <= 64 rows"),
     # global_index bucket-offsets window (<= 64 rows); it appears TWICE
     # because the indexed relation feeds both sides of the banded
     # neighbor self-join (the shuffle under it is reused, the 64-row

@@ -774,3 +774,114 @@ def test_degree_distribution_planted(spark, tmp_path):
     got = {r.degree: r.n_suppliers
            for r in REGISTRY["graph_degree_distribution"].fn(spark, str(d)).collect()}
     assert got == {2: 2, 3: 1}
+
+
+def test_mannwhitney_midranks_planted(spark, tmp_path):
+    """A=[1,2,2], B=[2,3]: the three tied 2s take midrank 3, so
+    R1 = 1+3+3 = 7, U = 1; tie term 24 gives var = 2.4 and
+    z = -2/sqrt(2.4)."""
+    import math
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [("purchase", 1.0), ("purchase", 2.0), ("purchase", 2.0),
+            ("view", 2.0), ("view", 3.0)]
+    rows = [(i, t0, 1, ty, v) for i, (ty, v) in enumerate(vals)]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["agg_mannwhitney_u"].fn(spark, str(d)).collect()
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u_stat == 1.0
+    assert r.z_stat == (1.0 - 3.0) / math.sqrt(2.4)
+
+
+def test_markov_transitions_planted(spark, tmp_path):
+    """user1: A->B->A->A, user2: A->B => P(B|A)=2/3, P(A|A)=1/3,
+    P(A|B)=1."""
+    t0 = datetime.datetime(2024, 1, 1)
+    seq = [(1, "A"), (1, "B"), (1, "A"), (1, "A"), (2, "A"), (2, "B")]
+    rows = [(i, t0 + datetime.timedelta(seconds=i), u, ty, 1.0)
+            for i, (u, ty) in enumerate(seq)]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {(r.src, r.dst): (r.n_pairs, r.prob)
+           for r in REGISTRY["events_markov_transitions"].fn(spark, str(d)).collect()}
+    assert got == {("A", "B"): (2, 2 / 3), ("A", "A"): (1, 1 / 3),
+                   ("B", "A"): (1, 1.0)}
+
+
+def test_moments_skew_kurt_planted(spark, tmp_path):
+    """cents [0, 0, 300]: the 2:1 two-point distribution has
+    g1 = +1/sqrt(2) (right tail) and g2 = -1.5 exactly."""
+    import math
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "x", 0.0), (2, t0, 1, "x", 0.0), (3, t0, 1, "x", 3.0)]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["agg_moments_skew_kurt"].fn(spark, str(d)).collect()
+    assert (r.n_events, r.mean_cents) == (3, 100.0)
+    assert (r.a_num, r.b_den) == (5.4e7, 180000.0)
+    assert r.skewness == 5.4e7 / (180000.0 * math.sqrt(180000.0))
+    assert abs(r.skewness - 1 / math.sqrt(2)) < 1e-12
+    assert r.kurtosis_excess == -1.5
+
+
+def test_peak_open_orders_planted(spark, tmp_path):
+    """Customer 1: orders on day 0, 10, 45 (30-day windows) -> days
+    10..29 have two open, day 45 one -> peak 2 at the SECOND order's
+    date; customer 2 has disjoint singles -> peak 1."""
+    t0 = datetime.datetime(2024, 1, 1)
+    orders = [(1, 1, 0), (2, 1, 10), (3, 1, 45), (4, 2, 0), (5, 2, 100)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        [(k, c, t0 + datetime.timedelta(days=dd)) for k, c, dd in orders],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.parquet(str(d / "orders.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.o_custkey: (r.peak_open, r.peak_date)
+           for r in REGISTRY["window_peak_open_orders"].fn(spark, str(d)).collect()}
+    assert got[1] == (2, "2024-01-11")
+    assert got[2] == (1, "2024-01-01")
+
+
+def test_band_join_planted(spark, tmp_path):
+    """Balances 0, 10, 24, 60 dollars with a $25 band: qualifying pairs
+    (0,10), (0,24), (10,24) — (24,60) is out of band even though the
+    bucketed candidates include it; closest pair first."""
+    sups = [(1, 0, 0.0), (2, 0, 10.0), (3, 0, 24.0), (4, 0, 60.0)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        sups, "s_suppkey long, s_nationkey long, s_acctbal double"
+    ).write.parquet(str(d / "supplier.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = [(r.supp_a, r.supp_b, r.diff_cents)
+           for r in REGISTRY["join_band_closest_pairs"].fn(spark, str(d)).collect()]
+    assert got == [(1, 2, 1000), (2, 3, 1400), (1, 3, 2400)]
+
+
+def test_autocorr_planted(spark, tmp_path):
+    """Alternating 0/1 series -> lag-1 pairs are perfectly
+    anti-correlated: acf1 == -1.  A linear ramp gives acf1 == +1."""
+    t0 = datetime.datetime(2024, 1, 1)
+    alt = [(i, t0 + datetime.timedelta(seconds=i), 1, "alt", float(i % 2))
+           for i in range(6)]
+    ramp = [(100 + i, t0 + datetime.timedelta(seconds=i), 1, "ramp", float(i))
+            for i in range(5)]
+    d = tmp_path / "sf"
+    _typed_events(spark, alt + ramp).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.event_type: r for r in
+           REGISTRY["ts_autocorr_lag1"].fn(spark, str(d)).collect()}
+    # sqrt(d)*sqrt(d) != d in IEEE (1 ulp), so |r| lands within 1 ulp
+    # of 1 — the oracle runs the identical tree, so hashes still match
+    assert got["alt"].n_pairs == 5 and abs(got["alt"].acf1 + 1.0) < 1e-15
+    assert got["ramp"].n_pairs == 4 and abs(got["ramp"].acf1 - 1.0) < 1e-15
