@@ -1215,3 +1215,112 @@ def sim_topk_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hdist", "vec_id")
         .limit(TOP_K)
     )
+
+
+HAMMING_CANDIDATES = 50  # binary-code shortlist size measured for recall
+
+
+def _recall_eval_hamming_oracle() -> str:
+    lo, hi = _sign_word_sql(1), _sign_word_sql(33)
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding, {lo} AS lo, {hi} AS hi FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, lo AS qlo, hi AS qhi FROM b
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {KNN_QUERY_SET_SIZE}),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {cosine_rounded_sql('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e JOIN q ON e.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY bit_count(xor(b.lo, q.qlo)) + bit_count(xor(b.hi, q.qhi)),
+                            b.vec_id) AS rn
+        FROM b JOIN q ON b.vec_id != q.qid
+      ) WHERE rn <= {HAMMING_CANDIDATES}
+    )
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(floor(COUNT(a.vec_id) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+    GROUP BY t.qid
+    """
+
+
+@query(
+    "sim_recall_eval_hamming",
+    oracle=_recall_eval_hamming_oracle(),
+    tags=("similarity", "eval", "topk"),
+)
+def sim_recall_eval_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the 64-bit binary sign-code shortlist
+    (sim_topk_hamming_binary's ranking, widened to the top
+    {HAMMING_CANDIDATES} candidates) against exact-cosine ground truth,
+    per query in the {KNN_QUERY_SET_SIZE}-query batch — the measured
+    link between the 16-byte compact-code path and the float truth it
+    approximates, completing the recall-eval trio (LSH probe, IVF,
+    binary codes).
+
+    Both rankings are deterministic (integer Hamming distance / rounded
+    cosine, ties on vec_id) and recall is an exact integer ppm, so the
+    oracle is bit-exact.  Scale shape mirrors sim_recall_eval: the query
+    batch broadcasts, the base table is scanned once per side, per-qid
+    windows are partitioned by qid; in production the truth side runs
+    over a sampled slice — measuring it IS the expensive step this
+    query exists to pay once."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_word("embedding", 1).alias("lo"),
+        _sign_word("embedding", 33).alias("hi"),
+    )
+    q = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(KNN_QUERY_SET_SIZE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("lo").alias("qlo"),
+            F.col("hi").alias("qhi"),
+        )
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    tw = W.partitionBy("qid").orderBy(
+        cosine_rounded("embedding", "qvec").desc(), "vec_id"
+    )
+    truth = (
+        joined.withColumn("rn", F.row_number().over(tw))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    hd = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    aw = W.partitionBy("qid").orderBy(hd.asc(), F.col("vec_id").asc())
+    ann = (
+        joined.withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") <= HAMMING_CANDIDATES)
+        .select("qid", F.col("vec_id").alias("hit_id"))
+    )
+    m = truth.join(
+        ann,
+        (truth["qid"] == ann["qid"]) & (truth["vec_id"] == ann["hit_id"]),
+        "left",
+    ).select(truth["qid"].alias("qid"), "vec_id", "hit_id")
+    return m.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("hit_id").cast("long").alias("n_hit"),
+        F.floor(F.count("hit_id") * 1000000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
