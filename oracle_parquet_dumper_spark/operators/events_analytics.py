@@ -1522,6 +1522,7 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     tags=("agg", "events", "stats", "window", "experiment"),
+    bench=True,
 )
 def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test between the '{KS_A}' and

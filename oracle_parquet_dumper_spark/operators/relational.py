@@ -2706,6 +2706,7 @@ BAND_TOP = 20
     LIMIT {BAND_TOP}
     """,
     tags=("join", "topk"),
+    bench=True,
 )
 def join_band_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band (theta) join made shuffle-joinable: the {BAND_TOP} supplier

@@ -261,3 +261,56 @@ def holt_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --- streaming Markov transition extraction --------------------------------
+# Streaming twin of operators/events_analytics.events_markov_transitions'
+# pair-extraction stage: per-user last-event state (a CDC-style
+# last-value store) emits one (src, dst) row per transition, across
+# micro-batch boundaries.  The batch side derives the same pairs from a
+# lead() window / the global-index self-join; the equivalence test
+# aggregates the stream's pairs and compares counts — two independent
+# formulations of the same sequence pairing.  State: one (type) tuple
+# per user, O(1) per key.
+
+MARKOV_STATE = T.StructType([T.StructField("last_type", T.StringType())])
+MARKOV_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+    ]
+)
+
+
+def markov_kernel(key, pdfs, state):
+    """Per-user transition pairs across micro-batches; rows within a
+    batch process in (ts, event_id) order, matching the batch lead()
+    window's ordering."""
+    last = state.get[0] if state.exists else None
+    out = {k: [] for k in ("user_id", "src", "dst")}
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    for row in pdf.itertuples():
+        if last is not None:
+            out["user_id"].append(key[0])
+            out["src"].append(last)
+            out["dst"].append(row.event_type)
+        last = row.event_type
+    state.update((last,))
+    yield pd.DataFrame(out)
+
+
+def markov_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming per-user transition extraction via
+    applyInPandasWithState (last-value state, append mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            markov_kernel,
+            outputStructType=MARKOV_OUT,
+            stateStructType=MARKOV_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

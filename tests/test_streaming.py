@@ -332,3 +332,55 @@ def test_stream_holt_equals_batch(spark, smoke_sf_dir):
         for r in REGISTRY["window_holt_linear_truncated"].fn(spark, smoke_sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_markov_equals_batch(spark, smoke_sf_dir):
+    """The applyInPandasWithState last-value kernel emits one (src, dst)
+    row per per-user transition; aggregating them reproduces the batch
+    lead()-window transition counts exactly — two independent pairings
+    of the same sequences."""
+    from collections import Counter
+
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.streaming.stateful import markov_stream
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = markov_stream(events.drop("props"))
+    ops.run_to_memory(stream, "t_markov", output_mode="append")
+    got = Counter((r.src, r.dst) for r in spark.table("t_markov").collect())
+    want = {
+        (r.src, r.dst): r.n_pairs
+        for r in REGISTRY["events_markov_transitions"].fn(spark, smoke_sf_dir).collect()
+    }
+    assert dict(got) == want
+
+
+def test_stream_markov_state_carries_across_batches(spark, tmp_path):
+    """Two single-row files for one user arriving in separate
+    micro-batches must still produce the cross-batch transition — the
+    last-value state is the only way the second batch can know the
+    first's type."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.streaming.stateful import markov_stream
+
+    t0 = datetime.datetime(2024, 1, 1)
+    d = tmp_path / "stream"
+    base = spark.createDataFrame(
+        [(1, t0, 7, "view", 1.0), (2, t0 + datetime.timedelta(seconds=5), 7, "purchase", 2.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    # one file per event -> maxFilesPerTrigger=1 yields two micro-batches
+    for i in (1, 2):
+        base.where(F.col("event_id") == i).coalesce(1).write.mode("append").parquet(str(d))
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(base.schema)
+        .parquet(str(d))
+    )
+    out = markov_stream(stream)
+    ops.run_to_memory(out, "t_markov_carry", output_mode="append")
+    rows = [(r.user_id, r.src, r.dst) for r in spark.table("t_markov_carry").collect()]
+    assert rows == [(7, "view", "purchase")]
