@@ -488,3 +488,76 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
     deg = ps.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    # Every CTE is MATERIALIZED: each round references its predecessor
+    # TWICE (degree count + edge filter), so inlining would re-derive
+    # the wedge join 2^rounds times — measured as a 79 GiB DuckDB spill
+    # at sf1 before these hints.
+    sql = """
+    WITH su AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
+    )"""
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM {prev} GROUP BY src),
+    k{r} AS MATERIALIZED (SELECT src FROM d{r} WHERE c >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN k{r} a ON e.src = a.src
+      JOIN k{r} b ON e.dst = b.src
+    )"""
+        prev = f"e{r}"
+    sql += f"""
+    SELECT src AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY src
+    """
+    return sql
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS}-round {KCORE_K}-core peel of the supplier
+    co-occurrence graph: each round removes every node whose CURRENT
+    degree is below k and the edges touching it, then recounts — the
+    standard dense-subgraph/community seed (Matula & Beck 1983's peeling,
+    truncated to a FIXED round count so both engines run the identical
+    unrolled dataflow; full convergence is data-dependent iteration,
+    which the oracle convention forbids — the k-means/BPE unrolling
+    rule).  Survivors are reported with their within-core degree.
+
+    Exact integers end to end; edges are symmetric, so one-sided degree
+    counting is the true degree.
+
+    Scale shape: per round, one degree aggregate (map-side partial) and
+    two semi-shaped joins keyed by node id — all high-cardinality keys;
+    each round's edge relation is eagerly localCheckpointed
+    (iterative.py's flat-plan convention) so round r+1 re-reads a
+    materialized relation instead of re-deriving r rounds of joins.
+    The per-order wedge bound (<= 7 suppliers/order, supplier_edges)
+    keeps |E| linear in data."""
+    e = supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.where(F.col("c") >= KCORE_K).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("src").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -2767,3 +2767,96 @@ def join_band_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("diff_cents", "supp_a", "supp_b")
         .limit(BAND_TOP)
     )
+
+
+@query(
+    "agg_covariance_matrix",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(FLOOR(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+             CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+             CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sqq,
+             CAST(SUM(CAST(p AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS spp,
+             CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sdd,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS sqp,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sqd,
+             CAST(SUM(CAST(p AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS spd
+      FROM b
+    )
+    SELECT n,
+      CAST(CAST(CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS VARCHAR) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (n - 1)) AS var_qty,
+      CAST(CAST(CAST(n AS DECIMAL(38,0)) * spp - sp * sp AS VARCHAR) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (n - 1)) AS var_price,
+      CAST(CAST(CAST(n AS DECIMAL(38,0)) * sdd - sd * sd AS VARCHAR) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (n - 1)) AS var_disc,
+      CAST(CAST(CAST(n AS DECIMAL(38,0)) * sqp - sq * sp AS VARCHAR) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (n - 1)) AS cov_qty_price,
+      CAST(CAST(CAST(n AS DECIMAL(38,0)) * sqd - sq * sd AS VARCHAR) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (n - 1)) AS cov_qty_disc,
+      CAST(CAST(CAST(n AS DECIMAL(38,0)) * spd - sp * sd AS VARCHAR) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (n - 1)) AS cov_price_disc
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 3x3 sample covariance matrix of (quantity, price cents,
+    discount pct) over lineitem in ONE pass: every entry derives from
+    the 9 exact DECIMAL(38,0) cross-moment sums via
+    cov(X,Y) = (n*Sxy - Sx*Sy) / (n*(n-1)) — the n-scaled form that
+    never materializes a mean, so the only doubles are one VARCHAR-hop
+    cast per exact numerator and a fixed divide tree (identical both
+    engines).  Spp*n stays inside DECIMAL(38,0) to ~1e11 rows at
+    1e7-cent prices.
+
+    Scale shape: ONE scan, ONE map-side-partial aggregate to a single
+    9-sum row — the textbook all-reduce; nothing downstream touches
+    data rows.  This is agg_corr_regr generalized from a single pair to
+    the moment matrix a multivariate OLS/PCA step consumes."""
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity")).cast("long")
+    p = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    d = F.floor(F.col("l_discount") * 100).cast("long")
+    b = li.select(q.alias("q"), p.alias("p"), d.alias("d"))
+
+    def msum(x, y):
+        return F.sum(F.col(x).cast(d38) * F.col(y)).cast(d38)
+
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q").cast(d38)).cast(d38).alias("sq"),
+        F.sum(F.col("p").cast(d38)).cast(d38).alias("sp"),
+        F.sum(F.col("d").cast(d38)).cast(d38).alias("sd"),
+        msum("q", "q").alias("sqq"),
+        msum("p", "p").alias("spp"),
+        msum("d", "d").alias("sdd"),
+        msum("q", "p").alias("sqp"),
+        msum("q", "d").alias("sqd"),
+        msum("p", "d").alias("spd"),
+    )
+    n = F.col("n")
+    den = n.cast("double") * (n - 1)
+
+    def cov(sxy, sx, sy):
+        return dbl((n.cast(d38) * F.col(sxy) - F.col(sx) * F.col(sy)).cast(d38)) / den
+
+    return s.select(
+        "n",
+        cov("sqq", "sq", "sq").alias("var_qty"),
+        cov("spp", "sp", "sp").alias("var_price"),
+        cov("sdd", "sd", "sd").alias("var_disc"),
+        cov("sqp", "sq", "sp").alias("cov_qty_price"),
+        cov("sqd", "sq", "sd").alias("cov_qty_disc"),
+        cov("spd", "sp", "sd").alias("cov_price_disc"),
+    )

@@ -1145,3 +1145,92 @@ def window_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("peak_open").desc(), "o_custkey")
         .limit(20)
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, event_id, cum,
+             CAST(MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - cum AS BIGINT)
+               AS drawdown
+      FROM c
+    ),
+    pk AS (
+      SELECT user_id, drawdown AS max_drawdown_cents, event_id AS at_event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY drawdown DESC, event_id) AS rk
+      FROM dd
+    )
+    SELECT user_id, max_drawdown_cents, at_event_id
+    FROM pk WHERE rk = 1
+    ORDER BY max_drawdown_cents DESC, user_id
+    LIMIT 20
+    """,
+    tags=("window", "events", "timeseries", "topk"),
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest peak-to-trough drop of the
+    cumulative value series in (ts, event_id) order — the standard
+    risk/regression metric, computed as running_max(cumsum) - cumsum
+    with an argmax over the trough event.  Top-20 users by drawdown.
+
+    All-integer: cents cumsum, running max, and difference are exact
+    BIGINT (no floats anywhere).  Both windows use the SAME
+    (ts, event_id) time ordering, so the drawdown follows the actual
+    event sequence AND Spark evaluates both passes in one WindowExec
+    over one exchange+sort.
+
+    Scale shape: both windows are PARTITIONED BY user_id (per-user
+    state, the scalable class); Spark executes them in one WindowExec
+    pair over one (user_id)-hash exchange + sort; the per-user argmax
+    is a map-side-partial struct-max and the global top-20 is
+    TakeOrderedAndProject.  No reference counterpart."""
+    ev = load_table(spark, sf_dir, "events")
+    cw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(cw).cast("long").alias("cum"),
+    )
+    mw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = c.select(
+        "user_id",
+        "event_id",
+        (F.max("cum").over(mw) - F.col("cum")).cast("long").alias("drawdown"),
+    )
+    pk = dd.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("drawdown").alias("max_drawdown_cents"),
+                (-F.col("event_id")).alias("neg_id"),
+                F.col("event_id").alias("at_event_id"),
+            )
+        ).alias("b")
+    )
+    return (
+        pk.select(
+            "user_id",
+            F.col("b.max_drawdown_cents").alias("max_drawdown_cents"),
+            F.col("b.at_event_id").alias("at_event_id"),
+        )
+        .orderBy(F.col("max_drawdown_cents").desc(), "user_id")
+        .limit(20)
+    )

@@ -885,3 +885,54 @@ def test_autocorr_planted(spark, tmp_path):
     # of 1 — the oracle runs the identical tree, so hashes still match
     assert got["alt"].n_pairs == 5 and abs(got["alt"].acf1 + 1.0) < 1e-15
     assert got["ramp"].n_pairs == 4 and abs(got["ramp"].acf1 - 1.0) < 1e-15
+
+
+def test_max_drawdown_planted(spark, tmp_path):
+    """user 1 cumsum 500,200,-200,800 -> running-max gaps 0,300,700,0:
+    max drawdown 700 cents at the trough event; a rising-only user has
+    drawdown 0 (at their first event)."""
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [(1, 1, 5.0), (2, 1, -3.0), (3, 1, -4.0), (4, 1, 10.0),
+            (5, 2, 1.0), (6, 2, 2.0)]
+    rows = [(i, t0 + datetime.timedelta(seconds=i), u, "x", v)
+            for i, u, v in vals]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.user_id: (r.max_drawdown_cents, r.at_event_id)
+           for r in REGISTRY["window_max_drawdown"].fn(spark, str(d)).collect()}
+    assert got[1] == (700, 3)
+    assert got[2] == (0, 5)
+
+
+def test_kcore_peel_planted(spark, tmp_path):
+    """K4 clique {1,2,3,4} (degree 3 each) survives the 3-core peel;
+    pendant supplier 5 (degree 2 via one {1,2,5} order) is removed in
+    round 1 and the clique degrees are unaffected."""
+    orders = [(100, s) for s in (1, 2, 3, 4)] + [(200, s) for s in (1, 2, 5)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        orders, "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.s_suppkey: r.degree
+           for r in REGISTRY["graph_kcore_peel"].fn(spark, str(d)).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_covariance_matrix_planted(spark, tmp_path):
+    """(q,p,d) = (1,100,0),(2,200,10),(3,300,20): perfectly collinear
+    columns -> var 1 / 10000 / 100 and covs 100 / 10 / 1000 exactly."""
+    rows = [(1.0, 1.0, 0.0), (2.0, 2.0, 0.10), (3.0, 3.0, 0.20)]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double, l_discount double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["agg_covariance_matrix"].fn(spark, str(d)).collect()
+    assert r.n == 3
+    assert (r.var_qty, r.var_price, r.var_disc) == (1.0, 10000.0, 100.0)
+    assert (r.cov_qty_price, r.cov_qty_disc, r.cov_price_disc) == (100.0, 10.0, 1000.0)
