@@ -1831,3 +1831,61 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_pairs"),
         (num / (F.sqrt(denx) * F.sqrt(deny))).alias("acf1"),
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+    sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY t),
+    inter AS (
+      SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard,
+           CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS overlap_coef
+    FROM inter
+    JOIN sz sa ON sa.t = type_a
+    JOIN sz sb ON sb.t = type_b
+    """,
+    tags=("agg", "events", "join", "similarity"),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types: Jaccard and
+    overlap (Szymkiewicz-Simpson) coefficients of the user sets — the
+    segment-similarity readout behind "do viewers convert" questions,
+    and the set-overlap primitive under co-engagement matrices.
+
+    Exact integers (distinct-user sets, wedge-counted intersections,
+    inclusion-exclusion union) with ONE IEEE divide per coefficient.
+
+    Scale shape: distinct on (type, user) — one map-side-partial
+    shuffle keyed by the pair; the intersection wedge joins through the
+    USER key with per-user fan-out <= C(|types|, 2) (bounded by the
+    tiny type domain squared, the graph_neighbor_jaccard degree
+    argument), and the size join broadcasts a |types|-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct()
+    sz = ut.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ut.select(F.col("t").alias("type_a"), "u")
+    b = ut.select(F.col("t").alias("type_b"), F.col("u").alias("u2"))
+    inter = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    j = inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.col("n_common").cast("double") / union).alias("jaccard"),
+        (F.col("n_common").cast("double") / F.least("n_a", "n_b")).alias("overlap_coef"),
+    )

@@ -2860,3 +2860,138 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov("sqd", "sq", "sd").alias("cov_qty_disc"),
         cov("spd", "sp", "sd").alias("cov_price_disc"),
     )
+
+
+def _det3_sql(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant as one explicitly-parenthesized SQL double tree —
+    the SAME association the Spark builder below produces, so both
+    engines round identically at every step."""
+    return (
+        f"((({a}) * ((({e}) * ({i})) - (({f}) * ({h}))))"
+        f" - (({b}) * ((({d}) * ({i})) - (({f}) * ({g}))))"
+        f" + (({c}) * ((({d}) * ({h})) - (({e}) * ({g})))))"
+    )
+
+
+def _ols2_oracle() -> str:
+    mom = """
+    WITH b AS (
+      SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+             CAST(FLOOR(l_discount * 100) AS BIGINT) AS d,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+             CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+             CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sqq,
+             CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sdd,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sqd,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS sqp,
+             CAST(SUM(CAST(d AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS sdp
+      FROM b
+    ),
+    f AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS nn,
+             CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS q1,
+             CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(sp AS VARCHAR) AS DOUBLE) AS p1,
+             CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS qq,
+             CAST(CAST(sdd AS VARCHAR) AS DOUBLE) AS dd,
+             CAST(CAST(sqd AS VARCHAR) AS DOUBLE) AS qd,
+             CAST(CAST(sqp AS VARCHAR) AS DOUBLE) AS qp,
+             CAST(CAST(sdp AS VARCHAR) AS DOUBLE) AS dp
+      FROM s
+    )
+    SELECT n,
+           {det0} / {detA} AS beta_intercept_cents,
+           {det1} / {detA} AS beta_per_qty_cents,
+           {det2} / {detA} AS beta_per_disc_pct_cents
+    FROM f
+    """
+    detA = _det3_sql("nn", "q1", "d1", "q1", "qq", "qd", "d1", "qd", "dd")
+    det0 = _det3_sql("p1", "q1", "d1", "qp", "qq", "qd", "dp", "qd", "dd")
+    det1 = _det3_sql("nn", "p1", "d1", "q1", "qp", "qd", "d1", "dp", "dd")
+    det2 = _det3_sql("nn", "q1", "p1", "q1", "qq", "qp", "d1", "qd", "dp")
+    return mom.format(detA=detA, det0=det0, det1=det1, det2=det2)
+
+
+@query(
+    "agg_ols_two_features",
+    oracle=_ols2_oracle(),
+    tags=("agg", "stats", "experiment"),
+)
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS in one pass: price_cents ~ quantity + discount_pct
+    solved from the 3x3 normal equations by Cramer's rule — the
+    multivariate step up from agg_corr_regr's simple regression, and the
+    moment-matrix consumer agg_covariance_matrix's docstring promises.
+
+    Exactness: the normal-equation matrix entries are the exact
+    DECIMAL(38,0) moment sums; each enters the double world through ONE
+    VARCHAR-hop cast, and the four 3x3 determinants are a SINGLE
+    explicitly-parenthesized IEEE tree emitted by the same helper for
+    both engines (_det3_sql / the Column builder here) — deterministic
+    cross-engine, while integer determinants would overflow any fixed
+    decimal at ~1e60.
+
+    Scale shape: ONE scan, ONE map-side-partial aggregate folding nine
+    sums to a single row; the solve is scalar arithmetic on that row.
+    This is the classic 'ML on moments' pattern: the shuffle cost of a
+    d-feature OLS is O(d^2) doubles per partition, independent of rows."""
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_quantity")).cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+
+    def msum(x, y):
+        return F.sum(F.col(x).cast(d38) * F.col(y)).cast(d38)
+
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q").cast(d38)).cast(d38).alias("sq"),
+        F.sum(F.col("d").cast(d38)).cast(d38).alias("sd"),
+        F.sum(F.col("p").cast(d38)).cast(d38).alias("sp"),
+        msum("q", "q").alias("sqq"),
+        msum("d", "d").alias("sdd"),
+        msum("q", "d").alias("sqd"),
+        msum("q", "p").alias("sqp"),
+        msum("d", "p").alias("sdp"),
+    )
+    f = s.select(
+        "n",
+        F.col("n").cast("double").alias("nn"),
+        dbl(F.col("sq")).alias("q1"),
+        dbl(F.col("sd")).alias("d1"),
+        dbl(F.col("sp")).alias("p1"),
+        dbl(F.col("sqq")).alias("qq"),
+        dbl(F.col("sdd")).alias("dd"),
+        dbl(F.col("sqd")).alias("qd"),
+        dbl(F.col("sqp")).alias("qp"),
+        dbl(F.col("sdp")).alias("dp"),
+    )
+
+    def det3(a, b_, c, d, e, ff, g, h, i):
+        # same association as _det3_sql: (t1 - t2) + t3
+        t1 = F.col(a) * ((F.col(e) * F.col(i)) - (F.col(ff) * F.col(h)))
+        t2 = F.col(b_) * ((F.col(d) * F.col(i)) - (F.col(ff) * F.col(g)))
+        t3 = F.col(c) * ((F.col(d) * F.col(h)) - (F.col(e) * F.col(g)))
+        return t1 - t2 + t3
+
+    det_a = det3("nn", "q1", "d1", "q1", "qq", "qd", "d1", "qd", "dd")
+    det0 = det3("p1", "q1", "d1", "qp", "qq", "qd", "dp", "qd", "dd")
+    det1 = det3("nn", "p1", "d1", "q1", "qp", "qd", "d1", "dp", "dd")
+    det2 = det3("nn", "q1", "p1", "q1", "qq", "qp", "d1", "qd", "dp")
+    return f.select(
+        "n",
+        (det0 / det_a).alias("beta_intercept_cents"),
+        (det1 / det_a).alias("beta_per_qty_cents"),
+        (det2 / det_a).alias("beta_per_disc_pct_cents"),
+    )

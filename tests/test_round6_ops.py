@@ -936,3 +936,38 @@ def test_covariance_matrix_planted(spark, tmp_path):
     assert r.n == 3
     assert (r.var_qty, r.var_price, r.var_disc) == (1.0, 10000.0, 100.0)
     assert (r.cov_qty_price, r.cov_qty_disc, r.cov_price_disc) == (100.0, 10.0, 1000.0)
+
+
+def test_ols_two_features_planted(spark, tmp_path):
+    """Plant price = 50 + 20*q + 3*d cents exactly (no noise) on a
+    non-degenerate design -> Cramer recovers the coefficients to within
+    float solve error."""
+    design = [(1, 0), (2, 0), (3, 10), (4, 10), (5, 20), (1, 20)]
+    rows = [(float(q), d / 100.0, (50 + 20 * q + 3 * d) / 100.0)
+            for q, d in design]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["agg_ols_two_features"].fn(spark, str(d)).collect()
+    assert r.n == 6
+    assert abs(r.beta_intercept_cents - 50.0) < 1e-9
+    assert abs(r.beta_per_qty_cents - 20.0) < 1e-9
+    assert abs(r.beta_per_disc_pct_cents - 3.0) < 1e-9
+
+
+def test_audience_overlap_planted(spark, tmp_path):
+    """A-users {1,2,3}, B-users {2,3,4,5}: Jaccard 2/5, overlap 2/3."""
+    t0 = datetime.datetime(2024, 1, 1)
+    pairs = [("A", 1), ("A", 2), ("A", 3), ("A", 3),
+             ("B", 2), ("B", 3), ("B", 4), ("B", 5)]
+    rows = [(i, t0, u, t, 1.0) for i, (t, u) in enumerate(pairs)]
+    d = tmp_path / "sf"
+    _typed_events(spark, rows).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["events_audience_overlap"].fn(spark, str(d)).collect()
+    assert (r.type_a, r.type_b, r.n_a, r.n_b, r.n_common) == ("A", "B", 3, 4, 2)
+    assert r.jaccard == 2 / 5 and r.overlap_coef == 2 / 3
