@@ -1889,3 +1889,82 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_common").cast("double") / union).alias("jaccard"),
         (F.col("n_common").cast("double") / F.least("n_a", "n_b")).alias("overlap_coef"),
     )
+
+
+@query(
+    "events_conversion_lag_percentiles",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_buy
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    l AS (
+      SELECT v.user_id, t_buy - t_view AS lag_us
+      FROM v JOIN p USING (user_id) WHERE t_buy >= t_view
+    ),
+    r AS (
+      SELECT user_id, lag_us,
+             row_number() OVER (ORDER BY lag_us, user_id) - 1 AS i,
+             COUNT(*) OVER () AS n
+      FROM l
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(CASE WHEN i = CAST(floor(((n - 1) * 50) / 100.0) AS BIGINT)
+                         THEN lag_us END) AS BIGINT) AS median_lag_us,
+           CAST(MAX(CASE WHEN i = CAST(floor(((n - 1) * 90) / 100.0) AS BIGINT)
+                         THEN lag_us END) AS BIGINT) AS p90_lag_us
+    FROM r
+    """,
+    tags=("events", "window", "stats", "agg"),
+)
+def events_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user with both a view and
+    a later-or-equal purchase, the lag between their FIRST view and
+    FIRST purchase, summarized as exact median and p90 — the funnel
+    latency readout next to events_funnel's conversion rates.
+
+    Exactness: lags are exact integer microseconds; the percentiles are
+    DISCRETE order statistics selected by index (i = floor((n-1)*p)),
+    not interpolated — so the entire query is integer-only and the
+    oracle states the identical selection with a row_number window.
+
+    Scale shape: two map-side-partial MIN aggregates keyed by user, one
+    user-keyed join, then the order statistics come from the
+    distributed global-index primitive (ungrouped, like the KS/MW
+    callers — its <= 64-row bucket-offsets window is allowlisted) and a
+    final 1-row conditional fold — never Spark's percentile() buffer
+    aggregate, which materializes every value in one reducer's memory."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_buy"))
+    )
+    lags = (
+        v.join(p, "user_id")
+        .where(F.col("t_buy") >= F.col("t_view"))
+        .select("user_id", (F.col("t_buy") - F.col("t_view")).alias("lag_us"))
+    )
+    idx = with_global_index(lags, "lag_us", ["user_id"])
+
+    def at(pct: int):
+        k = F.floor(((F.col("_gn") - 1) * pct) / 100.0).cast("long")
+        return F.max(F.when(F.col("_gidx") == k, F.col("lag_us"))).cast("long")
+
+    return idx.agg(
+        F.max("_gn").cast("long").alias("n_users"),
+        at(50).alias("median_lag_us"),
+        at(90).alias("p90_lag_us"),
+    )

@@ -151,6 +151,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     "agg_ks_two_sample": (1, "bucket offsets, <= 64 rows"),
     # Mann-Whitney midranks: same ungrouped global-index shape as KS
     "agg_mannwhitney_u": (1, "bucket offsets, <= 64 rows"),
+    # conversion-lag order statistics: ungrouped global index over the
+    # per-user lag relation
+    "events_conversion_lag_percentiles": (1, "bucket offsets, <= 64 rows"),
     # global_index bucket-offsets window (<= 64 rows); it appears TWICE
     # because the indexed relation feeds both sides of the banded
     # neighbor self-join (the shuffle under it is reused, the 64-row
