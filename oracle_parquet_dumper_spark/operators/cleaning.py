@@ -347,3 +347,136 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one(2, "gopher_quality", m))
         .unionAll(one(3, "exact_dedup", keepers))
     )
+
+
+@query(
+    "clean_target_encode_loo",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority, SUM(c) AS s, COUNT(*) AS n
+      FROM o GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(g.n AS BIGINT) AS n_cat,
+           CAST(CASE WHEN g.n > 1
+                     THEN (1000 * (g.s - o.c)) // (g.n - 1) END AS BIGINT)
+             AS loo_milli
+    FROM o JOIN g USING (o_orderpriority)
+    """,
+    tags=("clean", "agg", "feature"),
+)
+def clean_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: replace the categorical
+    o_orderpriority with the mean o_totalprice of the OTHER orders in
+    the same category — the standard leakage-free categorical feature
+    for tree/linear models ((sum - self) / (n - 1), NULL for singleton
+    categories).  All-integer: cents in, milli-cents out via integer
+    division, so both engines agree bit-for-bit.
+
+    Scale shape: per-category sums are one map-side-partial groupBy to
+    a #categories-row relation, broadcast back — NO window partitioned
+    by the (low-cardinality, therefore skew-prone) category column, so
+    no reducer ever sees a whole category's rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return o.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_cat"),
+        F.when(
+            F.col("n") > 1,
+            F.expr("(1000 * (s - c)) div (n - 1)"),
+        )
+        .cast("long")
+        .alias("loo_milli"),
+    )
+
+
+@query(
+    "clean_winsorize_scale",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) - 1 AS i,
+             COUNT(*) OVER () AS n
+      FROM o
+    ),
+    b AS (
+      SELECT MAX(CASE WHEN i = CAST(floor((n - 1) / 100.0) AS BIGINT)
+                      THEN c END) AS lo,
+             MAX(CASE WHEN i = CAST(floor(((n - 1) * 99) / 100.0) AS BIGINT)
+                      THEN c END) AS hi
+      FROM r
+    ),
+    w AS (
+      SELECT o_orderkey, o_orderpriority, LEAST(GREATEST(c, lo), hi) AS wz
+      FROM o, b
+    ),
+    s AS (
+      SELECT o_orderpriority, MIN(wz) AS mn, MAX(wz) AS mx
+      FROM w GROUP BY o_orderpriority
+    )
+    SELECT w.o_orderkey, w.o_orderpriority, CAST(wz AS BIGINT) AS w_cents,
+           CAST(CASE WHEN mx > mn THEN (1000 * (wz - mn)) // (mx - mn) END
+                AS BIGINT) AS scaled_milli
+    FROM w JOIN s USING (o_orderpriority)
+    """,
+    tags=("clean", "window", "feature", "skew-source"),
+)
+def clean_winsorize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize + per-group min-max scale: clip o_totalprice at the
+    EXACT global p1/p99 order statistics (outlier-robust), then scale
+    to [0, 1000] within each o_orderpriority group — the standard
+    robust feature-scaling pass before model training.  All-integer
+    (cents clipped, milli-scaled by integer division).
+
+    Scale shape: the p1/p99 order statistics come from the distributed
+    global index with the QUANTILE bucketer (monetary amounts are
+    heavy-tailed — the skew-source contract from plans/audit.py), fold
+    to a 1-row broadcast; the per-group min/max is a map-side-partial
+    groupBy broadcast back.  No window ever touches data rows."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    idx = with_global_index(o, "c", ["o_orderkey"], bucketer="quantile")
+
+    def at(pct: int):
+        k = F.floor(((F.col("_gn") - 1) * pct) / 100.0).cast("long")
+        return F.max(F.when(F.col("_gidx") == k, F.col("c"))).cast("long")
+
+    bounds = idx.agg(at(1).alias("lo"), at(99).alias("hi"))
+    w = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi")).alias("wz"),
+    )
+    s = w.groupBy("o_orderpriority").agg(
+        F.min("wz").alias("mn"), F.max("wz").alias("mx")
+    )
+    return w.join(F.broadcast(s), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("wz").cast("long").alias("w_cents"),
+        F.when(F.col("mx") > F.col("mn"), F.expr("(1000 * (wz - mn)) div (mx - mn)"))
+        .cast("long")
+        .alias("scaled_milli"),
+    )

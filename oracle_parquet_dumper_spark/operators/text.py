@@ -1131,3 +1131,73 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
         ).alias("flesch"),
     )
+
+
+@query(
+    "text_chao1_goodturing",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    ff AS (SELECT c, COUNT(*) AS nf FROM tf GROUP BY c),
+    s AS (
+      SELECT CAST(SUM(nf) AS BIGINT) AS v_observed,
+             CAST(SUM(c * nf) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(MAX(CASE WHEN c = 1 THEN nf END), 0) AS BIGINT) AS f1,
+             CAST(COALESCE(MAX(CASE WHEN c = 2 THEN nf END), 0) AS BIGINT) AS f2
+      FROM ff
+    )
+    SELECT v_observed, n_tokens, f1, f2,
+           round(v_observed + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6) AS chao1_est,
+           round(f1 / CAST(n_tokens AS DOUBLE), 6) AS gt_unseen_mass
+    FROM s
+    """,
+    tags=("text", "agg", "stats"),
+)
+def text_chao1_goodturing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-richness estimators from the frequency-of-
+    frequencies profile: bias-corrected Chao1 (how many vocabulary items
+    the corpus has INCLUDING ones never sampled — V + f1(f1-1)/(2(f2+1)),
+    Chao 1984) and the Good-Turing unseen-probability mass f1/N (the
+    probability the next token is a new word, Good 1953).  The two
+    standard answers to "have we scraped enough data for this domain?"
+    in corpus curation.
+
+    Scale shape: one token-keyed groupBy (the only data-sized shuffle),
+    then the frequency-of-frequencies relation is at most #distinct-
+    counts rows (tiny) and folds to a single row — both estimators are
+    integer counts until the two final divisions, which both engines
+    state with the identical double expression."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(words_col_lower()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ff = tf.groupBy("c").agg(F.count(F.lit(1)).alias("nf"))
+    s = ff.agg(
+        F.sum("nf").cast("long").alias("v_observed"),
+        F.sum(F.col("c") * F.col("nf")).cast("long").alias("n_tokens"),
+        F.coalesce(F.max(F.when(F.col("c") == 1, F.col("nf"))), F.lit(0))
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(F.max(F.when(F.col("c") == 2, F.col("nf"))), F.lit(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return s.select(
+        "v_observed",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(
+            F.col("v_observed")
+            + (F.col("f1") * (F.col("f1") - 1)) / (2.0 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1_est"),
+        F.round(F.col("f1") / F.col("n_tokens").cast("double"), 6).alias(
+            "gt_unseen_mass"
+        ),
+    )

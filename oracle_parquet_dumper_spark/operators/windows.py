@@ -1234,3 +1234,158 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_drawdown_cents").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "window_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+      FROM part
+    ),
+    w AS (
+      SELECT *,
+             MIN(p_size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_lt,
+             MIN(p_size) OVER (PARTITION BY price_cents) AS min_eq
+      FROM p
+    )
+    SELECT p_partkey, price_cents, p_size
+    FROM w
+    WHERE (min_lt IS NULL OR min_lt > p_size) AND min_eq >= p_size
+    """,
+    tags=("window", "olap"),
+)
+def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (p_retailprice, p_size), both minimized — q dominates p when q is
+    <= on both axes and strictly < on at least one.  The classic OLAP
+    operator the reference's delegated SQL engine would own
+    (README.md:9); absent from Spark's builtin surface.
+
+    Scale shape: for 2-D the skyline is a running-min sweep, NOT a
+    quadratic dominance join — sort by price, and a point survives iff
+    no cheaper point has seen an equal-or-smaller size.  The sweep is
+    distributed with the bucket-offset trick from ``global_index``:
+    range-bucket on price (equal prices share a bucket, so a strictly
+    lower bucket means strictly lower price), per-bucket min-size rolls
+    through a <= 64-row running-min window into broadcast prefix minima,
+    and the within-bucket sweep is a PARTITIONED range-frame window.
+    The oracle states the same sweep with one global RANGE window."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    bounds = p.agg(
+        F.min("price_cents").alias("_mn"), F.max("price_cents").alias("_mx")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / 64.0
+    bucket = (
+        F.when(F.col("_mx") <= F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("price_cents") - F.col("_mn")) / width), F.lit(63)
+            )
+        )
+        .cast("int")
+    )
+    hb = p.crossJoin(F.broadcast(bounds)).withColumn("_gb", bucket).drop("_mn", "_mx")
+    # per-bucket min size -> exclusive prefix minima over <= 64 rows
+    # (the allowlisted bucket-offsets window shape).
+    prefix = hb.groupBy("_gb").agg(F.min("p_size").alias("_bmin")).select(
+        "_gb",
+        F.min("_bmin")
+        .over(W.orderBy("_gb").rowsBetween(W.unboundedPreceding, -1))
+        .alias("_min_lower"),
+    )
+    in_w = (
+        W.partitionBy("_gb")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    eq_w = W.partitionBy("_gb", "price_cents")
+    big = F.lit(2_147_483_647)
+    dominated = (
+        (F.coalesce(F.col("_min_lower"), big) <= F.col("p_size"))
+        | (F.coalesce(F.min("p_size").over(in_w), big) <= F.col("p_size"))
+        | (F.min("p_size").over(eq_w) < F.col("p_size"))
+    )
+    return (
+        hb.join(F.broadcast(prefix), "_gb")
+        .withColumn("_dom", dominated)
+        .where(~F.col("_dom"))
+        .select("p_partkey", "price_cents", "p_size")
+    )
+
+
+@query(
+    "window_largest_remainder_alloc",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT) AS wc
+      FROM lineitem
+    ),
+    o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS t FROM orders),
+    j AS (
+      SELECT l_orderkey, l_linenumber, wc, t,
+             SUM(wc) OVER (PARTITION BY l_orderkey) AS wsum
+      FROM li JOIN o ON l_orderkey = o_orderkey
+    ),
+    b AS (
+      SELECT *, (t * wc) // wsum AS base, (t * wc) % wsum AS rem FROM j
+    ),
+    r AS (
+      SELECT *,
+             t - SUM(base) OVER (PARTITION BY l_orderkey) AS extra,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber, wc) AS rn
+      FROM b
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+    FROM r
+    """,
+    tags=("window", "finance"),
+)
+def window_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation with largest-remainder rounding: spread
+    each order's total price across its lineitems proportionally to
+    l_extendedprice, in whole cents, such that the allocations sum to
+    EXACTLY the order total — floor(T*w/W) per item, then the leftover
+    cents go to the largest fractional remainders (tie-break by line
+    number).  The standard exact-sum allocation used in finance and
+    budget fan-out; all-integer, so both engines agree bit-for-bit.
+
+    Scale shape: every window is partitioned by l_orderkey (bounded
+    groups, <= 7 lines), the orders side joins on the same key, and the
+    products t*wc stay under 2^50 — no decimal widening needed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("wc"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("t"),
+    )
+    ow = W.partitionBy("l_orderkey")
+    j = li.join(o, "l_orderkey").withColumn("wsum", F.sum("wc").over(ow))
+    b = j.withColumn("base", F.expr("(t * wc) div wsum")).withColumn(
+        "rem", (F.col("t") * F.col("wc")) % F.col("wsum")
+    )
+    r = b.withColumn("extra", F.col("t") - F.sum("base").over(ow)).withColumn(
+        "rn",
+        F.row_number().over(
+            ow.orderBy(F.col("rem").desc(), "l_linenumber", "wc")
+        ),
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base") + F.when(F.col("rn") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )

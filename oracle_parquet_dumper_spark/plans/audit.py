@@ -154,6 +154,12 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # conversion-lag order statistics: ungrouped global index over the
     # per-user lag relation
     "events_conversion_lag_percentiles": (1, "bucket offsets, <= 64 rows"),
+    # skyline sweep: per-bucket min-size prefix minima over <= 64 rows
+    "window_skyline_pareto": (1, "bucket prefix minima, <= 64 rows"),
+    # winsorize bounds: ungrouped global index (quantile bucketer) over
+    # the orders relation; the offsets and totals windows stay separate
+    # nodes under the checkpointed-boundaries subtree, both <= 64 rows
+    "clean_winsorize_scale": (2, "bucket offsets + totals, <= 64 rows each"),
     # global_index bucket-offsets window (<= 64 rows); it appears TWICE
     # because the indexed relation feeds both sides of the banded
     # neighbor self-join (the shuffle under it is reused, the 64-row
