@@ -1968,3 +1968,191 @@ def events_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataF
         at(50).alias("median_lag_us"),
         at(90).alias("p90_lag_us"),
     )
+
+
+@query(
+    "events_bot_regularity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(gap_us AS HUGEINT)) AS s,
+             SUM(CAST(gap_us AS HUGEINT) * gap_us) AS ssq
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 12
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           CAST(s // n AS BIGINT) AS mean_gap_us,
+           CAST((1000 * n * (n * ssq - s * s))
+                // nullif((n - 1) * s * s, 0) AS BIGINT) AS cv2_milli,
+           CASE WHEN s = 0 THEN TRUE
+                ELSE (1000 * n * (n * ssq - s * s)) // ((n - 1) * s * s) < 100
+           END AS is_bot
+    FROM a
+    """,
+    tags=("events", "agg", "window", "clean"),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screen on inter-arrival regularity: per user, the
+    squared coefficient of variation of the gaps between consecutive
+    events — humans are bursty (cv ~ 1 for Poisson arrivals, higher
+    with sessions), schedulers and scrapers are metronomic (cv near 0).
+    The standard pre-training curation gate that drops machine-generated
+    interaction logs before they poison engagement-weighted sampling.
+
+    cv^2 = n(n*ssq - s^2) / ((n-1) s^2) on exact microsecond gaps, all
+    in 128-bit integers (DECIMAL(38,0) / HUGEINT — s^2 reaches ~1e32 for
+    month-long spans) with one integer division to milli units, so both
+    engines agree bit-for-bit; s = 0 (all gaps zero) is the perfectly
+    regular degenerate flagged directly.
+
+    Scale shape: the lag window and the moment aggregate are both keyed
+    by user_id (map-side partial for the latter); nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    gap38 = F.col("gap_us").cast(d38)
+    a = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(gap38).alias("s"),
+            F.sum((gap38 * F.col("gap_us")).cast(d38)).alias("ssq"),
+        )
+        .where(F.col("n") >= 12)
+    )
+    return a.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_gap_us"),
+        F.expr(
+            "CAST((1000 * n * (n * ssq - s * s)) "
+            "div nullif((n - 1) * s * s, CAST(0 AS decimal(38,0))) AS BIGINT)"
+        ).alias("cv2_milli"),
+        F.when(F.col("s") == 0, F.lit(True))
+        .otherwise(
+            F.expr("(1000 * n * (n * ssq - s * s)) div ((n - 1) * s * s)") < 100
+        )
+        .alias("is_bot"),
+    )
+
+
+@query(
+    "events_markov_top1_accuracy",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    pairs AS (SELECT prev_type, event_type, ts_us FROM p WHERE prev_type IS NOT NULL),
+    b AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS split_us
+      FROM events, LATERAL (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us) t
+    ),
+    train AS (
+      SELECT prev_type, event_type, COUNT(*) AS cnt
+      FROM pairs, b WHERE ts_us <= split_us GROUP BY prev_type, event_type
+    ),
+    model AS (
+      SELECT prev_type, event_type AS predicted
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+                                         ORDER BY cnt DESC, event_type) AS rn
+            FROM train)
+      WHERE rn = 1
+    ),
+    ev AS (SELECT prev_type, event_type FROM pairs, b WHERE ts_us > split_us)
+    SELECT CAST((SELECT SUM(cnt) FROM train) AS BIGINT) AS n_train_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_pairs,
+           CAST(SUM(CASE WHEN predicted = event_type THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST((1000 * SUM(CASE WHEN predicted = event_type THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS acc_milli
+    FROM ev LEFT JOIN model USING (prev_type)
+    """,
+    tags=("events", "window", "agg", "eval"),
+)
+def events_markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event model under a
+    TEMPORAL split: transitions in the first half of the time range
+    train the per-state argmax predictor, transitions in the second
+    half score it — top-1 accuracy in exact milli units.  The eval twin
+    of events_markov_transitions: the pattern every sequence-model
+    data pipeline needs (train/eval leakage control by time, not by
+    random row).
+
+    Scale shape: ONE pass over data rows — the user-keyed lag window
+    feeds a single (prev, next, is_train) aggregate, so train counting
+    AND eval scoring both run on the tiny #states^2 counts relation
+    (prediction depends only on prev_type, so identical eval pairs
+    score identically — no per-row join needed).  The split point is a
+    1-row broadcast min/max fold; the argmax is a partitioned window
+    over the counts relation."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type"),
+            ts_us.alias("ts_us"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    b = ev.agg(
+        F.expr(
+            "CAST((MIN(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + MAX(unix_micros(CAST(ts AS TIMESTAMP)))) div 2 AS BIGINT)"
+        ).alias("split_us")
+    )
+    counts = (
+        pairs.crossJoin(F.broadcast(b))
+        .groupBy(
+            "prev_type",
+            "event_type",
+            (F.col("ts_us") <= F.col("split_us")).alias("is_train"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # tiny (#states^2 x 2) but referenced by both the train and the
+        # eval branch — checkpoint so events is scanned ONCE
+        .localCheckpoint(eager=False)
+    )
+    train = counts.where("is_train").select("prev_type", "event_type", "cnt")
+    mw = W.partitionBy("prev_type").orderBy(F.col("cnt").desc(), "event_type")
+    model = (
+        train.withColumn("rn", F.row_number().over(mw))
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("event_type").alias("predicted"))
+    )
+    tt = train.agg(F.sum("cnt").cast("long").alias("n_train_pairs"))
+    evl = counts.where(~F.col("is_train")).join(
+        F.broadcast(model), "prev_type", "left"
+    )
+    hit = F.when(F.col("predicted") == F.col("event_type"), F.col("cnt")).otherwise(0)
+    return (
+        evl.agg(
+            F.sum("cnt").alias("n_eval"),
+            F.sum(hit).alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "n_train_pairs",
+            F.col("n_eval").cast("long").alias("n_eval_pairs"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.expr("CAST((1000 * n_correct) div n_eval AS BIGINT)").alias(
+                "acc_milli"
+            ),
+        )
+    )

@@ -502,3 +502,79 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@query(
+    "dq_functional_dependencies",
+    oracle="""
+    WITH cands AS (
+      SELECT 'orders.o_orderkey->o_custkey' AS fd,
+             COUNT(*) AS n_lhs,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS viol,
+             MAX(nd) AS max_rhs
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+            FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'orders.o_custkey->o_orderpriority',
+             COUNT(*), SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), MAX(nd)
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'lineitem.l_partkey->l_suppkey',
+             COUNT(*), SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), MAX(nd)
+      FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS nd
+            FROM lineitem GROUP BY l_partkey)
+      UNION ALL
+      SELECT 'nation.n_nationkey->n_regionkey',
+             COUNT(*), SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), MAX(nd)
+      FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS nd
+            FROM nation GROUP BY n_nationkey)
+      UNION ALL
+      SELECT 'customer.c_nationkey->c_mktsegment',
+             COUNT(*), SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), MAX(nd)
+      FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY c_nationkey)
+    )
+    SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs_groups,
+           CAST(viol AS BIGINT) AS violating_groups,
+           CAST(max_rhs AS BIGINT) AS max_rhs_per_lhs,
+           viol = 0 AS holds
+    FROM cands
+    """,
+    tags=("validation", "agg", "profiling"),
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over a fixed candidate set: for each
+    A -> B candidate, the number of A-groups, how many of them see more
+    than one distinct B (violations), and the worst fan-out — the core
+    primitive of schema profiling (key discovery, denormalization
+    checks) that an export pipeline runs to decide partition and
+    bucketing columns before a 100 TB dump.
+
+    Scale shape: each candidate is one two-level hash aggregate
+    (groupBy A with per-group exact distinct-B, then a 1-row fold);
+    the union carries five 1-row relations.  No joins, no windows."""
+
+    def probe(table: str, lhs: str, rhs: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        per = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return per.agg(
+            F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_groups"),
+            F.max("nd").cast("long").alias("max_rhs_per_lhs"),
+        )
+
+    parts = [
+        probe("orders", "o_orderkey", "o_custkey"),
+        probe("orders", "o_custkey", "o_orderpriority"),
+        probe("lineitem", "l_partkey", "l_suppkey"),
+        probe("nation", "n_nationkey", "n_regionkey"),
+        probe("customer", "c_nationkey", "c_mktsegment"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.withColumn("holds", F.col("violating_groups") == 0)

@@ -182,6 +182,9 @@ EXCHANGE_BUDGET: dict[str, tuple[int, str]] = {
     # each: quantile boundaries, bucket counts, within-bucket ranks /
     # band join sides) + the cross-pass distinct
     "dedup_sorted_neighborhood_multipass": (14, "2 SNM passes + union distinct"),
+    # 5 independent FD probes, each a groupBy + 1-row fold over its own
+    # table, unioned — exchanges scale with #candidates, not data
+    "dq_functional_dependencies": (16, "5 FD probes x groupBy+fold"),
 }
 
 
