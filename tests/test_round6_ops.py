@@ -971,3 +971,93 @@ def test_audience_overlap_planted(spark, tmp_path):
     [r] = REGISTRY["events_audience_overlap"].fn(spark, str(d)).collect()
     assert (r.type_a, r.type_b, r.n_a, r.n_b, r.n_common) == ("A", "B", 3, 4, 2)
     assert r.jaccard == 2 / 5 and r.overlap_coef == 2 / 3
+
+
+def test_skyline_planted(spark, tmp_path):
+    """Known 2-D frontier with the three tie shapes: a duplicate point
+    (both survive — no strict improvement), an equal-price pair where
+    only the smaller size survives, and a clearly dominated interior."""
+    rows = [
+        # (partkey, price, size)
+        (1, 10.00, 5),   # frontier (cheapest)
+        (2, 20.00, 3),   # frontier
+        (3, 20.00, 4),   # equal price, larger size -> dominated by 2
+        (4, 30.00, 3),   # same size as 2 at higher price -> dominated
+        (5, 40.00, 1),   # frontier
+        (6, 40.00, 1),   # exact duplicate of 5 -> BOTH survive
+        (7, 50.00, 2),   # dominated by 5/6
+        (8, 60.00, 1),   # size ties frontier min at higher price -> dominated
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    ).select(
+        "p_partkey",
+        F.lit("n").alias("p_name"),
+        F.lit("b").alias("p_brand"),
+        F.lit("t").alias("p_type"),
+        "p_size",
+        "p_retailprice",
+    ).write.parquet(str(d / "part.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = sorted(
+        r.p_partkey
+        for r in REGISTRY["window_skyline_pareto"].fn(spark, str(d)).collect()
+    )
+    assert got == [1, 2, 5, 6]
+
+
+def test_largest_remainder_alloc_planted(spark, tmp_path):
+    """Total 100 cents over weights 1:1:1 -> 34/33/33 with the extra
+    cent on the lowest line number (remainders tie); and the invariant
+    sum(alloc) == order total even when total != sum of weights."""
+    d = tmp_path / "sf"
+    li = [
+        (1, 1, 0.10), (1, 2, 0.10), (1, 3, 0.10),
+        (2, 1, 0.30), (2, 2, 0.10),
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_linenumber int, l_extendedprice double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 1.00), (2, 0.99)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(d / "orders.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["window_largest_remainder_alloc"].fn(spark, str(d)).collect()
+    a = {(r.l_orderkey, r.l_linenumber): r.alloc_cents for r in out}
+    assert a[(1, 1)] == 34 and a[(1, 2)] == 33 and a[(1, 3)] == 33
+    # order 2: 99 * [30,10]/40 = [74.25, 24.75] -> base [74,24], one
+    # extra cent to the larger remainder (line 2)
+    assert a[(2, 1)] == 74 and a[(2, 2)] == 25
+    assert a[(2, 1)] + a[(2, 2)] == 99
+
+
+def test_bot_regularity_planted(spark, tmp_path):
+    """User 1: 12 exactly-equal gaps -> cv^2 = 0, flagged. User 2:
+    alternating 1s/3s gaps -> cv^2 = (n/(n-1)) * var_n/mean^2 > 0.1,
+    not flagged. User 3: too few gaps -> filtered out."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(13):  # 12 equal 60s gaps
+        eid += 1
+        rows.append((eid, t0 + datetime.timedelta(seconds=60 * i), 1, 1.0))
+    t = t0
+    for i in range(13):  # alternating 1s / 3s gaps
+        eid += 1
+        rows.append((eid, t, 2, 1.0))
+        t += datetime.timedelta(seconds=1 if i % 2 == 0 else 3)
+    rows += [(98, t0, 3, 1.0), (99, t0 + datetime.timedelta(seconds=5), 3, 1.0)]
+    d = tmp_path / "sf"
+    _events(spark, rows).withColumn("event_type", F.lit("x")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {r.user_id: r for r in REGISTRY["events_bot_regularity"].fn(spark, str(d)).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].cv2_milli == 0 and got[1].is_bot
+    assert got[1].mean_gap_us == 60_000_000
+    assert got[2].cv2_milli >= 100 and not got[2].is_bot
