@@ -2156,3 +2156,58 @@ def events_markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_halflife_engagement",
+    oracle="""
+    WITH b AS (
+      SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax FROM events
+    ),
+    d AS (
+      SELECT user_id,
+             (1000 * CAST(round(value * 100) AS BIGINT))
+               // (CAST(1 AS BIGINT) << CAST(least(
+                    (tmax - epoch_us(CAST(ts AS TIMESTAMP)))
+                      // 604800000000, 40) AS INT)) AS dv
+      FROM events, b
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dv) AS BIGINT) AS engagement_milli
+    FROM d GROUP BY user_id
+    """,
+    tags=("events", "agg", "timeseries"),
+)
+def events_halflife_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score with a one-week half-life:
+    each event contributes value / 2^age_weeks, so activity decays
+    geometrically toward the newest timestamp — the standard freshness
+    prior for ranking users (or documents) in curation and retrieval.
+
+    Exactness: the decay is a power of two, so it is an integer SHIFT,
+    not a float exp() — value in milli-cents integer-divided by
+    (1 << min(age_weeks, 40)); the cap is semantics-free (the largest
+    numerator is < 2^37 milli-cents, so any shift past 40 is already
+    zero) and keeps the shift inside 64-bit for arbitrarily old data.
+    The whole query is 64-bit integer arithmetic;
+    no libm, no summation-order sensitivity, bit-identical across
+    engines.
+
+    Scale shape: a 1-row max-timestamp broadcast, then one map-side-
+    partial user-keyed aggregate.  Nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(F.max(ts_us).alias("tmax"))
+    d = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.expr(
+            "(1000 * CAST(round(value * 100) AS BIGINT))"
+            " div shiftleft(CAST(1 AS BIGINT),"
+            " CAST(least((tmax - unix_micros(CAST(ts AS TIMESTAMP)))"
+            " div 604800000000L, 40L) AS INT))"
+        ).alias("dv"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dv").cast("long").alias("engagement_milli"),
+    )

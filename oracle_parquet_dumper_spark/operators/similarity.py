@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_parquet_dumper_spark.functions.vectors import (
+    as_double,
     cosine_rounded,
     cosine_rounded_sql,
     dot,
@@ -1324,3 +1325,93 @@ def sim_recall_eval_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+@query(
+    "sim_centroid_classify",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS e
+      FROM embeddings
+    ),
+    cg AS (
+      SELECT label, i,
+             round(CAST(SUM(CAST(e AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS c
+      FROM comp GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label AS clabel, list(c ORDER BY i) AS cvec FROM cg GROUP BY label
+    ),
+    pairs AS (
+      SELECT vec_id, label, clabel,
+             round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                   - 2 * list_dot_product(embedding::DOUBLE[], cvec)
+                   + list_dot_product(cvec, cvec), 6) AS dist
+      FROM embeddings CROSS JOIN cent
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS predicted
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, clabel) AS rn
+            FROM pairs)
+      WHERE rn = 1
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(predicted AS BIGINT) AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY label, predicted
+    """,
+    tags=("similarity", "eval", "agg"),
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification with a confusion matrix: per-label
+    mean embedding (the Rocchio classifier), every vector assigned to
+    its closest centroid by squared L2, confusion counts (label,
+    predicted, n) — the quickest read on whether an embedding space
+    separates its labels, run before any expensive probe training.
+
+    Portability: centroid components are DECIMAL(38,18)-summed (exact,
+    order-independent) then rounded to 6 digits, so both engines build
+    IDENTICAL centroids; distances expand to x.x - 2x.c + c.c with the
+    shared left-fold dot product and round(6), and the argmin tie-breaks
+    on label — fully deterministic.
+
+    Scale shape: the component sum is one (label, dim)-keyed partial
+    aggregate (#labels x dim rows out); centroids broadcast; per-vector
+    scoring is a #labels-wide broadcast cross join folded JVM-side with
+    a groupBy argmin, so the data-sized relation is scanned once and
+    shuffled only by vec_id for the argmin."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    cg = comp.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    cent = cg.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    xd = e.select("vec_id", "label", as_double("embedding").alias("xd"))
+    pairs = xd.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            dot("xd", "xd") - 2 * dot("xd", "cvec") + dot("cvec", "cvec"), 6
+        ).alias("dist"),
+    )
+    pred = pairs.groupBy("vec_id", "label").agg(
+        F.min(F.struct("dist", "clabel")).alias("m")
+    )
+    return pred.groupBy(
+        F.col("label").cast("long").alias("label"),
+        F.col("m.clabel").cast("long").alias("predicted"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
