@@ -1061,3 +1061,49 @@ def test_bot_regularity_planted(spark, tmp_path):
     assert got[1].cv2_milli == 0 and got[1].is_bot
     assert got[1].mean_gap_us == 60_000_000
     assert got[2].cv2_milli >= 100 and not got[2].is_bot
+
+
+def test_halflife_engagement_planted(spark, tmp_path):
+    """Events now / 1 week old / 2.5 weeks old with value $1.00 ->
+    100000 + 50000 + 25000 milli-cents (shift by floor(age_weeks))."""
+    t0 = datetime.datetime(2024, 6, 1)
+    wk = datetime.timedelta(days=7)
+    rows = [
+        (1, t0, 1, 1.00),
+        (2, t0 - wk, 1, 1.00),
+        (3, t0 - 2.5 * wk, 1, 1.00),
+    ]
+    d = tmp_path / "sf"
+    _events(spark, rows).withColumn("event_type", F.lit("x")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(str(d / "events.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    [r] = REGISTRY["events_halflife_engagement"].fn(spark, str(d)).collect()
+    assert (r.user_id, r.n_events, r.engagement_milli) == (1, 3, 175000)
+
+
+def test_centroid_classify_planted(spark, tmp_path):
+    """Two well-separated label clusters plus one mislabeled point:
+    centroids (0,1) and (10,1); the (9.9, 1.0) point carries label 0
+    but lands on centroid 1 -> exactly one off-diagonal cell."""
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.0, 2.0], 0),
+        (3, [9.9, 1.0], 0),  # mislabeled
+        (4, [10.0, 0.0], 1),
+        (5, [10.0, 2.0], 1),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {
+        (r.label, r.predicted): r.n
+        for r in REGISTRY["sim_centroid_classify"].fn(spark, str(d)).collect()
+    }
+    # label-0 centroid is pulled to (3.3, 1.0) by the mislabeled point;
+    # vecs 1,2 stay closer to it, vec 3 is closer to (10, 1)
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 2}
