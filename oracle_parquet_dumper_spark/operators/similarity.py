@@ -1415,3 +1415,83 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("label"),
         F.col("m.clabel").cast("long").alias("predicted"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query(
+    "sim_within_class_cohesion",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS e
+      FROM embeddings
+    ),
+    sv AS (
+      SELECT label, i,
+             round(CAST(SUM(CAST(e AS DECIMAL(38,18))) AS DOUBLE), 6) AS s
+      FROM comp GROUP BY label, i
+    ),
+    svec AS (
+      SELECT label, list(s ORDER BY i) AS svec FROM sv GROUP BY label
+    ),
+    q AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(CAST(
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+             AS DECIMAL(38,12))) AS DOUBLE) AS qsum
+      FROM embeddings GROUP BY label
+    )
+    SELECT CAST(q.label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+           round((list_dot_product(svec, svec) - qsum) / (n * (n - 1)), 6)
+             AS mean_pair_dot
+    FROM q JOIN svec ON q.label = svec.label
+    WHERE n > 1
+    """,
+    tags=("similarity", "agg", "stats"),
+)
+def sim_within_class_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class cohesion of the embedding space: the mean pairwise
+    dot product among all vectors sharing a label, per label — high
+    cohesion + separated centroids (sim_centroid_classify) is the
+    two-line health check of a labeled embedding corpus.
+
+    The scale trick is the sum-of-vectors identity
+        sum_{i != j} x_i . x_j  =  |S|^2 - sum_i |x_i|^2,  S = sum_i x_i
+    which turns the O(n^2) pairwise relation into TWO linear partial
+    aggregates (componentwise vector sum + scalar norm sum) — the same
+    identity that makes one-pass variance work, lifted to vectors.  No
+    pair join exists at any scale.
+
+    Portability: component sums are DECIMAL(38,18)-exact then rounded
+    to 6 digits (identical S in both engines); per-row |x|^2 doubles
+    are DECIMAL(38,12)-summed across rows (order-independent); the
+    final ratio is one shared double expression rounded to 6."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    sv = comp.groupBy("label", "i").agg(
+        F.round(F.sum(F.col("v").cast("decimal(38,18)")).cast("double"), 6).alias(
+            "s"
+        )
+    )
+    svec = sv.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda t: t["s"]
+        ).alias("svec")
+    )
+    xd = e.select("label", as_double("embedding").alias("xd"))
+    q = xd.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dot("xd", "xd").cast("decimal(38,12)")).cast("double").alias("qsum"),
+    )
+    return (
+        q.join(F.broadcast(svec), "label")
+        .where(F.col("n") > 1)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (dot("svec", "svec") - F.col("qsum")) / (F.col("n") * (F.col("n") - 1)),
+                6,
+            ).alias("mean_pair_dot"),
+        )
+    )
