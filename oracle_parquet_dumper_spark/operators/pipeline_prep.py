@@ -502,3 +502,87 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * (count(1) - count(distinct h))) div count(1)"
         ).alias("exact_dup_ppm"),
     )
+
+
+@query(
+    "pipeline_token_budget_fill",
+    oracle=r"""
+    WITH per AS (
+      SELECT source,
+             SUM(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> length(t) > 0)) AS BIGINT)) AS tok,
+             SUM(CAST(len(regexp_extract_all(lower(text),
+                                             '\b(the|a|of|and|to)\b')) AS BIGINT)) AS sh
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, tok, (1000 * sh) // tok AS quality_milli FROM per
+    ),
+    b AS (SELECT SUM(tok) // 2 AS budget FROM per),
+    c AS (
+      SELECT q.*, budget,
+             SUM(tok) OVER (ORDER BY quality_milli DESC, source
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q, b
+    )
+    SELECT source, CAST(tok AS BIGINT) AS tokens_available,
+           CAST(quality_milli AS BIGINT) AS quality_milli,
+           CAST(CASE WHEN cum <= budget THEN tok
+                     WHEN cum - tok < budget THEN budget - (cum - tok)
+                     ELSE 0 END AS BIGINT) AS tokens_taken,
+           CAST((1000 * CASE WHEN cum <= budget THEN tok
+                             WHEN cum - tok < budget THEN budget - (cum - tok)
+                             ELSE 0 END) // tok AS BIGINT) AS take_rate_milli
+    FROM c
+    """,
+    tags=("pipeline", "text", "window"),
+)
+def pipeline_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: given a training budget (half the
+    corpus here), fill it greedily from the highest-quality sources —
+    full take while the budget lasts, a partial take-rate for the
+    marginal source, zero beyond — emitting the per-source sampling
+    plan (tokens_taken, take_rate_milli) a downstream weighted sampler
+    executes.  The deterministic skeleton of quality-aware data-mixture
+    planning (cf. the domain-reweighting literature); quality here is
+    stopword density in milli units, all integer.
+
+    Scale shape: one corpus pass folds to a #sources-row relation; the
+    greedy cumulative sum is a window over THAT (source-level) relation
+    — bounded by the source catalog, never by data — plus a 1-row
+    budget broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).cast(
+        "long"
+    )
+    sh = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"\b(the|a|of|and|to)\b"))
+    ).cast("long")
+    per = d.groupBy("source").agg(F.sum(tok).alias("tok"), F.sum(sh).alias("sh"))
+    q = per.select(
+        "source", "tok", F.expr("(1000 * sh) div tok").alias("quality_milli")
+    )
+    b = per.agg(F.expr("CAST(SUM(tok) div 2 AS BIGINT)").alias("budget"))
+    cw = W.orderBy(F.col("quality_milli").desc(), "source").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = (
+        q.crossJoin(F.broadcast(b))
+        .withColumn("cum", F.sum("tok").over(cw))
+        .withColumn(
+            "taken",
+            F.when(F.col("cum") <= F.col("budget"), F.col("tok"))
+            .when(
+                F.col("cum") - F.col("tok") < F.col("budget"),
+                F.col("budget") - (F.col("cum") - F.col("tok")),
+            )
+            .otherwise(F.lit(0)),
+        )
+    )
+    return c.select(
+        "source",
+        F.col("tok").cast("long").alias("tokens_available"),
+        F.col("quality_milli").cast("long").alias("quality_milli"),
+        F.col("taken").cast("long").alias("tokens_taken"),
+        F.expr("CAST((1000 * taken) div tok AS BIGINT)").alias("take_rate_milli"),
+    )

@@ -160,6 +160,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # the orders relation; the offsets and totals windows stay separate
     # nodes under the checkpointed-boundaries subtree, both <= 64 rows
     "clean_winsorize_scale": (2, "bucket offsets + totals, <= 64 rows each"),
+    # greedy budget fill: cumulative sum over the per-source aggregate
+    # (bounded by the source catalog, never by data)
+    "pipeline_token_budget_fill": (1, "source-level relation, <= #sources rows"),
     # global_index bucket-offsets window (<= 64 rows); it appears TWICE
     # because the indexed relation feeds both sides of the banded
     # neighbor self-join (the shuffle under it is reused, the 64-row
