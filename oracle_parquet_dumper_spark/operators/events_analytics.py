@@ -1932,9 +1932,10 @@ def events_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataF
     not interpolated — so the entire query is integer-only and the
     oracle states the identical selection with a row_number window.
 
-    Scale shape: two map-side-partial MIN aggregates keyed by user, one
-    user-keyed join, then the order statistics come from the
-    distributed global-index primitive (ungrouped, like the KS/MW
+    Scale shape: ONE user-keyed conditional-MIN aggregate (min view
+    time and min purchase time in the same map-side-partial pass — no
+    self-join of the event stream), then the order statistics come from
+    the distributed global-index primitive (ungrouped, like the KS/MW
     callers — its <= 64-row bucket-offsets window is allowlisted) and a
     final 1-row conditional fold — never Spark's percentile() buffer
     aggregate, which materializes every value in one reducer's memory."""
@@ -1942,19 +1943,18 @@ def events_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataF
 
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t_view"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t_buy"))
-    )
     lags = (
-        v.join(p, "user_id")
-        .where(F.col("t_buy") >= F.col("t_view"))
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+        )
+        .where(
+            F.col("t_view").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_buy") >= F.col("t_view"))
+        )
         .select("user_id", (F.col("t_buy") - F.col("t_view")).alias("lag_us"))
     )
     idx = with_global_index(lags, "lag_us", ["user_id"])
