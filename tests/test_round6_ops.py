@@ -1107,3 +1107,31 @@ def test_centroid_classify_planted(spark, tmp_path):
     # label-0 centroid is pulled to (3.3, 1.0) by the mislabeled point;
     # vecs 1,2 stay closer to it, vec 3 is closer to (10, 1)
     assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 2}
+
+
+def test_token_budget_fill_planted(spark, tmp_path):
+    """Three sources, quality order b > a > c by stopword density;
+    budget = half of 12 tokens = 6 -> b taken fully (4), a partially
+    (2 of 4 -> 500 milli), c zero."""
+    rows = [
+        # source a: 4 tokens, 1 stopword hit
+        (1, "the x y z", "en", "a", 9),
+        # source b: 4 tokens, 2 stopword hits
+        (2, "the a x y", "en", "b", 9),
+        # source c: 4 tokens, 0 stopword hits
+        (3, "p q r s", "en", "c", 7),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    from oracle_parquet_dumper_spark.plans.registry import REGISTRY
+
+    got = {
+        r.source: r
+        for r in REGISTRY["pipeline_token_budget_fill"].fn(spark, str(d)).collect()
+    }
+    assert got["b"].tokens_taken == 4 and got["b"].take_rate_milli == 1000
+    assert got["a"].tokens_taken == 2 and got["a"].take_rate_milli == 500
+    assert got["c"].tokens_taken == 0 and got["c"].take_rate_milli == 0
+    assert sum(r.tokens_taken for r in got.values()) == 6
