@@ -810,3 +810,51 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("variant_get(v, '$.k', 'bigint')") % 10).alias("k_mod"),
         F.expr("schema_of_variant(v)").startswith("OBJECT").alias("is_object"),
     )
+
+
+@query(
+    "fn_url_extract",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, '^[a-z]+://(?:[^/?#.]+\.)*([^/?#.]+\.[^/?#.]+)', 1)
+             AS registered_domain
+    FROM u
+    """,
+    tags=("scalar", "string", "text"),
+)
+def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with plain regexes — host, path, query string,
+    and the registered (last-two-label) domain, the key a crawl
+    curation pipeline groups by for per-site quality and rate policy.
+    Deliberately NOT Spark's parse_url: the same two regex engines
+    (Java regex / RE2) agree on these anchored patterns, while
+    parse_url's edge-case behavior has no DuckDB twin.  URLs are
+    synthesized from the documents table so the op is fixture-pure."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
+        F.regexp_extract(
+            url, r"^[a-z]+://(?:[^/?#.]+\.)*([^/?#.]+\.[^/?#.]+)", 1
+        ).alias("registered_domain"),
+    )
