@@ -193,6 +193,106 @@ def with_global_index(
     return out.drop("_gb", "_off")
 
 
+def weighted_quantiles(
+    vc: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    cont: dict[str, float] | None = None,
+    disc: dict[str, float] | None = None,
+    extra_aggs: dict[str, Column] | None = None,
+    n_col: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bucketer: str = "width",
+) -> DataFrame:
+    """Exact percentiles over a VALUE-AGGREGATED relation — the scale-safe
+    replacement for Spark's exact ``percentile()`` / ``percentile_disc()``
+    buffer aggregates, whose per-group state is EVERY raw input value
+    sorted in one task's memory (round-6 verdict: the last scale-killer
+    plan class in the registry).
+
+    ``vc`` must carry one row per distinct ``value_col`` (per
+    ``group_cols`` group) with ``weight_col`` = that value's raw-row
+    count, i.e. the output of ``raw.groupBy(*groups, value).count()`` —
+    a map-side-partial aggregate bounded by the VALUE DOMAIN, not the
+    row count.  The order statistics then come from
+    ``with_global_index(weight_col=...)``: ``_gcum`` (inclusive running
+    weight) locates any 0-based weighted order statistic k on the row
+    where ``cum - w <= k < cum``, so each percentile is one conditional
+    MAX — per-task state is a bucket of DISTINCT values, never raw rows.
+
+    Semantics are pinned to the engines' own aggregates so DuckDB
+    oracles keep using ``quantile_cont``/``quantile_disc`` unchanged:
+
+    - ``cont`` (alias -> p): Spark ``percentile()`` == DuckDB
+      ``quantile_cont`` — position h = (N-1)*p in doubles, result
+      ``v[floor h]`` when h is integral else
+      ``v_lo*(ceil h - h) + v_hi*(h - floor h)`` (the exact operand
+      order Spark's ``Percentile.getPercentile`` evaluates, so the
+      doubles are bit-identical; fuzz-pinned by
+      tests/test_global_index.py against Spark's own aggregate).
+    - ``disc`` (alias -> p): SQL-standard ``percentile_disc`` == DuckDB
+      ``quantile_disc`` — first value whose cume_dist >= p, i.e. the
+      order statistic at k = max(ceil(p*N) - 1, 0).
+
+    ``extra_aggs`` (alias -> aggregate Column) run over the indexed
+    value-level relation in the same pass (e.g. ``F.max(value)``);
+    ``n_col`` exposes the per-group total weight (raw-row count).
+    """
+    gb = list(group_cols or [])
+    idx = with_global_index(
+        vc,
+        value_col,
+        [value_col],
+        group_cols=gb or None,
+        n_buckets=n_buckets,
+        weight_col=weight_col,
+        bucketer=bucketer,
+    )
+    v = F.col(value_col).cast("double")
+    cum = F.col("_gcum").cast("long")
+    d = F.col(weight_col).cast("long")
+    n = F.col("_gwtot").cast("long")
+
+    def at(k: Column) -> Column:
+        # value at 0-based weighted order statistic k: the unique row
+        # whose inclusive-cumulative-weight interval covers k.
+        return F.max(F.when((cum - d <= k) & (k < cum), v))
+
+    aggs = [F.max(n).alias("_wq_n")]
+    for a, p in (cont or {}).items():
+        h = (n - 1).cast("double") * F.lit(float(p))
+        aggs.append(at(F.floor(h)).alias(f"_wq_lo_{a}"))
+        aggs.append(at(F.ceil(h)).alias(f"_wq_hi_{a}"))
+    for a, p in (disc or {}).items():
+        k = F.greatest(F.ceil(n.cast("double") * F.lit(float(p))) - 1, F.lit(0).cast("long"))
+        aggs.append(at(k).alias(a))
+    for a, c in (extra_aggs or {}).items():
+        aggs.append(c.alias(a))
+    out = idx.groupBy(*gb).agg(*aggs) if gb else idx.agg(*aggs)
+
+    sel: list[Column] = [F.col(c) for c in gb]
+    if n_col is not None:
+        sel.append(F.col("_wq_n").alias(n_col))
+    nn = F.col("_wq_n")
+    for a, p in (cont or {}).items():
+        h = (nn - 1).cast("double") * F.lit(float(p))
+        lo, hi = F.floor(h), F.ceil(h)
+        sel.append(
+            F.when(lo == hi, F.col(f"_wq_lo_{a}"))
+            .otherwise(
+                F.col(f"_wq_lo_{a}") * (hi.cast("double") - h)
+                + F.col(f"_wq_hi_{a}") * (h - lo.cast("double"))
+            )
+            .alias(a)
+        )
+    for a in disc or {}:
+        sel.append(F.col(a))
+    for a in extra_aggs or {}:
+        sel.append(F.col(a))
+    return out.select(*sel)
+
+
 def ntile_expr(idx: Column, n: Column, tiles: int) -> Column:
     """Standard-SQL NTILE(tiles) from a dense 0-based index and total N:
     the first ``N % tiles`` tiles get ``ceil(N/tiles)`` rows, the rest

@@ -665,11 +665,30 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles: continuous (interpolated) + discrete."""
+    """Exact percentiles: continuous (interpolated) + discrete —
+    computed WITHOUT Spark's exact ``percentile()`` buffer aggregate,
+    whose per-group state is every raw group row sorted in one task
+    (the round-6 verdict's last scale-killer class).
+
+    Scale shape: one map-side-partial ``groupBy(flag, quantity)`` count
+    bounded by the VALUE DOMAIN (l_quantity has ~50 distinct values at
+    any SF), then grouped order statistics on the global-index
+    primitive's weighted cumulative counts
+    (``global_index.weighted_quantiles``) — the same all-integer rank
+    algebra agg_mannwhitney_u runs.  Interpolation doubles are
+    bit-identical to Spark percentile / DuckDB quantile_cont (operand
+    order pinned by the fuzz test), so the oracle is unchanged."""
+    from oracle_parquet_dumper_spark.operators.global_index import weighted_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("median_qty"),
-        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("p90_qty_disc"),
+    vc = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("_w"))
+    return weighted_quantiles(
+        vc,
+        "l_quantity",
+        "_w",
+        group_cols=["l_returnflag"],
+        cont={"median_qty": 0.5},
+        disc={"p90_qty_disc": 0.9},
     )
 
 

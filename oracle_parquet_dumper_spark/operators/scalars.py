@@ -569,11 +569,27 @@ def fn_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_count_if_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional count + exact median (linear-interpolated, same
-    definition in both engines)."""
+    definition in both engines).  ``median()`` is ``percentile(0.5)``,
+    i.e. the same O(group-rows)-in-one-task buffer aggregate the
+    round-7 audit rule bans — so the median comes from the value-domain
+    pre-aggregation + weighted global-index order statistic
+    (global_index.weighted_quantiles; l_quantity has ~50 distinct
+    values), and the conditional count folds the carried weights."""
+    from oracle_parquet_dumper_spark.operators.global_index import weighted_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
-        F.median("l_quantity").cast("double").alias("median_qty"),
+    vc = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("_w"))
+    return weighted_quantiles(
+        vc,
+        "l_quantity",
+        "_w",
+        group_cols=["l_returnflag"],
+        cont={"median_qty": 0.5},
+        extra_aggs={
+            "n_bulk": F.sum(
+                F.when(F.col("l_quantity") > 25, F.col("_w")).otherwise(F.lit(0))
+            ).cast("long")
+        },
     )
 
 

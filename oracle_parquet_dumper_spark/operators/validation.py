@@ -357,7 +357,7 @@ def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev JOIN mad ON dev.event_type = mad.event_type
     GROUP BY dev.event_type
     """,
-    tags=("dq", "profile", "stats"),
+    tags=("dq", "profile", "stats", "skew-source"),
 )
 def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly screen: per event type, count values more than 3
@@ -368,27 +368,52 @@ def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both medians are DISCRETE percentiles (an actual data
     value — no interpolation arithmetic), deviations are single IEEE
     subtractions of identical doubles, and the 3*MAD threshold compare
-    therefore resolves identically cross-engine.  Scale shape: two
-    group-keyed aggregates and one broadcast-sized (per-type) join back;
-    output is one row per event type."""
+    therefore resolves identically cross-engine.
+
+    Scale shape: neither median runs Spark's ``percentile_disc`` buffer
+    aggregate (per-type state = every raw value sorted in ONE task —
+    the round-6 verdict's scale-killer class, swept out of the registry
+    in round 7).  Both passes first reduce to the (type, value) /
+    (type, deviation) COUNT relation — map-side partial, one row per
+    distinct double — then take the weighted order statistic on the
+    global-index primitive (quantile bucketer: raw monetary values are
+    heavy-tailed, so equi-width would concentrate the distinct-value
+    relation's low end into one bucket).  Deviations and the outlier
+    fold also run on the value-level relation (weights carry the raw
+    counts), so after the first aggregate nothing touches raw rows."""
+    from oracle_parquet_dumper_spark.operators.global_index import weighted_quantiles
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    # the (type, value) count relation feeds BOTH median passes, the
+    # deviation join and the final fold — truncate lineage once (the
+    # agg_mannwhitney_u convention) so the plan scans it, not re-derives
+    # it per consumer.
+    vc = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=False)
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    med = weighted_quantiles(
+        vc, "value", "_w", group_cols=["event_type"], disc={"med": 0.5},
+        bucketer="quantile",
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    dev = vc.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", "_w", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    dev = dev.localCheckpoint(eager=False)
+    devc = dev.groupBy("event_type", "med", "d").agg(F.sum("_w").alias("_w"))
+    mad = weighted_quantiles(
+        devc, "d", "_w", group_cols=["event_type"], disc={"mad": 0.5},
+        bucketer="quantile",
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("_w").cast("long").alias("n"),
             F.max("med").alias("median_value"),
             F.max("mad").alias("mad"),
-            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), F.col("_w")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_outliers"),
         )

@@ -38,6 +38,7 @@ class PlanAudit:
     codegen_stages: int = 0
     unpartitioned_windows: int = 0
     quantile_bucketers: int = 0
+    exact_percentiles: int = 0
     aqe: bool = False
     warnings: list[str] = field(default_factory=list)
 
@@ -248,6 +249,18 @@ def audit_text(name: str, plan: str) -> PlanAudit:
     # detectable marker; distinct expr-ids keep re-derived subtrees
     # from inflating the count.
     a.quantile_bucketers = len(set(re.findall(r"size\(filter\(_qb#\d+", plan)))
+    # Spark's EXACT percentile()/percentile_disc()/median() buffer
+    # aggregates materialize EVERY input value of a group sorted in one
+    # task's memory — O(group rows), the round-6 verdict's scale-killer
+    # class.  \b keeps percentile_approx/approx_percentile (bounded
+    # sketch state) out: the char before their "percentile" is '_' or
+    # the match consumes "_approx(" which this pattern's literal "("
+    # rejects.  The registry-wide ban has NO allowlist: exact order
+    # statistics go through operators/global_index.weighted_quantiles
+    # (value-domain pre-aggregation + weighted global-index rank).
+    a.exact_percentiles = len(
+        re.findall(r"\b(?:percentile|percentile_disc|median)\(", plan)
+    )
     a.aqe = "AdaptiveSparkPlan" in plan
     return a
 
@@ -279,6 +292,13 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
     # distribution into few buckets — a partial straggler at extreme
     # scale.  The tag therefore REQUIRES the quantile bucketer's
     # approx-percentile signature in the plan (round-6 verdict #7).
+    if a.exact_percentiles and not (t & EXEMPT["demo"]):
+        w.append(
+            f"{a.exact_percentiles} exact percentile()/percentile_disc()/"
+            "median() buffer aggregate(s) over raw input — per-group "
+            "state is every value sorted in ONE task; pre-aggregate the "
+            "value domain and use global_index.weighted_quantiles"
+        )
     if "skew-source" in t and not a.quantile_bucketers:
         w.append(
             "skew-source query buckets equi-width — pass "
