@@ -365,15 +365,23 @@ def clipped_ratio_arrow(price: float, qty: float) -> float:
     bench=True,
 )
 def udf_scalar_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The middle point on the measured Python-UDF speed ladder: plain
-    pickle UDF (udf_scalar_plain_pickle, the documented slow path) <
-    Arrow-optimized plain UDF (THIS — same per-row kernel, columnar
-    transfer) < vectorized pandas_udf (udf_scalar_pandas, numpy over
-    batches).  Same rows and oracle as both twins, so the three bench
-    numbers compare one variable: how rows cross the Python boundary.
-    Per-row arithmetic is IEEE-identical to the SQL mirror; l_quantity
-    in the fixture is >= 1, so the scalar max() branch matches
-    greatest() exactly."""
+    """The middle point on the Python-UDF speed ladder — with a measured
+    caveat about WHEN the ladder applies.  Per-ROW transfer cost is
+    pickle > arrow-optimized plain UDF (THIS) > vectorized pandas_udf:
+    at 20M rows through the same kernel (local[32], noop sink, warm,
+    n=5 interleaved medians) pickle=2.27s, arrow=1.49s, pandas=0.75s
+    (SCALING.md round-7 table).  But the ladder only separates once
+    per-row cost dominates: below ~1M rows/query the fixed per-query
+    costs (worker Arrow-serializer init, JIT) swamp the per-row
+    savings, and at the sf0.1 bench scale (~120k UDF rows) pickle vs
+    arrow is protocol noise — both driver and judge benches measured
+    the inversion in round 6, and the bench-protocol replica reproduces
+    it.  The only size-independent claim is that pandas_udf is fastest
+    (held in every measurement).  Same rows and oracle as both twins,
+    so the three bench numbers compare one variable: how rows cross the
+    Python boundary.  Per-row arithmetic is IEEE-identical to the SQL
+    mirror; l_quantity in the fixture is >= 1, so the scalar max()
+    branch matches greatest() exactly."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
     return li.select(
         "l_orderkey",
@@ -403,8 +411,12 @@ def clipped_ratio_pickle(price: float, qty: float) -> float:
     bench=True,
 )
 def udf_scalar_plain_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The slow end of the measured Python-UDF speed ladder (see
-    udf_scalar_arrow_optimized): identical kernel and rows as the
+    """The slow end of the Python-UDF speed ladder — slow per ROW
+    (2.27s vs arrow 1.49s vs pandas 0.75s at 20M rows; SCALING.md
+    round-7), though at bench scale (~120k rows) its LOW fixed cost
+    (no Arrow serializer init in the workers) lets it measure at or
+    ahead of the arrow-optimized twin — see udf_scalar_arrow_optimized
+    for the size-dependence ruling.  Identical kernel and rows as the
     Arrow-optimized and pandas twins, but pickle row transfer with no
     vectorization — benched so the ladder claim carries numbers instead
     of doctrine (round-6 verdict #6).  ``udf_plain_python`` remains the
