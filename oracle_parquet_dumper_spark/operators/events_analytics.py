@@ -2227,3 +2227,369 @@ def events_halflife_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("dv").cast("long").alias("engagement_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the workhorse causal estimator when the
+# treatment rollout has a before/after boundary (no reference-repo
+# analog; completes the experiment panel next to Welch and CUPED).
+# ---------------------------------------------------------------------------
+
+DID_VARIANTS = 2  # deterministic assignment: user_id % DID_VARIANTS
+
+
+@query(
+    "events_did_estimator",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id % {DID_VARIANTS} AS treat,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM p),
+    g AS (
+      SELECT treat,
+             CASE WHEN 2 * ts_us >= mn + mx THEN 1 ELSE 0 END AS post,
+             COUNT(*) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s
+      FROM p CROSS JOIN b GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_tp,
+             MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t0,
+             MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_cp,
+             MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c0,
+             MAX(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s_tp,
+             MAX(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s_t0,
+             MAX(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s_cp,
+             MAX(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s_c0
+      FROM g
+    ),
+    v AS (
+      SELECT n_tp, n_t0, n_cp, n_c0,
+             CAST(CAST(s_tp AS VARCHAR) AS DOUBLE) / n_tp AS m_tp,
+             CAST(CAST(s_t0 AS VARCHAR) AS DOUBLE) / n_t0 AS m_t0,
+             CAST(CAST(s_cp AS VARCHAR) AS DOUBLE) / n_cp AS m_cp,
+             CAST(CAST(s_c0 AS VARCHAR) AS DOUBLE) / n_c0 AS m_c0
+      FROM m
+    )
+    SELECT CAST(n_tp AS BIGINT) AS n_treat_post, CAST(n_t0 AS BIGINT) AS n_treat_pre,
+           CAST(n_cp AS BIGINT) AS n_ctrl_post, CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
+           m_tp AS mean_treat_post_cents, m_t0 AS mean_treat_pre_cents,
+           m_cp AS mean_ctrl_post_cents, m_c0 AS mean_ctrl_pre_cents,
+           (m_tp - m_t0) - (m_cp - m_c0) AS did_cents
+    FROM v
+    """,
+    tags=("agg", "events", "stats", "experiment"),
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over purchase values: treatment by
+    deterministic user parity (user_id % {DID_VARIANTS}, the CUPED
+    assignment convention), pre/post split at the exact midpoint of the
+    purchase-event time range (2*ts_us >= min+max — all-integer, no
+    division).  DiD = (treat_post - treat_pre) - (ctrl_post -
+    ctrl_pre): the parallel-trends estimator that strips the secular
+    time trend a naive post-only comparison absorbs (Card & Krueger
+    1994 shape).
+
+    Float portability (events_welch_ttest recipe): only exact integer
+    moments per (treat, post) cell — count and DECIMAL(38,0) cents sum —
+    reach the final projection; each decimal enters the double world
+    through one correctly-rounded cast (VARCHAR hop in the oracle) and
+    the four means combine in an identical op tree, so did_cents is
+    bit-identical across engines.
+
+    Scale shape: pushed event_type filter, one 1-row min/max broadcast,
+    ONE map-side-partial aggregate keyed by (treat, post) = 4 groups;
+    everything after runs on a 4-row relation folded to 1 row.  No
+    window, no data-sized join, no Python."""
+    d38 = "decimal(38,0)"
+    p = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = p.select(
+        (F.col("user_id") % DID_VARIANTS).alias("treat"),
+        ts_us.alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = p.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    g = (
+        p.crossJoin(F.broadcast(b))
+        .withColumn(
+            "post",
+            F.when(2 * F.col("ts_us") >= F.col("mn") + F.col("mx"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("treat", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").cast(d38).alias("s"))
+    )
+
+    def pick(t: int, post: int, c: str):
+        return F.max(F.when((F.col("treat") == t) & (F.col("post") == post), F.col(c)))
+
+    m = g.agg(
+        pick(1, 1, "n").alias("n_tp"),
+        pick(1, 0, "n").alias("n_t0"),
+        pick(0, 1, "n").alias("n_cp"),
+        pick(0, 0, "n").alias("n_c0"),
+        pick(1, 1, "s").alias("s_tp"),
+        pick(1, 0, "s").alias("s_t0"),
+        pick(0, 1, "s").alias("s_cp"),
+        pick(0, 0, "s").alias("s_c0"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    v = m.select(
+        "n_tp",
+        "n_t0",
+        "n_cp",
+        "n_c0",
+        (dbl(F.col("s_tp")) / F.col("n_tp")).alias("m_tp"),
+        (dbl(F.col("s_t0")) / F.col("n_t0")).alias("m_t0"),
+        (dbl(F.col("s_cp")) / F.col("n_cp")).alias("m_cp"),
+        (dbl(F.col("s_c0")) / F.col("n_c0")).alias("m_c0"),
+    )
+    return v.select(
+        F.col("n_tp").cast("long").alias("n_treat_post"),
+        F.col("n_t0").cast("long").alias("n_treat_pre"),
+        F.col("n_cp").cast("long").alias("n_ctrl_post"),
+        F.col("n_c0").cast("long").alias("n_ctrl_pre"),
+        F.col("m_tp").alias("mean_treat_post_cents"),
+        F.col("m_t0").alias("mean_treat_pre_cents"),
+        F.col("m_cp").alias("mean_ctrl_post_cents"),
+        F.col("m_c0").alias("mean_ctrl_pre_cents"),
+        ((F.col("m_tp") - F.col("m_t0")) - (F.col("m_cp") - F.col("m_c0"))).alias(
+            "did_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the ML-ops drift metric between two
+# periods of a categorical distribution.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_psi_category_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ),
+    b AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e),
+    g AS (
+      SELECT event_type,
+             SUM(CASE WHEN 2 * ts_us < mn + mx THEN 1 ELSE 0 END) AS n_pre,
+             SUM(CASE WHEN 2 * ts_us >= mn + mx THEN 1 ELSE 0 END) AS n_post
+      FROM e CROSS JOIN b GROUP BY event_type
+    ),
+    t AS (SELECT SUM(n_pre) AS tot_pre, SUM(n_post) AS tot_post,
+                 COUNT(*) AS k FROM g),
+    terms AS (
+      SELECT event_type, n_pre, n_post,
+             CAST(round((((n_post + 1.0) / (tot_post + k)) - ((n_pre + 1.0) / (tot_pre + k)))
+                  * ln(((n_post + 1.0) / (tot_post + k)) / ((n_pre + 1.0) / (tot_pre + k)))
+                  * 1000000) AS BIGINT) AS psi_term_micro
+      FROM g CROSS JOIN t
+    ),
+    tot AS (SELECT SUM(psi_term_micro) AS s FROM terms)
+    SELECT event_type, CAST(n_pre AS BIGINT) AS n_pre,
+           CAST(n_post AS BIGINT) AS n_post,
+           psi_term_micro,
+           CAST(s AS BIGINT) AS psi_total_micro
+    FROM terms CROSS JOIN tot
+    """,
+    tags=("agg", "events", "stats", "drift"),
+)
+def events_psi_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (midpoint split, the events_did_estimator
+    boundary): per event type the PSI term (q - p)·ln(q/p) with
+    add-one (Laplace) smoothing so a category that vanishes from one
+    period contributes a finite term instead of a division by zero —
+    the standard scorecard drift monitor (PSI > 0.25 ≈ major shift).
+
+    Determinism: p and q are exact-integer ratios evaluated in ONE
+    shared double expression, integerized to micro-nats (the
+    text_perplexity_unigram convention), so terms and total are
+    bit-identical across engines.
+
+    Scale shape: one scan, a 1-row min/max broadcast, one map-side-
+    partial aggregate keyed by event_type (bounded domain); the PSI
+    terms and the total live on a <= #types relation crossJoined
+    against two broadcast 1-row aggregates.  No window, no Python."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    b = e.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    # The <= #types relation feeds THREE consumers (totals, terms, the
+    # grand total); truncate lineage once so the event scan + aggregate
+    # run once instead of being re-derived per consumer (the
+    # agg_mannwhitney_u convention for tiny fan-out relations).
+    g = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("ts_us") < F.col("mn") + F.col("mx"), 1).otherwise(0)
+            ).alias("n_pre"),
+            F.sum(
+                F.when(2 * F.col("ts_us") >= F.col("mn") + F.col("mx"), 1).otherwise(0)
+            ).alias("n_post"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("n_pre").alias("tot_pre"),
+        F.sum("n_post").alias("tot_post"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = (F.col("n_pre") + F.lit(1.0)) / (F.col("tot_pre") + F.col("k"))
+    q = (F.col("n_post") + F.lit(1.0)) / (F.col("tot_post") + F.col("k"))
+    terms = g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round((q - p) * F.log(q / p) * 1000000).cast("long").alias("psi_term_micro"),
+    )
+    tot = terms.agg(F.sum("psi_term_micro").cast("long").alias("s"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_pre", "n_post", "psi_term_micro", F.col("s").alias("psi_total_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — the at-scale bootstrap (Chamandy et al. 2012,
+# "Estimating Uncertainty for Massive Data Streams" / Kleiner's BLB
+# lineage): resample weights are independent Poisson(1) draws per
+# (row, replicate), so a replicate never needs the global row count and
+# every weight is computable map-side from the row's own key.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # replicates
+# Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..7: a uniform
+# u in [0,1) maps to weight w = #{thresholds <= u} (inverse CDF;
+# truncated at 8, total mass beyond ~1e-5).  Literals are shortest-repr
+# doubles so both engines parse the identical IEEE value.
+BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def _boot_oracle() -> str:
+    wsum = " + ".join(f"CAST(u >= {c!r} AS INT)" for c in BOOT_CDF)
+    return f"""
+    WITH p AS (
+      SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pt AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS point_mean_cents
+      FROM p
+    ),
+    ex AS (
+      SELECT b.b, p.cents,
+             ('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+      FROM p CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+    ),
+    w AS (SELECT b, cents, {wsum} AS w FROM ex),
+    g AS (
+      SELECT b, SUM(w) AS n_eff,
+             CAST(SUM(w * cents) AS DECIMAL(38,0)) AS s
+      FROM w GROUP BY b
+    )
+    SELECT CAST(b AS INT) AS b, CAST(n_eff AS BIGINT) AS n_eff,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_eff AS mean_cents,
+           point_mean_cents
+    FROM g CROSS JOIN pt
+    """
+
+
+@query(
+    "agg_bootstrap_poisson_means",
+    oracle=_boot_oracle(),
+    tags=("agg", "events", "stats", "sketch"),
+)
+def agg_bootstrap_poisson_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BOOT_B} Poisson-bootstrap replicate means of the purchase value
+    (cents) plus the point estimate — the distribution an analyst reads
+    a confidence interval off without any normality assumption.  Each
+    (row, replicate) weight is Poisson(1) by inverse-CDF over the
+    DETERMINISTIC md5-prefix uniform (the agg_kmv_distinct hash
+    convention), so the "random" resample is bit-identical across
+    engines and runs — a reproducible bootstrap.
+
+    Why Poisson and not multinomial: a true n-out-of-n resample needs
+    the global n per draw; Poisson(1) weights are independent per row,
+    so every weight is computed MAP-SIDE from the row's own key and the
+    replicate index, and the plan is one explode x{BOOT_B} followed by
+    a {BOOT_B}-group partial aggregate — the only shape that scales to
+    100 TB (Chamandy et al. 2012).  The x{BOOT_B} explode is the
+    bootstrap's intrinsic cost, paid in map work, never shuffled: the
+    exchange carries {BOOT_B} rows per task.
+
+    Determinism: weights are exact integers, replicate sums are
+    DECIMAL(38,0), and each mean is one correctly-rounded decimal->
+    double division (VARCHAR hop in the oracle)."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    pt = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("cents").cast("decimal(38,0)").cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean_cents"),
+    )
+    ex = p.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    w = ex.select(
+        "b",
+        "cents",
+        sum(
+            (u >= F.lit(c)).cast("int") for c in BOOT_CDF
+        ).alias("w"),
+    )
+    g = w.groupBy("b").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("decimal(38,0)").alias("s"),
+    )
+    return g.crossJoin(F.broadcast(pt)).select(
+        F.col("b").cast("int").alias("b"),
+        F.col("n_eff").cast("long").alias("n_eff"),
+        (F.col("s").cast("string").cast("double") / F.col("n_eff")).alias("mean_cents"),
+        "point_mean_cents",
+    )

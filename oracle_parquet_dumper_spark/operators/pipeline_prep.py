@@ -586,3 +586,117 @@ def pipeline_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("taken").cast("long").alias("tokens_taken"),
         F.expr("CAST((1000 * taken) div tok AS BIGINT)").alias("take_rate_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights for data selection (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"):
+# score every raw document by how much more likely its features are
+# under a TARGET distribution than under the RAW distribution, then
+# resample proportionally to the weight.  Here the feature space is
+# the lower-cased word unigram (the paper uses hashed n-grams; the
+# estimator is identical), the target is the English slice of the
+# corpus, and the raw model is the whole corpus.
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "pipeline_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    raw AS (SELECT token, COUNT(*) AS cr FROM toks GROUP BY token),
+    tgt AS (SELECT token, COUNT(*) AS ct FROM toks WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY token),
+    tots AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS tr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt,
+             (SELECT COUNT(*) FROM raw) AS vv
+    ),
+    model AS (
+      SELECT raw.token,
+             CAST(round((ln((COALESCE(tgt.ct, 0) + 1.0) / (tt + vv))
+                         - ln((raw.cr + 1.0) / (tr + vv))) * 1000000) AS BIGINT) AS lr_u
+      FROM raw LEFT JOIN tgt ON tgt.token = raw.token CROSS JOIN tots
+    ),
+    agg AS (
+      SELECT tf.doc_id, SUM(tf.tf) AS t, SUM(tf.tf * m.lr_u) AS s
+      FROM tf JOIN model m ON m.token = tf.token GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           CAST(t AS BIGINT) AS n_tok,
+           CAST(s AS BIGINT) AS logw_micro,
+           CASE WHEN s >= 0 THEN (2 * s + t) // (2 * t)
+                ELSE -((-2 * s + t) // (2 * t)) END / 1000000.0 AS avg_log_ratio
+    FROM agg
+    """,
+    tags=("pipeline", "curation", "text", "lm"),
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: log w(x) = Σ_tokens
+    tf·(ln p_target(token) - ln p_raw(token)) with add-one-smoothed
+    unigram models (target = the '{DSIR_TARGET_LANG}' slice, raw = the
+    whole corpus, shared vocabulary V from the raw side).  Downstream
+    selection samples ∝ exp(log w) — documents whose token mix looks
+    like the target domain get up-weighted; resampling by this weight
+    is the DSIR estimator (Xie et al. 2023, §2-3).
+
+    Determinism: each token's log-ratio is ONE shared double expression
+    integerized to micro-nats (the text_perplexity_unigram convention);
+    the per-doc total is an exact BIGINT sum, and the per-token mean is
+    the sign-symmetric integer round ((2s+t) div (2t) mirrored for
+    negative s — Spark's `div` truncates toward zero while DuckDB's
+    `//` floors, so the negative branch is made explicit in both).
+
+    Scale shape: tokens collapse to (doc, token, tf) map-side before
+    any join (Zipf-hot tokens cost one row per document); the model
+    relation is VOCABULARY-sized (raw left-join target on the token
+    key), totals are broadcast 1-row aggregates, and the scoring join
+    keys on the bounded vocabulary — the same skew-safe shape as
+    text_perplexity_unigram/tf-idf."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    w = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
+    toks = d.select("doc_id", "lang", F.explode(w).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    raw = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("tr"), F.count(F.lit(1)).alias("vv")).crossJoin(
+        F.broadcast(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")))
+    )
+    lr_u = F.round(
+        (
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("tt") + F.col("vv")))
+            - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.col("vv")))
+        )
+        * 1000000
+    ).cast("long")
+    model = (
+        raw.join(tgt, "token", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("token", lr_u.alias("lr_u"))
+    )
+    agg = tf.join(model, "token").groupBy("doc_id").agg(
+        F.sum("tf").alias("t"), F.sum(F.col("tf") * F.col("lr_u")).alias("s")
+    )
+    # round-half-up of s/t, sign-symmetric: Spark div truncates toward
+    # zero, DuckDB // floors — identical only when the dividend is
+    # non-negative, hence the explicit negative branch in BOTH engines.
+    avg_u = F.expr(
+        "CASE WHEN s >= 0 THEN (2 * s + t) div (2 * t)"
+        " ELSE -((-2 * s + t) div (2 * t)) END"
+    )
+    return agg.select(
+        "doc_id",
+        F.col("t").cast("long").alias("n_tok"),
+        F.col("s").cast("long").alias("logw_micro"),
+        (avg_u / 1000000.0).alias("avg_log_ratio"),
+    )

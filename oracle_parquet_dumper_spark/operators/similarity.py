@@ -1495,3 +1495,172 @@ def sim_within_class_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_pair_dot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval (Kusupati et al. 2022, "Matryoshka
+# Representation Learning"): MRL-trained embeddings keep most of their
+# ranking signal in a PREFIX of the dimensions, so the standard serving
+# funnel is a cheap prefix-dim shortlist followed by a full-dim rerank.
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIMS = 16   # shortlist metric uses dims 1..16 of 64 (4x cheaper)
+MRL_SHORTLIST = 50     # prefix-dim candidates per query fed to the rerank
+
+
+def _mrl_recall_oracle() -> str:
+    full = cosine_rounded_sql("b.v", "q.qv")
+    full_s = cosine_rounded_sql("s.v", "q.qv")
+    pre = cosine_rounded_sql(
+        f"list_slice(b.v::DOUBLE[], 1, {MRL_PREFIX_DIMS})",
+        f"list_slice(q.qv::DOUBLE[], 1, {MRL_PREFIX_DIMS})",
+    )
+    return f"""
+    WITH b AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM b
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {KNN_QUERY_SET_SIZE}),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {full} DESC, b.vec_id) AS rn
+        FROM b JOIN q ON b.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    short AS (
+      SELECT qid, vec_id, v FROM (
+        SELECT q.qid, b.vec_id, b.v,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {pre} DESC, b.vec_id) AS rn
+        FROM b JOIN q ON b.vec_id != q.qid
+      ) WHERE rn <= {MRL_SHORTLIST}
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.qid
+                   ORDER BY {full_s} DESC, s.vec_id) AS rn
+        FROM short s JOIN q ON q.qid = s.qid
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(floor(COUNT(a.vec_id) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+    GROUP BY t.qid
+    """
+
+
+@query(
+    "sim_matryoshka_prefix_recall",
+    oracle=_mrl_recall_oracle(),
+    tags=("similarity", "eval", "topk"),
+)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the Matryoshka serving funnel — shortlist
+    {MRL_SHORTLIST} candidates per query by cosine over the FIRST
+    {MRL_PREFIX_DIMS} of 64 dims, rerank the shortlist by full-dim
+    cosine, keep top-{TOP_K} — against exact full-dim ground truth, per
+    query in the {KNN_QUERY_SET_SIZE}-query batch (sim_recall_eval
+    harness).  This measures exactly what an MRL deployment trades: the
+    prefix pass folds a 4x shorter array per pair (and at scale reads a
+    4x narrower stored column), and the full-dim fold runs only on
+    |Q|x{MRL_SHORTLIST} survivors.
+
+    On the RANDOM fixture embeddings recall is deliberately modest
+    (~0.3-0.5 mean): an i.i.d. vector spreads signal evenly, so a
+    16/64 prefix keeps only 1/4 of the correlation mass — the eval
+    measuring exactly the property MRL training exists to create
+    (planted test: prefix-concentrated vectors score recall = 1.0).
+
+    Determinism: both metrics are the shared rounded-cosine expression
+    (cosine_prenormed == cosine_rounded_sql); recall is exact integer
+    ppm.  Scale shape: the query batch broadcasts to every pair join;
+    the rerank joins the SHORTLIST (bounded |Q|x{MRL_SHORTLIST} rows)
+    back to the broadcast queries, never the base table; per-qid top-k
+    is a window over bounded partitions.  The truth pass is the
+    expensive side by design — it is the thing being evaluated against,
+    and at 100 TB it runs over a sampled slice exactly as
+    sim_recall_eval documents."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.functions.vectors import (
+        as_double,
+        cosine_prenormed,
+        dot_d,
+        norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        norm("embedding").alias("nv"),
+    )
+    e = e.withColumn("v16", F.slice("v", 1, MRL_PREFIX_DIMS)).withColumn(
+        "nv16", F.sqrt(dot_d("v16", "v16"))
+    )
+    q = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(KNN_QUERY_SET_SIZE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            F.col("v16").alias("qv16"),
+            F.col("nv16").alias("nq16"),
+        )
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    w_full = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    truth = (
+        pairs.select(
+            "qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w_full))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    w_pre = W.partitionBy("qid").orderBy(F.col("cos16").desc(), "vec_id")
+    short = (
+        pairs.select(
+            "qid",
+            "vec_id",
+            "v",
+            cosine_prenormed("v16", "qv16", "nv16", "nq16").alias("cos16"),
+        )
+        .withColumn("rn", F.row_number().over(w_pre))
+        .where(F.col("rn") <= MRL_SHORTLIST)
+        .select("qid", "vec_id", "v")
+    )
+    ann = (
+        short.join(
+            F.broadcast(q.select("qid", "qv", "nq")), "qid"
+        )
+        .select(
+            "qid",
+            "vec_id",
+            norm("v").alias("nv2"),
+            cosine_prenormed("v", "qv", norm("v"), "nq").alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_full))
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    hit = ann.withColumnRenamed("vec_id", "hit_id")
+    return (
+        truth.join(
+            hit,
+            (truth.qid == hit.qid) & (truth.vec_id == hit.hit_id),
+            "left",
+        )
+        .groupBy(truth.qid)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.count("hit_id").cast("long").alias("n_hit"),
+            F.floor(F.count("hit_id") * 1000000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

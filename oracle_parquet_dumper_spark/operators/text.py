@@ -1201,3 +1201,119 @@ def text_chao1_goodturing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gt_unseen_mass"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity — the next rung above the unigram
+# quality signal (Jelinek-Mercer interpolation, the classic smoothing).
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA_PCT = 75  # bigram weight, percent (λ = 0.75)
+
+
+@query(
+    "text_perplexity_bigram_interp",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    toks AS (SELECT unnest(w) AS token FROM words),
+    uni AS (SELECT token, COUNT(*) AS cu FROM toks GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM toks),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS b
+      FROM words WHERE len(w) >= 2
+    ),
+    tf2 AS (
+      SELECT doc_id, b[1] AS prev, b[2] AS cur, COUNT(*) AS tf
+      FROM bg GROUP BY doc_id, b[1], b[2]
+    ),
+    c2 AS (SELECT prev, cur, SUM(tf) AS c2 FROM tf2 GROUP BY prev, cur),
+    c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY prev),
+    scored AS (
+      SELECT tf2.doc_id, tf2.tf,
+             CAST(round(-ln({BIGRAM_LAMBDA_PCT / 100.0} * c2.c2 / c1.c1
+                            + {(100 - BIGRAM_LAMBDA_PCT) / 100.0} * uni.cu / tot.total)
+                        * 1000000) AS BIGINT) AS nll_u
+      FROM tf2
+      JOIN c2 ON c2.prev = tf2.prev AND c2.cur = tf2.cur
+      JOIN c1 ON c1.prev = tf2.prev
+      JOIN uni ON uni.token = tf2.cur
+      CROSS JOIN tot
+    ),
+    agg AS (SELECT doc_id, SUM(tf) AS t, SUM(tf * nll_u) AS s FROM scored GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(t AS BIGINT) AS n_bigrams,
+           ((2 * s + t) // (2 * t)) / 1000000.0 AS avg_nll,
+           round(exp(((2 * s + t) // (2 * t)) / 1000000.0), 4) AS ppl
+    FROM agg
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_perplexity_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer interpolated
+    bigram LM trained on the corpus in the same plan:
+    p(w|v) = λ·c(v,w)/c(v,·) + (1-λ)·c(w)/N with λ = 0.75 — the
+    classic quality rung above text_perplexity_unigram (repeated
+    boilerplate scores LOW here because its bigrams are corpus-frequent;
+    shuffled-word salad scores HIGH even when its unigrams are common —
+    the separation the unigram model cannot see).
+
+    Determinism: token NLLs are micro-nat integers from ONE shared
+    double expression (the unigram-perplexity convention), and the
+    per-doc mean is the exact (2s+t) div (2t) integer round — no float
+    summation order anywhere.
+
+    Scale shape: bigram occurrences collapse to (doc, prev, cur, tf)
+    map-side BEFORE any join (a boilerplate bigram costs one row per
+    document, not one per occurrence); the corpus bigram model c2 and
+    its context marginal c1 = Σ_cur c2 both derive from that collapsed
+    relation, so the raw corpus is touched exactly twice (token pass +
+    bigram pass) and every join keys on the bounded bigram/unigram
+    vocabulary, never on raw rows."""
+    lam = BIGRAM_LAMBDA_PCT / 100.0
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    w = words_col_lower()
+    toks = d.select(F.explode(w).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    docs = d.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n1),
+                F.slice("w", 2, n1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.cur")
+    tf2 = bg.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    nll_u = F.round(
+        -F.log(
+            F.lit(lam) * F.col("c2") / F.col("c1")
+            + F.lit(1.0 - lam) * F.col("cu") / F.col("total")
+        )
+        * 1000000
+    ).cast("long")
+    scored = (
+        tf2.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .join(uni, F.col("token") == F.col("cur"))
+        .join(F.broadcast(tot))
+        .select("doc_id", "tf", nll_u.alias("nll_u"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("t"), F.sum(F.col("tf") * F.col("nll_u")).alias("s")
+    )
+    avg_u = F.expr("(2 * s + t) div (2 * t)")
+    return agg.select(
+        "doc_id",
+        F.col("t").cast("long").alias("n_bigrams"),
+        (avg_u / 1000000.0).alias("avg_nll"),
+        F.round(F.exp(avg_u / 1000000.0), 4).alias("ppl"),
+    )

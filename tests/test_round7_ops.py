@@ -1,0 +1,215 @@
+"""Planted-math tests for the round-7 operators: known inputs with
+hand-computable answers, independent of the DuckDB differential (which
+checks Spark==DuckDB but not Spark==math)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+
+TS0 = datetime.datetime(2025, 1, 1)
+TS1 = datetime.datetime(2025, 1, 31)  # pre period
+TS2 = datetime.datetime(2025, 6, 1)   # post period (midpoint falls between)
+
+
+def test_did_estimator_planted_effect(spark, tmp_path):
+    """Control trend +10, treatment trend +10 plus a +20 effect:
+    DiD must isolate exactly +20 (in cents: +2000) while the naive
+    post-only difference would report +120 (baseline gap + effect)."""
+    rows = []
+    eid = 0
+    # control users (even ids): pre mean 100.0, post mean 110.0
+    for ts, v in ((TS0, 90.0), (TS1, 110.0), (TS2, 100.0), (TS2, 120.0)):
+        rows.append((eid, ts, 2, "purchase", v, "{}")); eid += 1
+    # treated users (odd ids): pre mean 200.0, post mean 230.0
+    for ts, v in ((TS0, 190.0), (TS1, 210.0), (TS2, 220.0), (TS2, 240.0)):
+        rows.append((eid, ts, 3, "purchase", v, "{}")); eid += 1
+    # noise of another event type must be ignored
+    rows.append((eid, TS2, 3, "view", 999.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_did_estimator,
+    )
+
+    r = events_did_estimator(spark, str(tmp_path)).collect()[0]
+    assert (r.n_treat_pre, r.n_treat_post, r.n_ctrl_pre, r.n_ctrl_post) == (2, 2, 2, 2)
+    assert r.mean_treat_pre_cents == 20000.0
+    assert r.mean_treat_post_cents == 23000.0
+    assert r.mean_ctrl_pre_cents == 10000.0
+    assert r.mean_ctrl_post_cents == 11000.0
+    assert r.did_cents == 2000.0
+
+
+def test_psi_no_drift_is_zero(spark, tmp_path):
+    """Identical pre/post category distributions => every term and the
+    total are exactly 0 (p == q makes (q-p)ln(q/p) = 0 before
+    rounding)."""
+    rows = []
+    eid = 0
+    for half_ts in (TS0, TS2):
+        for et, n in (("view", 6), ("click", 3)):
+            for _ in range(n):
+                rows.append((eid, half_ts, 1, et, 1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_psi_category_drift,
+    )
+
+    out = {r.event_type: r for r in events_psi_category_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {"view", "click"}
+    assert all(r.psi_term_micro == 0 for r in out.values())
+    assert all(r.psi_total_micro == 0 for r in out.values())
+
+
+def test_psi_planted_shift_matches_math(spark, tmp_path):
+    """A category that doubles its share between halves produces the
+    exact smoothed PSI term; terms sum to the stamped total."""
+    rows = []
+    eid = 0
+    for et, n in (("view", 8), ("click", 2)):
+        for _ in range(n):
+            rows.append((eid, TS0, 1, et, 1.0, "{}")); eid += 1
+    for et, n in (("view", 6), ("click", 4)):
+        for _ in range(n):
+            rows.append((eid, TS2, 1, et, 1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_psi_category_drift,
+    )
+
+    out = {r.event_type: r for r in events_psi_category_drift(spark, str(tmp_path)).collect()}
+    k, tot_pre, tot_post = 2, 10, 10
+
+    def term(n_pre, n_post):
+        p = (n_pre + 1.0) / (tot_pre + k)
+        q = (n_post + 1.0) / (tot_post + k)
+        return round((q - p) * math.log(q / p) * 1_000_000)
+
+    assert out["view"].psi_term_micro == term(8, 6)
+    assert out["click"].psi_term_micro == term(2, 4)
+    total = term(8, 6) + term(2, 4)
+    assert out["view"].psi_total_micro == total > 0
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_bigram_perplexity_separates_salad_from_boilerplate(spark, tmp_path):
+    """Docs sharing one global unigram distribution: the doc whose
+    bigrams match the corpus-frequent chain scores LOWER perplexity
+    than the shuffled-word doc — the separation the unigram model
+    cannot see (both docs tie under text_perplexity_unigram)."""
+    chain = "a b c d"
+    rows = [(i, chain, "en", "s", len(chain)) for i in range(10)]
+    rows.append((100, "d c b a", "en", "s", 7))  # same unigrams, reversed bigrams
+    _write_docs(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.text import (
+        text_perplexity_bigram_interp,
+    )
+
+    out = {r.doc_id: r for r in text_perplexity_bigram_interp(spark, str(tmp_path)).collect()}
+    assert out[0].n_bigrams == 3 and out[100].n_bigrams == 3
+    assert out[0].ppl < out[100].ppl
+    # exact value for the boilerplate doc.  Corpus: 10x "a b c d" +
+    # 1x "d c b a" => 44 tokens, every unigram count 11.  Doc-0 bigrams
+    # and their corpus counts: (a,b) c2=10 with context c1(a)=10 (a is
+    # prev only in the chain docs); (b,c) c2=10, c1(b)=11 (chain 10 +
+    # "b a" once); (c,d) c2=10, c1(c)=11 (chain 10 + "c b" once).
+    lam, n_tok = 0.75, 44
+    def nll(c2, c1):
+        return round(-math.log(lam * c2 / c1 + 0.25 * 11 / n_tok) * 1_000_000)
+    s, t = nll(10, 10) + nll(10, 11) + nll(10, 11), 3
+    avg = (2 * s + t) // (2 * t)
+    assert out[0].avg_nll == avg / 1_000_000.0
+
+
+def test_dsir_importance_prefers_target_looking_docs(spark, tmp_path):
+    """A zh-tagged doc written in the TARGET (en) token distribution
+    outscores a zh doc in the off-target distribution — the DSIR
+    estimator keying on content, not the label; en-slice membership
+    only defines the target model."""
+    rows = [(i, "hello world common", "en", "s", 18) for i in range(8)]
+    rows += [(100 + i, "ni hao zhongwen", "zh", "s", 15) for i in range(8)]
+    rows.append((200, "hello world common", "zh", "s", 18))  # target-looking
+    _write_docs(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.pipeline_prep import (
+        pipeline_dsir_importance,
+    )
+
+    out = {r.doc_id: r for r in pipeline_dsir_importance(spark, str(tmp_path)).collect()}
+    assert out[200].logw_micro > 0 > out[100].logw_micro
+    assert out[200].logw_micro == out[0].logw_micro  # content-identical
+    # exact math for one token: raw cnt("hello") = 9, target cnt = 8;
+    # raw total = 8*3 + 9*3 = 51, target total = 24, vocab = 6.
+    lr = round((math.log((8 + 1) / (24 + 6)) - math.log((9 + 1.0) / (51 + 6))) * 1e6)
+    # the doc's three tokens all share that ratio (identical counts)
+    assert out[200].logw_micro == 3 * lr
+
+
+def test_mrl_recall_perfect_when_signal_is_prefix_concentrated(spark, tmp_path):
+    """Vectors whose last 48 dims are zero: the 16-dim prefix IS the
+    full geometry, so the funnel's top-k equals ground truth and every
+    query's recall is exactly 1.0 (the planted MRL property)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(0, 300):
+        v = [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 48
+        rows.append((vid, v, vid % 3))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    from oracle_parquet_dumper_spark.operators.similarity import (
+        sim_matryoshka_prefix_recall,
+    )
+
+    out = sim_matryoshka_prefix_recall(spark, str(tmp_path)).collect()
+    assert len(out) == 3  # vec_id % 100 == 0 -> 0, 100, 200
+    assert all(r.recall_ppm == 1_000_000 for r in out)
+    assert all(r.n_truth == 10 for r in out)
+
+
+def test_poisson_bootstrap_is_deterministic_and_calibrated(spark, sf_dir):
+    """The md5-keyed bootstrap is bit-reproducible (two runs, identical
+    rows) and calibrated: every replicate's effective n is within 6
+    sigma (sigma = sqrt(n), sum of n Poisson(1) draws) of the true n,
+    and the replicate means straddle the point estimate."""
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        BOOT_B,
+        agg_bootstrap_poisson_means,
+    )
+
+    a = sorted(agg_bootstrap_poisson_means(spark, sf_dir).collect())
+    b = sorted(agg_bootstrap_poisson_means(spark, sf_dir).collect())
+    assert a == b and len(a) == BOOT_B
+
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    n = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    sigma = 6 * n ** 0.5
+    assert all(abs(r.n_eff - n) <= sigma for r in a)
+    point = a[0].point_mean_cents
+    assert min(r.mean_cents for r in a) < point < max(r.mean_cents for r in a)
