@@ -2593,3 +2593,141 @@ def agg_bootstrap_poisson_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("string").cast("double") / F.col("n_eff")).alias("mean_cents"),
         "point_mean_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Uplift by targeting decile — the Qini-curve table behind uplift
+# modeling evaluation (Radcliffe 2007): rank users by a targeting
+# score, then per decile compare treated vs control response.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_uplift_by_decile",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view' AND 2 * ts_us < mn + mx
+                      THEN 1 ELSE 0 END) AS score,
+             CAST(SUM(CASE WHEN event_type = 'purchase' AND 2 * ts_us >= mn + mx
+                           THEN cents ELSE 0 END) AS DECIMAL(38,0)) AS resp
+      FROM e CROSS JOIN b GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id % {DID_VARIANTS} AS treat, resp,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id) - 1 AS idx,
+             COUNT(*) OVER () AS n
+      FROM u
+    ),
+    g AS (
+      SELECT (10 * idx) // n AS decile, treat, COUNT(*) AS cnt,
+             CAST(SUM(resp) AS DECIMAL(38,0)) AS s
+      FROM r GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT decile,
+             MAX(CASE WHEN treat = 1 THEN cnt END) AS n_treat,
+             MAX(CASE WHEN treat = 0 THEN cnt END) AS n_ctrl,
+             CAST(CAST(MAX(CASE WHEN treat = 1 THEN s END) AS VARCHAR) AS DOUBLE)
+               / MAX(CASE WHEN treat = 1 THEN cnt END) AS m_t,
+             CAST(CAST(MAX(CASE WHEN treat = 0 THEN s END) AS VARCHAR) AS DOUBLE)
+               / MAX(CASE WHEN treat = 0 THEN cnt END) AS m_c
+      FROM g GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_treat AS BIGINT) AS n_treat, CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           m_t AS mean_treat_cents, m_c AS mean_ctrl_cents,
+           m_t - m_c AS uplift_cents
+    FROM m
+    """,
+    tags=("agg", "events", "stats", "experiment", "window"),
+)
+def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (incremental response) by targeting decile: users ranked
+    by pre-period view count (the targeting score), split into 10
+    population deciles, and within each decile the post-period purchase
+    response of treated (user parity, the events_did_estimator
+    assignment) vs control users is compared — the table a Qini curve
+    integrates (Radcliffe 2007).  A useful score concentrates positive
+    uplift in the top deciles; a useless one is flat.
+
+    Scale shape: ONE event scan collapses to a per-user relation
+    (score, response) via a map-side-partial aggregate; the population
+    decile comes from the DISTRIBUTED global index over (-score,
+    user_id) — `(10*idx) div n`, no single-partition window anywhere —
+    and the final aggregate runs on 20 (decile, arm) cells.  Ties in
+    the small-count score domain share deciles deterministically via
+    the user_id tiebreak.
+
+    Determinism: score and index are exact integers; response sums are
+    DECIMAL(38,0) entering doubles through one correctly-rounded cast
+    (VARCHAR hop in the oracle); a decile missing one arm yields NULL
+    mean and NULL uplift in both engines identically."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = e.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    pre = 2 * F.col("ts_us") < F.col("mn") + F.col("mx")
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when((F.col("event_type") == "view") & pre, 1).otherwise(0)
+            ).alias("score"),
+            F.sum(
+                F.when((F.col("event_type") == "purchase") & ~pre, F.col("cents")).otherwise(
+                    0
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("resp"),
+        )
+        .withColumn("neg_score", -F.col("score"))
+        # the per-user relation feeds the index primitive's multiple
+        # consumers (bounds, bucket counts, bucketed rows); truncate
+        # lineage once so the event scan + aggregate run once (the
+        # events_rfm_segments convention for global-index inputs)
+        .localCheckpoint(eager=False)
+    )
+    r = with_global_index(u, "neg_score", ["user_id"])
+    g = (
+        r.select(
+            F.expr("(10 * _gidx) div _gn").alias("decile"),
+            (F.col("user_id") % DID_VARIANTS).alias("treat"),
+            "resp",
+        )
+        .groupBy("decile", "treat")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("resp").cast("decimal(38,0)").alias("s"))
+    )
+
+    def pick(t: int, c: str):
+        return F.max(F.when(F.col("treat") == t, F.col(c)))
+
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = g.groupBy("decile").agg(
+        pick(1, "cnt").alias("n_treat"),
+        pick(0, "cnt").alias("n_ctrl"),
+        (dbl(pick(1, "s")) / pick(1, "cnt")).alias("m_t"),
+        (dbl(pick(0, "s")) / pick(0, "cnt")).alias("m_c"),
+    )
+    return m.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("m_t").alias("mean_treat_cents"),
+        F.col("m_c").alias("mean_ctrl_cents"),
+        (F.col("m_t") - F.col("m_c")).alias("uplift_cents"),
+    )

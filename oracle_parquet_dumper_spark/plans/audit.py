@@ -175,6 +175,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
         4,
         "bucket offsets, <= 64 rows x 2 passes x 2 join sides",
     ),
+    # uplift deciles: ungrouped global index over the per-user score
+    # relation — offsets window over the <= 64-row bucket counts
+    "events_uplift_by_decile": (1, "bucket offsets, <= 64 rows"),
 }
 
 # The >10-exchange heuristic flags accidental subtree re-derivation.

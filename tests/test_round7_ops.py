@@ -213,3 +213,30 @@ def test_poisson_bootstrap_is_deterministic_and_calibrated(spark, sf_dir):
     assert all(abs(r.n_eff - n) <= sigma for r in a)
     point = a[0].point_mean_cents
     assert min(r.mean_cents for r in a) < point < max(r.mean_cents for r in a)
+
+
+def test_uplift_by_decile_planted_monotone(spark, tmp_path):
+    """20 users with strictly-decreasing targeting scores, one treated
+    and one control per decile; treated response declines 1000, 900,
+    ... cents by decile while control is 0 — the table must recover
+    exactly that monotone uplift staircase."""
+    rows, eid = [], 0
+    for i in range(20):
+        for _ in range(100 - i):  # pre-period views: the targeting score
+            rows.append((eid, TS0, i, "view", 0.0, "{}")); eid += 1
+    for d in range(10):
+        u = 2 * d + 1  # the odd (treated) user of decile d
+        rows.append((eid, TS2, u, "purchase", 10.0 - d, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_uplift_by_decile,
+    )
+
+    out = {r.decile: r for r in events_uplift_by_decile(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(10))
+    for d in range(10):
+        r = out[d]
+        assert (r.n_treat, r.n_ctrl) == (1, 1)
+        assert r.mean_ctrl_cents == 0.0
+        assert r.uplift_cents == 1000.0 - 100 * d
