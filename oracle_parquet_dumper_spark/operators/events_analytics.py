@@ -2731,3 +2731,124 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_c").alias("mean_ctrl_cents"),
         (F.col("m_t") - F.col("m_c")).alias("uplift_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution — the 40/20/40
+# credit split the marketing stack runs next to last-touch.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_u_shape",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS conv_id
+      FROM events
+    ),
+    conv AS (SELECT user_id, conv_id FROM seq WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, conv_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n
+      FROM seq WHERE event_type IN ('click', 'view')
+    ),
+    closed AS (SELECT t.* FROM t JOIN conv USING (user_id, conv_id)),
+    credited AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  WHEN pos = 2 THEN 200000 // (n - 2) + 200000 - (n - 2) * (200000 // (n - 2))
+                  ELSE 200000 // (n - 2) END AS credit
+      FROM closed
+    ),
+    direct AS (
+      SELECT COUNT(*) AS n_direct FROM conv
+      WHERE NOT EXISTS (SELECT 1 FROM t
+                        WHERE t.user_id = conv.user_id AND t.conv_id = conv.conv_id)
+    )
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credit_micro
+    FROM credited GROUP BY event_type
+    UNION ALL
+    SELECT 'direct', CAST(n_direct AS BIGINT), CAST(n_direct AS BIGINT) * 1000000
+    FROM direct WHERE n_direct > 0
+    """,
+    tags=("window", "events", "agg"),
+)
+def events_attribution_u_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    closes the journey of click/view touches since the user's previous
+    purchase; credit splits 40% first touch / 40% last / 20% across the
+    middles (100% and 50/50 for 1- and 2-touch journeys; touchless
+    purchases fall in the 'direct' bucket) — the standard position
+    model next to events_attribution_last_touch's winner-takes-all.
+
+    Exactness: credit is integer MICRO-shares; the middle share uses
+    truncating division with the remainder assigned to the FIRST middle
+    touch (a deterministic rule both engines replay), so every closed
+    journey's credit sums to exactly 1,000,000 — the planted-test
+    invariant — and the aggregate is pure BIGINT.
+
+    Scale shape: journeys are built from ONE per-user ordered window
+    pass (conv_id = running purchase count), positions from a window
+    partitioned by (user, journey); all windows key on user_id —
+    no single-partition operator.  The close-check is a broadcast-able
+    semi join on (user, conv_id) and the final aggregate has <= #touch
+    -type groups."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "conv_id",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    conv = seq.where(F.col("event_type") == "purchase").select("user_id", "conv_id")
+    wj = W.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+    wn = W.partitionBy("user_id", "conv_id")
+    t = (
+        seq.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES))
+        .select("user_id", "conv_id", "event_type", "ts", "event_id")
+        .withColumn("pos", F.row_number().over(wj))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    closed = t.join(conv, ["user_id", "conv_id"], "semi")
+    mid = F.expr("200000 div (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400000))
+        .when(F.col("pos") == 2, mid + 200000 - (F.col("n") - 2) * mid)
+        .otherwise(mid)
+    )
+    credited = closed.select("event_type", credit.alias("credit")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit").cast("long").alias("credit_micro"),
+    ).select(F.col("event_type").alias("touch_type"), "n_touches", "credit_micro")
+    direct = (
+        conv.join(t.select("user_id", "conv_id"), ["user_id", "conv_id"], "anti")
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+        .where(F.col("n_direct") > 0)
+        .select(
+            F.lit("direct").alias("touch_type"),
+            F.col("n_direct").cast("long").alias("n_touches"),
+            (F.col("n_direct") * 1000000).cast("long").alias("credit_micro"),
+        )
+    )
+    return credited.unionAll(direct)

@@ -240,3 +240,46 @@ def test_uplift_by_decile_planted_monotone(spark, tmp_path):
         assert (r.n_treat, r.n_ctrl) == (1, 1)
         assert r.mean_ctrl_cents == 0.0
         assert r.uplift_cents == 1000.0 - 100 * d
+
+
+def test_u_shape_attribution_conserves_credit(spark, sf_dir):
+    """Every closed journey distributes exactly 1,000,000 micro-credits
+    (the 40/20/40 split with truncation remainders reassigned), so
+    total credit == 1e6 x #purchases at any scale."""
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_attribution_u_shape,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    rows = events_attribution_u_shape(spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.credit_micro for r in rows) == 1_000_000 * n_purchases
+
+
+def test_u_shape_attribution_planted_positions(spark, tmp_path):
+    """One user, journey view->click->view->click->purchase: U-split
+    gives first (view) 400k, last (click) 400k, middles (click, view)
+    100k each => view 500k, click 500k; a second touchless purchase
+    lands in 'direct'."""
+    rows = [
+        (0, TS0, 1, "view", 0.0, "{}"),
+        (1, TS0, 1, "click", 0.0, "{}"),
+        (2, TS0, 1, "view", 0.0, "{}"),
+        (3, TS0, 1, "click", 0.0, "{}"),
+        (4, TS1, 1, "purchase", 5.0, "{}"),
+        (5, TS2, 1, "purchase", 5.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_attribution_u_shape,
+    )
+
+    out = {r.touch_type: r for r in events_attribution_u_shape(spark, str(tmp_path)).collect()}
+    assert out["view"].credit_micro == 400_000 + 100_000
+    assert out["click"].credit_micro == 100_000 + 400_000
+    assert out["direct"].credit_micro == 1_000_000
+    assert out["view"].n_touches == 2 and out["click"].n_touches == 2
