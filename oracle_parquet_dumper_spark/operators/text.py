@@ -1290,8 +1290,16 @@ def text_perplexity_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("b"),
     ).select("doc_id", "b.prev", "b.cur")
-    tf2 = bg.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("tf"))
-    c2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
+    # collapsed relation feeds the model tables + the scoring join;
+    # truncate lineage once (the kneser-ney/mannwhitney convention)
+    tf2 = (
+        bg.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2")).localCheckpoint(
+        eager=False
+    )
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     nll_u = F.round(
         -F.log(
@@ -1305,6 +1313,128 @@ def text_perplexity_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(c1, "prev")
         .join(uni, F.col("token") == F.col("cur"))
         .join(F.broadcast(tot))
+        .select("doc_id", "tf", nll_u.alias("nll_u"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("t"), F.sum(F.col("tf") * F.col("nll_u")).alias("s")
+    )
+    avg_u = F.expr("(2 * s + t) div (2 * t)")
+    return agg.select(
+        "doc_id",
+        F.col("t").cast("long").alias("n_bigrams"),
+        (avg_u / 1000000.0).alias("avg_nll"),
+        F.round(F.exp(avg_u / 1000000.0), 4).alias("ppl"),
+    )
+
+
+KN_DISCOUNT = 0.75  # absolute discount d (Kneser-Ney 1995 / Chen-Goodman)
+
+
+@query(
+    "text_perplexity_kneser_ney",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS b
+      FROM words WHERE len(w) >= 2
+    ),
+    tf2 AS (
+      SELECT doc_id, b[1] AS prev, b[2] AS cur, COUNT(*) AS tf
+      FROM bg GROUP BY doc_id, b[1], b[2]
+    ),
+    c2 AS (SELECT prev, cur, SUM(tf) AS c2 FROM tf2 GROUP BY prev, cur),
+    c1 AS (SELECT prev, SUM(c2) AS c1, COUNT(*) AS n1v FROM c2 GROUP BY prev),
+    cw AS (SELECT cur, COUNT(*) AS n1w FROM c2 GROUP BY cur),
+    nt AS (SELECT COUNT(*) AS ntypes FROM c2),
+    scored AS (
+      SELECT tf2.doc_id, tf2.tf,
+             CAST(round(-ln((c2.c2 - {KN_DISCOUNT}) / c1.c1
+                            + {KN_DISCOUNT} * c1.n1v / c1.c1 * cw.n1w / nt.ntypes)
+                        * 1000000) AS BIGINT) AS nll_u
+      FROM tf2
+      JOIN c2 ON c2.prev = tf2.prev AND c2.cur = tf2.cur
+      JOIN c1 ON c1.prev = tf2.prev
+      JOIN cw ON cw.cur = tf2.cur
+      CROSS JOIN nt
+    ),
+    agg AS (SELECT doc_id, SUM(tf) AS t, SUM(tf * nll_u) AS s FROM scored GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(t AS BIGINT) AS n_bigrams,
+           ((2 * s + t) // (2 * t)) / 1000000.0 AS avg_nll,
+           round(exp(((2 * s + t) // (2 * t)) / 1000000.0), 4) AS ppl
+    FROM agg
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram
+    LM (absolute discount d = {KN_DISCOUNT}; Kneser & Ney 1995, the
+    Chen-Goodman-recommended smoothing): p(w|v) = (c(v,w) - d)/c(v)
+    + d·N1+(v,·)/c(v) · N1+(·,w)/|bigram types|.  The continuation
+    probability N1+(·,w) ranks a word by how many DISTINCT contexts it
+    follows — "francisco" is frequent but nearly always follows "san",
+    so KN (correctly) scores it near-impossible in fresh contexts,
+    which plain interpolation (text_perplexity_bigram_interp) cannot
+    express.  Completes the quality-LM ladder: unigram -> interpolated
+    bigram -> KN bigram.
+
+    Only corpus-observed bigrams are scored (a doc's bigrams are by
+    construction in the corpus model), so c(v,w) >= 1 > d and the
+    max(c-d, 0) clamp is vacuous — the discount expression stays a
+    single shared double op tree, integerized to micro-nats (the
+    perplexity-family convention); everything upstream is exact BIGINT
+    counts.
+
+    Scale shape: identical to text_perplexity_bigram_interp — one
+    collapsed (doc, prev, cur, tf) relation feeds the bigram model,
+    its context marginal AND both continuation-count relations, so all
+    four model tables derive from one map-side-combined aggregate and
+    every join keys on the bounded bigram/unigram vocabulary."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    w = words_col_lower()
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    docs = d.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n1),
+                F.slice("w", 2, n1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.cur")
+    # the collapsed relation feeds FOUR model tables + the scoring join;
+    # truncate lineage once so the scan+explode+combine run once (the
+    # agg_mannwhitney_u convention), and likewise for c2's three readers
+    tf2 = (
+        bg.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2")).localCheckpoint(
+        eager=False
+    )
+    c1 = c2.groupBy("prev").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1v")
+    )
+    cw = c2.groupBy("cur").agg(F.count(F.lit(1)).alias("n1w"))
+    nt = c2.agg(F.count(F.lit(1)).alias("ntypes"))
+    nll_u = F.round(
+        -F.log(
+            (F.col("c2") - F.lit(KN_DISCOUNT)) / F.col("c1")
+            + F.lit(KN_DISCOUNT) * F.col("n1v") / F.col("c1") * F.col("n1w") / F.col("ntypes")
+        )
+        * 1000000
+    ).cast("long")
+    scored = (
+        tf2.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .join(cw, "cur")
+        .join(F.broadcast(nt))
         .select("doc_id", "tf", nll_u.alias("nll_u"))
     )
     agg = scored.groupBy("doc_id").agg(

@@ -283,3 +283,33 @@ def test_u_shape_attribution_planted_positions(spark, tmp_path):
     assert out["click"].credit_micro == 100_000 + 400_000
     assert out["direct"].credit_micro == 1_000_000
     assert out["view"].n_touches == 2 and out["click"].n_touches == 2
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark, tmp_path):
+    """The KN signature: a word frequent only in ONE context scores far
+    worse than its raw frequency suggests.  Corpus: "san francisco"
+    x9 (francisco frequent, single context) + diverse "in X" bigrams.
+    The doc "in francisco" must score HIGHER perplexity than "in york"
+    even though corpus frequency of francisco (9) > york (1), because
+    N1+(. , francisco) = 1 — continuation counts, not raw counts."""
+    rows = [(i, "san francisco", "en", "s", 13) for i in range(9)]
+    cities = ["york", "paris", "tokyo", "lima", "oslo", "cairo", "quito", "dakar"]
+    rows += [(20 + j, f"in {c}", "en", "s", 8) for j, c in enumerate(cities)]
+    rows.append((100, "in francisco", "en", "s", 12))
+    rows.append((101, "in york", "en", "s", 7))
+    _write_docs(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.text import (
+        text_perplexity_kneser_ney,
+    )
+
+    out = {r.doc_id: r for r in text_perplexity_kneser_ney(spark, str(tmp_path)).collect()}
+    assert out[100].ppl > out[101].ppl
+    # exact math for doc 101 ("in york"): c2(in,york)=2, c1(in)=10,
+    # n1v(in)=9 distinct followers, n1w(york)=1, ntypes=10 distinct
+    # bigrams => p = (2-0.75)/10 + 0.75*9/10*1/10
+    import math
+    p = (2 - 0.75) / 10 + 0.75 * 9 / 10 * 1 / 10
+    nll = round(-math.log(p) * 1_000_000)
+    avg = (2 * nll + 1) // 2
+    assert out[101].avg_nll == avg / 1_000_000.0
