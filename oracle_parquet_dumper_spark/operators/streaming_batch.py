@@ -193,3 +193,51 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ohlc_tumbling(ev.drop("props"))
+
+
+@query(
+    "stream_drift_mean_shift",
+    oracle="""
+    WITH ref AS (
+      SELECT event_type, COUNT(*) AS rn,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS rs,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS rq
+      FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+      GROUP BY event_type
+    ),
+    r2 AS (
+      SELECT event_type,
+             CAST(CAST(rs AS VARCHAR) AS DOUBLE) / rn AS ref_mean_cents,
+             sqrt(CAST(CAST(rn * rq - rs * rs AS VARCHAR) AS DOUBLE)) / rn AS ref_sd_cents
+      FROM ref
+    ),
+    w AS (
+      SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w.window_start, w.event_type, CAST(w.n AS BIGINT) AS n,
+           CAST(CAST(w.s AS VARCHAR) AS DOUBLE) / w.n AS mean_cents,
+           r2.ref_mean_cents, r2.ref_sd_cents,
+           (CAST(CAST(w.s AS VARCHAR) AS DOUBLE) / w.n - r2.ref_mean_cents)
+             / r2.ref_sd_cents AS shift
+    FROM w JOIN r2 ON r2.event_type = w.event_type
+    """,
+    tags=("streaming", "window", "stats", "drift"),
+)
+def stream_drift_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming drift monitor (streaming/ops.py
+    drift_mean_shift): per tumbling 6h window and event type, the mean
+    purchase-value shift standardized by the STATIC reference profile
+    (exact-integer-moment mean/sd) — identical logical plan over the
+    static table, so the DuckDB oracle checks the same arithmetic the
+    watermarked stream executes; tests/test_streaming.py asserts
+    stream == batch on this function pair."""
+    from oracle_parquet_dumper_spark.streaming.ops import (
+        drift_mean_shift,
+        drift_reference,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_mean_shift(ev.drop("props"), drift_reference(ev))

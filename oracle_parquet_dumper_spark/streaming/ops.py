@@ -206,3 +206,72 @@ def ohlc_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "open_v", "high_v", "low_v", "close_v", "n_events")
     )
+
+
+def drift_reference(events_batch: DataFrame) -> DataFrame:
+    """Static per-type reference profile for the drift monitor: exact
+    integer moments (count, cents sum, cents sum-of-squares as
+    DECIMAL(38,0) — the events_welch_ttest recipe) folded to mean and
+    population sd in double.  In production this is a stored profile
+    table maintained by the batch layer; here it derives from the same
+    fixture so the stream==batch contract stays checkable."""
+    d38 = "decimal(38,0)"
+    cents = F.floor(F.col("value") * 100).cast("long")
+    g = events_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rn"),
+        F.sum(cents).cast(d38).alias("rs"),
+        F.sum(cents.cast(d38) * cents).cast(d38).alias("rq"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return g.select(
+        "event_type",
+        (dbl(F.col("rs")) / F.col("rn")).alias("ref_mean_cents"),
+        (
+            F.sqrt(dbl(F.col("rn") * F.col("rq") - F.col("rs") * F.col("rs")))
+            / F.col("rn")
+        ).alias("ref_sd_cents"),
+    )
+
+
+def drift_mean_shift(
+    events: DataFrame,
+    reference: DataFrame,
+    width: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window drift monitor: each tumbling window's per-type mean
+    value, standardized against the static reference profile —
+    shift = (window_mean - ref_mean)/ref_sd, the alerting metric a
+    model-serving pipeline watches for input drift.
+
+    Streaming shape: the static reference joins BEFORE the aggregation
+    (plain stream-static broadcast enrich, always legal), and the
+    reference scalars ride through the single stateful aggregate as
+    first() — one watermarked state store keyed by (window, type), no
+    post-aggregation join restrictions."""
+    d38 = "decimal(38,0)"
+    cents = F.floor(F.col("value") * 100).cast("long")
+    enriched = events.join(F.broadcast(reference), "event_type")
+    g = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast(d38).alias("s"),
+            F.first("ref_mean_cents").alias("ref_mean_cents"),
+            F.first("ref_sd_cents").alias("ref_sd_cents"),
+        )
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    mean_w = dbl(F.col("s")) / F.col("n")
+    return g.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        mean_w.alias("mean_cents"),
+        "ref_mean_cents",
+        "ref_sd_cents",
+        ((dbl(F.col("s")) / F.col("n") - F.col("ref_mean_cents")) / F.col("ref_sd_cents")).alias(
+            "shift"
+        ),
+    )

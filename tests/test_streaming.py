@@ -384,3 +384,14 @@ def test_stream_markov_state_carries_across_batches(spark, tmp_path):
     ops.run_to_memory(out, "t_markov_carry", output_mode="append")
     rows = [(r.user_id, r.src, r.dst) for r in spark.table("t_markov_carry").collect()]
     assert rows == [(7, "view", "purchase")]
+
+
+def test_stream_drift_monitor_equals_batch(spark, smoke_sf_dir):
+    ref = ops.drift_reference(load_table(spark, smoke_sf_dir, "events"))
+    stream = ops.drift_mean_shift(ops.read_events_stream(spark, smoke_sf_dir), ref)
+    ops.run_to_memory(stream, "t_drift")
+    got = spark.table("t_drift")
+    expect = ops.drift_mean_shift(
+        load_table(spark, smoke_sf_dir, "events").drop("props"), ref
+    )
+    assert _normalize(got) == _normalize(expect)
