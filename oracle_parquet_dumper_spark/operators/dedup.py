@@ -2345,3 +2345,159 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + SUBSTR_GRAM - F.min("pos")).cast("long").alias("span_len"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("grp")
+
+
+# --- Neyman-allocation stratified sampling ---------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample rows across all strata
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag, COUNT(*) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS q
+      FROM li GROUP BY flag
+    ),
+    wts AS (
+      SELECT flag, n,
+             CAST(round(sqrt(CAST(CAST(n * q - s * s AS VARCHAR) AS DOUBLE)) * 1000)
+                  AS BIGINT) AS w
+      FROM m
+    ),
+    tot AS (SELECT SUM(w) AS wt FROM wts),
+    b AS (
+      SELECT flag, n, ({NEYMAN_BUDGET} * w) // wt AS base,
+             ({NEYMAN_BUDGET} * w) % wt AS rem
+      FROM wts CROSS JOIN tot
+    ),
+    alloc AS (
+      SELECT flag, n, base, rem,
+             {NEYMAN_BUDGET} - SUM(base) OVER () AS extra,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, flag) AS rn
+      FROM b
+    ),
+    a2 AS (
+      SELECT flag,
+             least(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END, n) AS n_h
+      FROM alloc
+    ),
+    ranked AS (
+      SELECT flag, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                 ORDER BY ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT,
+                   l_orderkey, l_linenumber) AS rk
+      FROM li
+    )
+    SELECT r.flag AS l_returnflag, r.l_orderkey, r.l_linenumber
+    FROM ranked r JOIN a2 ON a2.flag = r.flag
+    WHERE r.rk <= a2.n_h
+    """,
+    tags=("sample", "agg", "stats"),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample of {NEYMAN_BUDGET} lineitem rows with NEYMAN
+    (optimal) allocation: stratum h gets n_h ∝ N_h·σ_h of the budget
+    (Neyman 1934) — high-variance strata are oversampled, which
+    minimizes the variance of the stratified mean estimator; the
+    fixed-rate twin is sample_stratified_hash.
+
+    Exactness end to end: N_h·σ_h = sqrt(N_h·Σx² - (Σx)²) — the
+    identity keeps the allocation weight a SINGLE sqrt over exact
+    DECIMAL(38,0) moments, integerized to milli-units; the budget
+    split is the all-integer largest-remainder method
+    (window_largest_remainder_alloc's shape) over the <= #strata
+    relation, capped at N_h; and membership is the deterministic
+    md5-prefix hash ORDER (the agg_kmv_distinct hash), so the sampled
+    row set is bit-identical across engines and runs.
+
+    Scale shape: one map-side-partial moment aggregate (3 strata);
+    allocation runs on the tiny stratum relation (its unpartitioned
+    windows are over <= #strata rows — allowlisted); per-stratum
+    selection uses the DISTRIBUTED global index grouped by stratum
+    (no single-partition per-stratum window over data rows), then a
+    broadcast join against the 3-row allocation."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    m = (
+        li.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast(d38).alias("s"),
+            F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("q"),
+        )
+        .localCheckpoint(eager=False)  # 3-row relation, multiple consumers
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    wts = m.select(
+        "flag",
+        "n",
+        F.round(F.sqrt(dbl(F.col("n") * F.col("q") - F.col("s") * F.col("s"))) * 1000)
+        .cast("long")
+        .alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("wt"))
+    b = wts.crossJoin(F.broadcast(tot)).select(
+        "flag",
+        "n",
+        F.expr(f"({NEYMAN_BUDGET} * w) div wt").alias("base"),
+        F.expr(f"({NEYMAN_BUDGET} * w) % wt").alias("rem"),
+    )
+    from pyspark.sql import Window as W
+
+    alloc = b.select(
+        "flag",
+        "n",
+        "base",
+        (F.lit(NEYMAN_BUDGET) - F.sum("base").over(W.partitionBy())).alias("extra"),
+        F.row_number().over(W.partitionBy().orderBy(F.col("rem").desc(), "flag")).alias("rn"),
+    ).select(
+        "flag",
+        F.least(
+            F.col("base") + F.when(F.col("rn") <= F.col("extra"), 1).otherwise(0),
+            F.col("n"),
+        ).alias("n_h"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("_"),
+                    F.col("l_linenumber").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = with_global_index(
+        li.select("flag", "l_orderkey", "l_linenumber", h.alias("h")),
+        "h",
+        ["l_orderkey", "l_linenumber"],
+        group_cols=["flag"],
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "flag")
+        .where(F.col("_gidx") < F.col("n_h"))
+        .select(
+            F.col("flag").alias("l_returnflag"), "l_orderkey", "l_linenumber"
+        )
+    )

@@ -178,6 +178,10 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # uplift deciles: ungrouped global index over the per-user score
     # relation — offsets window over the <= 64-row bucket counts
     "events_uplift_by_decile": (1, "bucket offsets, <= 64 rows"),
+    # Neyman allocation: largest-remainder windows over the stratum
+    # relation (<= #strata rows; the grouped global index used for
+    # per-stratum selection partitions its windows by stratum)
+    "sample_stratified_neyman": (1, "stratum relation, <= #strata rows"),
 }
 
 # The >10-exchange heuristic flags accidental subtree re-derivation.

@@ -313,3 +313,55 @@ def test_kneser_ney_continuation_beats_raw_frequency(spark, tmp_path):
     nll = round(-math.log(p) * 1_000_000)
     avg = (2 * nll + 1) // 2
     assert out[101].avg_nll == avg / 1_000_000.0
+
+
+def test_neyman_allocation_planted_variance(spark, tmp_path):
+    """Two strata with equal size but 10:0 value-spread ratio: the
+    zero-variance stratum gets 0 of the budget, the spread stratum
+    gets everything (capped at its population) — allocation follows
+    N_h*sigma_h exactly."""
+    rows = []
+    ln = 1
+    # stratum A: 50 rows, all price 100.00 (sigma = 0)
+    for i in range(50):
+        rows.append((i, ln, "A", 100.0)); ln += 1
+    # stratum B: 50 rows alternating 50/150 (sigma = 50)
+    for i in range(50, 100):
+        rows.append((i, ln, "B", 50.0 if i % 2 else 150.0)); ln += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_returnflag string, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.dedup import sample_stratified_neyman
+
+    out = sample_stratified_neyman(spark, str(tmp_path)).collect()
+    flags = {r.l_returnflag for r in out}
+    assert flags == {"B"}           # sigma_A = 0 -> zero allocation
+    assert len(out) == 50           # budget 1000 capped at N_B = 50
+    assert len({(r.l_orderkey, r.l_linenumber) for r in out}) == 50
+
+
+def test_adamic_adar_rare_shared_part_outranks_common(spark, tmp_path):
+    """Pair (1,2) shares one RARE part (deg 2); pair (3,4) shares one
+    part that EVERY supplier carries (deg 6).  AA must rank the rare
+    pair higher: 1e6/ln(2) > 1e6/ln(6), though common-neighbor count
+    ties at 1 (plus the ubiquitous part contributes to both)."""
+    rows = []
+    # part 10: suppliers 1, 2 only (rare)
+    # part 20: suppliers 3, 4 only (rare) - give (3,4) ONLY the common part
+    # part 99: all suppliers (ubiquitous)
+    pairs = [(10, 1), (10, 2)] + [(99, s) for s in (1, 2, 3, 4, 5, 6)]
+    rows = [(i, p, s) for i, (p, s) in enumerate(pairs)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_suppkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    from oracle_parquet_dumper_spark.operators.graph import graph_adamic_adar
+    import math
+
+    out = {(r.sa, r.sb): r for r in graph_adamic_adar(spark, str(tmp_path)).collect()}
+    w_rare = round(1_000_000 / math.log(2))
+    w_common = round(1_000_000 / math.log(6))
+    assert out[(1, 2)].aa_micro == w_rare + w_common  # both parts shared
+    assert out[(3, 4)].aa_micro == w_common           # only the ubiquitous part
+    assert out[(1, 2)].aa_micro > out[(3, 4)].aa_micro
+    assert out[(1, 2)].n_common == 2 and out[(3, 4)].n_common == 1
