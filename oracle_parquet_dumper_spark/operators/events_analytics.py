@@ -2852,3 +2852,67 @@ def events_attribution_u_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return credited.unionAll(direct)
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch guard — the first sanity check of any A/B
+# readout (Fabijan et al. 2019): if the observed assignment split
+# deviates from the design ratio, every downstream metric is suspect.
+# ---------------------------------------------------------------------------
+
+SRM_CHI2_CRIT_MICRO = 3_841_459  # chi-square 1-df 95th percentile, micro
+
+
+@query(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id, user_id % {DID_VARIANTS} AS variant FROM events
+    ),
+    c AS (
+      SELECT SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treat,
+             SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_ctrl
+      FROM u
+    )
+    SELECT CAST(n_treat AS BIGINT) AS n_treat, CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(round((n_treat - n_ctrl) * (n_treat - n_ctrl) * 1000000.0
+                      / (n_treat + n_ctrl)) AS BIGINT) AS chi2_micro,
+           round((n_treat - n_ctrl) * (n_treat - n_ctrl) * 1000000.0
+                 / (n_treat + n_ctrl)) > {SRM_CHI2_CRIT_MICRO} AS srm_detected
+    FROM c
+    """,
+    tags=("agg", "events", "stats", "experiment"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch test for the 50/50 parity assignment
+    (the events_did_estimator/CUPED design): chi-square goodness of
+    fit with expected n/2 per arm simplifies EXACTLY to
+    (n_t - n_c)^2 / (n_t + n_c) — one integer-ratio expression,
+    integerized to micro-units and compared against the 1-df 95%
+    critical value (3.841).  A triggered flag means the assignment or
+    logging pipeline is dropping one arm's users and every A/B metric
+    downstream is invalid (Fabijan et al. 2019's top experiment bug).
+
+    Scale shape: one scan -> distinct users (map-side combined) ->
+    2-cell conditional count -> 1 row.  No window, no join."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", (F.col("user_id") % DID_VARIANTS).alias("variant"))
+        .distinct()
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_treat"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_ctrl"),
+    )
+    chi2 = F.round(
+        (F.col("n_treat") - F.col("n_ctrl"))
+        * (F.col("n_treat") - F.col("n_ctrl"))
+        * 1000000.0
+        / (F.col("n_treat") + F.col("n_ctrl"))
+    )
+    return c.select(
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        chi2.cast("long").alias("chi2_micro"),
+        (chi2 > SRM_CHI2_CRIT_MICRO).alias("srm_detected"),
+    )

@@ -473,3 +473,50 @@ def test_snapshot_diff_ships_digests_only(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(k_(old|new)[^\n]*", plan):
         line = m.group(0)
         assert "o_orderstatus" not in line and "o_custkey" not in line
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """At 100 TB the single biggest shuffle saver on selective
+    fact-dim joins is Spark's RUNTIME bloom-filter injection: the
+    selective side's join keys build a bloom filter that is pushed
+    into the fact scan as might_contain(), dropping non-matching rows
+    BEFORE the exchange.  This pins the recipe (thresholds must be
+    opened up — the defaults assume 10GB+ scans) and that the rewrite
+    actually fires on this engine version."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force a shuffle join: under a broadcast join Spark (correctly)
+        # skips the bloom filter — the broadcast hash set already prunes
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        # and it guards the FACT side's scan subtree (filter on l_orderkey)
+        assert any(
+            "might_contain" in ln and "l_orderkey" in ln for ln in plan.splitlines()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

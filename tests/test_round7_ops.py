@@ -365,3 +365,30 @@ def test_adamic_adar_rare_shared_part_outranks_common(spark, tmp_path):
     assert out[(3, 4)].aa_micro == w_common           # only the ubiquitous part
     assert out[(1, 2)].aa_micro > out[(3, 4)].aa_micro
     assert out[(1, 2)].n_common == 2 and out[(3, 4)].n_common == 1
+
+
+def test_srm_check_planted(spark, tmp_path):
+    """48/52 split of 100 users is inside the 95% band (chi2 = 0.16);
+    a 35/65 split trips the detector (chi2 = 9.0)."""
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_ab_srm_check,
+    )
+
+    def run(n_odd, n_even, sub):
+        rows = []
+        uid = 1
+        users = [2 * i + 1 for i in range(n_odd)] + [2 * i for i in range(1, n_even + 1)]
+        rows = [(i, TS0, u, "view", 0.0, "{}") for i, u in enumerate(users)]
+        d = tmp_path / sub
+        d.mkdir()
+        _write_events(spark, d, rows)
+        return events_ab_srm_check(spark, str(d)).collect()[0]
+
+    ok = run(48, 52, "balanced")
+    assert (ok.n_treat, ok.n_ctrl) == (48, 52)
+    assert ok.chi2_micro == round((48 - 52) ** 2 * 1e6 / 100)
+    assert not ok.srm_detected
+
+    bad = run(35, 65, "mismatched")
+    assert bad.chi2_micro == round((35 - 65) ** 2 * 1e6 / 100) == 9_000_000
+    assert bad.srm_detected
