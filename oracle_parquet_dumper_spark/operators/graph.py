@@ -610,8 +610,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
 
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE p-partitioned exchange, materialized and reused by the degree
+    # aggregate (map-side, no exchange) and BOTH wedge-join sides — the
+    # minhash-LSH reused-band-exchange pattern.  The merge hint keeps
+    # the planner from broadcasting the DATA-SIZED pair relation into
+    # the self-join (a per-task 600k-row hash build measured 2.7x
+    # slower than the zero-exchange co-partitioned SMJ).
     ps = truncate_lineage(
-        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition("p")
     )
     deg = (
         ps.groupBy("p")
@@ -619,10 +627,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d") >= 2)
         .select("p", F.round(1000000 / F.log("d")).cast("long").alias("w"))
     )
-    keyed = ps.join(deg, "p")  # drops deg-1 parts before the wedge join
+    keyed = ps.join(F.broadcast(deg), "p")  # deg-1 parts pruned pre-wedge
     pairs = (
         keyed.alias("a")
-        .join(ps.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(
+            ps.alias("b").hint("merge"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
         .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
