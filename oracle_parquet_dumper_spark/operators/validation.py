@@ -603,3 +603,77 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.withColumn("holds", F.col("violating_groups") == 0)
+
+
+@query(
+    "dq_histogram_log2_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('second',
+                       LAG(CAST(ts AS TIMESTAMP)) OVER
+                         (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+                       CAST(ts AS TIMESTAMP)) AS gap_s
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, gap_s,
+             CAST(length(bin(CAST(gap_s AS BIGINT))) - 1 AS INT) AS bucket
+      FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                     ELSE 1 << bucket END AS BIGINT) AS lo_s,
+           CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi_s,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM b GROUP BY event_type, bucket
+    """,
+    tags=("dq", "events", "stats", "timeseries"),
+)
+def dq_histogram_log2_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-flavored LOG2-bucketed inter-arrival histogram per
+    event type: bucket k holds gaps in [2^k, 2^(k+1)) seconds (bucket 0
+    holds 0-1 s), the exponential bucketing every latency-tail monitor
+    uses — ~40 buckets cover nanoseconds to centuries, vs equi-width's
+    blindness to tails and equi-depth's data-dependent bounds.
+
+    Exact log2 WITHOUT floating point: floor(log2 n) computed as
+    length(bin(n)) - 1 — the binary-string length, identical in both
+    engines, immune to the ln(8)/ln(2) = 2.9999... float-floor trap
+    that a log()-based bucketer hits at every power of two.
+
+    Scale shape: one per-(user, type) ordered window pass produces the
+    gaps (the events_inter_arrival_percentiles lag), then one map-side
+    partial aggregate to <= #types x ~40 bucket cells.  Per-task state
+    is bucket cells, never raw gaps."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    b = gaps.select(
+        "event_type",
+        "gap_s",
+        (F.length(F.bin(F.col("gap_s").cast("bigint"))) - 1).cast("int").alias("bucket"),
+    )
+    g = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+    return g.select(
+        "event_type",
+        "bucket",
+        F.expr("CAST(CASE WHEN bucket = 0 THEN 0 ELSE shiftleft(1, bucket) END AS BIGINT)").alias(
+            "lo_s"
+        ),
+        F.expr("CAST(shiftleft(1, bucket + 1) - 1 AS BIGINT)").alias("hi_s"),
+        "n",
+        "min_gap_s",
+        "max_gap_s",
+    )

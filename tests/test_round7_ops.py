@@ -392,3 +392,29 @@ def test_srm_check_planted(spark, tmp_path):
     bad = run(35, 65, "mismatched")
     assert bad.chi2_micro == round((35 - 65) ** 2 * 1e6 / 100) == 9_000_000
     assert bad.srm_detected
+
+
+def test_log2_histogram_exact_at_powers_of_two(spark, tmp_path):
+    """Gaps of exactly 1, 2, 4, 8 seconds land in buckets 0, 1, 2, 3 —
+    the power-of-two boundaries where a log()-based floor misbuckets
+    (ln(8)/ln(2) = 2.9999999999999996)."""
+    base = TS0
+    rows, eid = [], 0
+    t = base
+    for gap in (1, 2, 4, 8, 3, 7):
+        t = t + datetime.timedelta(seconds=gap)
+        rows.append((eid, t, 1, "view", 0.0, "{}")); eid += 1
+    rows.insert(0, (99, base, 1, "view", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.validation import (
+        dq_histogram_log2_gaps,
+    )
+
+    out = {r.bucket: r for r in dq_histogram_log2_gaps(spark, str(tmp_path)).collect()}
+    # gaps: 1->b0, 2->b1, 4->b2, 8->b3, 3->b1, 7->b2
+    assert out[0].n == 1 and (out[0].lo_s, out[0].hi_s) == (0, 1)
+    assert out[1].n == 2 and (out[1].lo_s, out[1].hi_s) == (2, 3)
+    assert out[2].n == 2 and (out[2].lo_s, out[2].hi_s) == (4, 7)
+    assert out[3].n == 1 and (out[3].lo_s, out[3].hi_s) == (8, 15)
+    assert out[3].min_gap_s == out[3].max_gap_s == 8
