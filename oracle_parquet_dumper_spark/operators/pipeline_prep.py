@@ -700,3 +700,81 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("logw_micro"),
         (avg_u / 1000000.0).alias("avg_log_ratio"),
     )
+
+
+CURRICULUM_PHASES = 4  # easy -> hard quartiles by token count
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS n_tok
+      FROM documents WHERE length(text) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1 AS idx,
+             COUNT(*) OVER () AS n
+      FROM d
+    ),
+    phased AS (
+      SELECT doc_id, n_tok,
+             CAST(({CURRICULUM_PHASES} * idx) // n AS INT) AS phase,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM ranked
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, phase,
+           CAST(ROW_NUMBER() OVER (PARTITION BY phase ORDER BY h, doc_id) - 1
+                AS BIGINT) AS position
+    FROM phased
+    """,
+    tags=("pipeline", "curation", "sample"),
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009): documents split
+    into {CURRICULUM_PHASES} difficulty phases by token count (short =
+    easy first), deterministically SHUFFLED within each phase by the
+    md5 doc hash — the (phase, position) pair is the exact order a
+    curriculum dataloader feeds the trainer, reproducible across runs
+    and engines.
+
+    Scale shape: phase assignment is the DISTRIBUTED global index over
+    (n_tok, doc_id) — `(K*idx) div n`, the events_uplift_by_decile
+    pattern, no single-partition window; the within-phase shuffle is a
+    SECOND grouped global index over (hash, doc_id) whose windows
+    partition by phase.  Both passes are two-stage bucket-offset
+    plans; nothing data-sized crosses one task.  (The oracle's plain
+    ROW_NUMBER windows are DuckDB-side only.)"""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
+            ).cast("long").alias("n_tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranked = with_global_index(d, "n_tok", ["doc_id"])
+    # truncate between the two index passes: the second pass's internal
+    # consumers (bounds, bucket counts, bucketed rows) would otherwise
+    # re-derive the ENTIRE first pass each
+    phased = ranked.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"CAST(({CURRICULUM_PHASES} * _gidx) div _gn AS INT)").alias("phase"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).localCheckpoint(eager=False)
+    pos = with_global_index(
+        phased, "h", ["doc_id"], group_cols=["phase"], idx_col="position"
+    )
+    return pos.select(
+        "doc_id", "n_tok", "phase", F.col("position").cast("long").alias("position")
+    )

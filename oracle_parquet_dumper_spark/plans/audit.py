@@ -182,6 +182,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # relation (<= #strata rows; the grouped global index used for
     # per-stratum selection partitions its windows by stratum)
     "sample_stratified_neyman": (1, "stratum relation, <= #strata rows"),
+    # curriculum phases: ungrouped global index (pass 1) offsets window
+    # over <= 64 bucket counts; pass 2's windows partition by phase
+    "pipeline_curriculum_order": (1, "bucket offsets, <= 64 rows"),
 }
 
 # The >10-exchange heuristic flags accidental subtree re-derivation.

@@ -418,3 +418,27 @@ def test_log2_histogram_exact_at_powers_of_two(spark, tmp_path):
     assert out[2].n == 2 and (out[2].lo_s, out[2].hi_s) == (4, 7)
     assert out[3].n == 1 and (out[3].lo_s, out[3].hi_s) == (8, 15)
     assert out[3].min_gap_s == out[3].max_gap_s == 8
+
+
+def test_curriculum_order_planted_phases(spark, tmp_path):
+    """8 docs with strictly increasing token counts split into 4 phases
+    of 2 (easy -> hard); positions within a phase are a dense 0..1
+    permutation; the whole ordering is bit-reproducible."""
+    rows = [
+        (i, " ".join(["w"] * (i + 1)), "en", "s", 2 * (i + 1)) for i in range(8)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from oracle_parquet_dumper_spark.operators.pipeline_prep import (
+        pipeline_curriculum_order,
+    )
+
+    a = sorted(pipeline_curriculum_order(spark, str(tmp_path)).collect())
+    b = sorted(pipeline_curriculum_order(spark, str(tmp_path)).collect())
+    assert a == b and len(a) == 8
+    by_doc = {r.doc_id: r for r in a}
+    # doc i has i+1 tokens; quartiles: docs (0,1)->phase0 ... (6,7)->phase3
+    for i in range(8):
+        assert by_doc[i].phase == i // 2, (i, by_doc[i])
+        assert by_doc[i].n_tok == i + 1
+    for ph in range(4):
+        assert sorted(r.position for r in a if r.phase == ph) == [0, 1]
