@@ -2916,3 +2916,119 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.cast("long").alias("chi2_micro"),
         (chi2 > SRM_CHI2_CRIT_MICRO).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis: minimum detectable effect for the standing A/B design.
+# ---------------------------------------------------------------------------
+
+# z_{1-alpha/2} for alpha=0.05 and z_{1-beta} for 80% power — the
+# standard design constants, written as shortest-repr doubles so both
+# engines parse identical IEEE values.
+Z_ALPHA_2 = 1.959963984540054
+Z_BETA = 0.8416212335729143
+
+
+@query(
+    "events_power_mde",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id % {DID_VARIANTS} AS variant,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS q
+      FROM p GROUP BY variant
+    ),
+    m AS (
+      SELECT MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 0 THEN n END) AS n2,
+             MAX(CASE WHEN variant = 1 THEN q END) AS q1,
+             MAX(CASE WHEN variant = 0 THEN q END) AS q2,
+             MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+             MAX(CASE WHEN variant = 0 THEN s END) AS s2
+      FROM g
+    ),
+    v AS (
+      SELECT n1, n2,
+             CAST(CAST(n1 * q1 - s1 * s1 AS VARCHAR) AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS var1,
+             CAST(CAST(n2 * q2 - s2 * s2 AS VARCHAR) AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS var2
+      FROM m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n2 AS BIGINT) AS n_ctrl,
+           var1 AS var_treat, var2 AS var_ctrl,
+           ({Z_ALPHA_2!r} + {Z_BETA!r}) * sqrt(var1 / n1 + var2 / n2) AS mde_cents
+    FROM v
+    """,
+    tags=("agg", "events", "stats", "experiment"),
+)
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the standing parity A/B at
+    alpha = 0.05 / power = 0.80: MDE = (z_0.975 + z_0.80) ·
+    sqrt(var_t/n_t + var_c/n_c) over purchase cents — the design
+    number an experimenter reads BEFORE launching ("can this test even
+    see the effect size we care about?"), completing the experiment
+    panel next to SRM, Welch, CUPED, DiD and uplift deciles.
+
+    Float portability: sample variances come from exact DECIMAL(38,0)
+    moments via the (n·q - s²)/(n·(n-1)) identity with one
+    correctly-rounded cast each (events_welch_ttest recipe); the z
+    constants are shortest-repr double literals shared by both
+    engines; the final expression is a single identical op tree.
+
+    Scale shape: pushed type filter, ONE 2-group map-side-partial
+    moment aggregate, then scalar algebra on a 1-row relation."""
+    d38 = "decimal(38,0)"
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % DID_VARIANTS).alias("variant"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = p.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast(d38).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("q"),
+    )
+
+    def pick(t: int, c: str):
+        return F.max(F.when(F.col("variant") == t, F.col(c)))
+
+    m = g.agg(
+        pick(1, "n").alias("n1"),
+        pick(0, "n").alias("n2"),
+        pick(1, "q").alias("q1"),
+        pick(0, "q").alias("q2"),
+        pick(1, "s").alias("s1"),
+        pick(0, "s").alias("s2"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    v = m.select(
+        "n1",
+        "n2",
+        (
+            dbl(F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+            / (F.col("n1").cast("double") * (F.col("n1") - 1))
+        ).alias("var1"),
+        (
+            dbl(F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2"))
+            / (F.col("n2").cast("double") * (F.col("n2") - 1))
+        ).alias("var2"),
+    )
+    return v.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n2").cast("long").alias("n_ctrl"),
+        F.col("var1").alias("var_treat"),
+        F.col("var2").alias("var_ctrl"),
+        (
+            (F.lit(Z_ALPHA_2) + F.lit(Z_BETA))
+            * F.sqrt(F.col("var1") / F.col("n1") + F.col("var2") / F.col("n2"))
+        ).alias("mde_cents"),
+    )

@@ -442,3 +442,30 @@ def test_curriculum_order_planted_phases(spark, tmp_path):
         assert by_doc[i].n_tok == i + 1
     for ph in range(4):
         assert sorted(r.position for r in a if r.phase == ph) == [0, 1]
+
+
+def test_power_mde_matches_hand_math(spark, tmp_path):
+    """Planted two-arm purchase data with known variance: MDE equals
+    (z_a + z_b) * sqrt(v1/n1 + v2/n2) computed by hand."""
+    rows, eid = [], 0
+    # treat (odd users): values 10, 20 -> cents 1000, 2000
+    for u, v in ((1, 10.0), (3, 20.0), (1, 10.0), (3, 20.0)):
+        rows.append((eid, TS0, u, "purchase", v, "{}")); eid += 1
+    # ctrl (even users): values 10, 30
+    for u, v in ((2, 10.0), (4, 30.0), (2, 10.0), (4, 30.0)):
+        rows.append((eid, TS0, u, "purchase", v, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        Z_ALPHA_2,
+        Z_BETA,
+        events_power_mde,
+    )
+
+    r = events_power_mde(spark, str(tmp_path)).collect()[0]
+    assert (r.n_treat, r.n_ctrl) == (4, 4)
+    import statistics
+
+    v1 = statistics.variance([1000, 2000, 1000, 2000])
+    v2 = statistics.variance([1000, 3000, 1000, 3000])
+    assert r.var_treat == v1 and r.var_ctrl == v2
+    assert r.mde_cents == (Z_ALPHA_2 + Z_BETA) * (v1 / 4 + v2 / 4) ** 0.5
