@@ -3032,3 +3032,75 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(F.col("var1") / F.col("n1") + F.col("var2") / F.col("n2"))
         ).alias("mde_cents"),
     )
+
+
+ANYORDER_WINDOW_HOURS = 72
+
+
+@query(
+    "events_funnel_any_order",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id,
+             (CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_steps,
+             t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+             AND greatest(t_view, t_click, t_purchase)
+                 - least(t_view, t_click, t_purchase)
+                 <= INTERVAL {ANYORDER_WINDOW_HOURS} HOUR AS completed
+      FROM firsts
+    )
+    SELECT n_steps, completed, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY n_steps, completed
+    """,
+    tags=("agg", "events"),
+)
+def events_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-ORDER funnel: a user completes when all three step types
+    occur within {ANYORDER_WINDOW_HOURS}h of each other, in whatever
+    sequence — the unordered counterpart of the strictly-sequenced
+    events_window_funnel_3step (product analytics ships both; e.g.
+    docs-read/trial/invite onboarding checklists are unordered).
+
+    Scale shape: ONE map-side-partial aggregate collapses each user to
+    three first-occurrence timestamps (conditional MIN — no joins, vs
+    the ordered funnel's three-way self-join), then pure row-local
+    interval algebra and a <= 8-cell final count.  The
+    events_conversion_lag_percentiles single-pass trick applied to a
+    whole funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    n_steps = (
+        F.col("t_view").isNotNull().cast("int")
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    completed = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (
+            F.unix_micros(F.greatest("t_view", "t_click", "t_purchase").cast("timestamp"))
+            - F.unix_micros(F.least("t_view", "t_click", "t_purchase").cast("timestamp"))
+            <= ANYORDER_WINDOW_HOURS * 3600 * 1_000_000
+        )
+    )
+    return (
+        firsts.select(n_steps.alias("n_steps"), completed.alias("completed"))
+        .groupBy("n_steps", "completed")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

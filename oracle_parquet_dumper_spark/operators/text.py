@@ -1447,3 +1447,68 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (avg_u / 1000000.0).alias("avg_nll"),
         F.round(F.exp(avg_u / 1000000.0), 4).alias("ppl"),
     )
+
+
+CODE_SYMBOLS = "{}();=<>[]#"
+CODE_KEYWORDS = ("def ", "import ", "return ", "void ", "function ")
+CODE_SCORE_THRESH_MILLI = 60
+
+
+@query(
+    "text_code_likeness",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n_chars,
+             length(text) - length(translate(text, '{CODE_SYMBOLS}', '')) AS n_sym,
+             {" + ".join(
+                 f"(length(text) - length(replace(text, '{k}', ''))) // {len(k)}"
+                 for k in CODE_KEYWORDS
+             )} AS kw_hits
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
+           CAST(kw_hits AS BIGINT) AS kw_hits,
+           CAST((1000 * n_sym) // n_chars + 100 * kw_hits AS BIGINT) AS code_score_milli,
+           (1000 * n_sym) // n_chars + 100 * kw_hits >= {CODE_SCORE_THRESH_MILLI}
+             AS is_code
+    FROM s
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def text_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen: symbol density ({CODE_SYMBOLS!r} share of
+    characters, via the translate-and-diff length trick) plus
+    keyword-hit count ({', '.join(CODE_KEYWORDS)!r}) folded into an
+    integer milli-score — the cheap router every pretraining pipeline
+    runs to send code to the code pipeline (its own dedup, quality and
+    tokenizer rules) instead of the prose one.
+
+    Exactness: counts come from length differences after translate/
+    replace — pure integer string ops both engines evaluate
+    identically; the score is integer division, no floats anywhere.
+
+    Scale shape: embarrassingly parallel row-local projection, one
+    scan, no shuffle at all before the sink."""
+    sym_expr = F.length("text") - F.length(F.translate(F.col("text"), CODE_SYMBOLS, ""))
+    kw_expr = None
+    for k in CODE_KEYWORDS:
+        term = (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(k), F.lit("")))
+        ) / F.lit(len(k))
+        term = term.cast("long")
+        kw_expr = term if kw_expr is None else kw_expr + term
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    s = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        sym_expr.alias("n_sym"),
+        kw_expr.alias("kw_hits"),
+    )
+    score = F.expr("(1000 * n_sym) div n_chars") + 100 * F.col("kw_hits")
+    return s.select(
+        "doc_id",
+        F.col("n_sym").cast("long").alias("n_sym"),
+        F.col("kw_hits").cast("long").alias("kw_hits"),
+        score.cast("long").alias("code_score_milli"),
+        (score >= CODE_SCORE_THRESH_MILLI).alias("is_code"),
+    )

@@ -469,3 +469,56 @@ def test_power_mde_matches_hand_math(spark, tmp_path):
     v2 = statistics.variance([1000, 3000, 1000, 3000])
     assert r.var_treat == v1 and r.var_ctrl == v2
     assert r.mde_cents == (Z_ALPHA_2 + Z_BETA) * (v1 / 4 + v2 / 4) ** 0.5
+
+
+def test_any_order_funnel_planted(spark, tmp_path):
+    """User 1 completes out of order (purchase first) within 72h; user
+    2 has all three but spread past 72h; user 3 has two steps."""
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # user 1: purchase -> view -> click within 3 hours (completes)
+        (0, TS0, 1, "purchase", 1.0, "{}"),
+        (1, TS0 + h, 1, "view", 0.0, "{}"),
+        (2, TS0 + 2 * h, 1, "click", 0.0, "{}"),
+        # user 2: all three but 100h spread (3 steps, not completed)
+        (3, TS0, 2, "view", 0.0, "{}"),
+        (4, TS0 + 50 * h, 2, "click", 0.0, "{}"),
+        (5, TS0 + 100 * h, 2, "purchase", 1.0, "{}"),
+        # user 3: two steps only
+        (6, TS0, 3, "view", 0.0, "{}"),
+        (7, TS0 + h, 3, "click", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_funnel_any_order,
+    )
+
+    out = {
+        (r.n_steps, r.completed): r.n_users
+        for r in events_funnel_any_order(spark, str(tmp_path)).collect()
+    }
+    assert out == {(3, True): 1, (3, False): 1, (2, False): 1}
+
+
+def test_code_likeness_planted(spark, tmp_path):
+    """A Python snippet trips the screen; plain prose does not; counts
+    match hand arithmetic."""
+    code = "def f(x):\n    return {x: (x + 1)};  # comment"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, code, "en", "s", len(code)), (2, prose, "en", "s", len(prose))],
+    )
+    from oracle_parquet_dumper_spark.operators.text import (
+        CODE_SYMBOLS,
+        text_code_likeness,
+    )
+
+    out = {r.doc_id: r for r in text_code_likeness(spark, str(tmp_path)).collect()}
+    assert out[1].n_sym == sum(code.count(c) for c in CODE_SYMBOLS)
+    assert out[1].kw_hits == 2  # 'def ' + 'return '
+    assert out[1].is_code and not out[2].is_code
+    assert out[2].n_sym == 0 and out[2].kw_hits == 0
+    expected = (1000 * out[1].n_sym) // len(code) + 200
+    assert out[1].code_score_milli == expected
