@@ -2282,6 +2282,7 @@ DID_VARIANTS = 2  # deterministic assignment: user_id % DID_VARIANTS
     FROM v
     """,
     tags=("agg", "events", "stats", "experiment"),
+    bench=True,
 )
 def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences over purchase values: treatment by
@@ -2519,6 +2520,7 @@ def _boot_oracle() -> str:
     "agg_bootstrap_poisson_means",
     oracle=_boot_oracle(),
     tags=("agg", "events", "stats", "sketch"),
+    bench=True,
 )
 def agg_bootstrap_poisson_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{BOOT_B} Poisson-bootstrap replicate means of the purchase value

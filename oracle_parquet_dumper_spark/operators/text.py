@@ -1368,6 +1368,7 @@ KN_DISCOUNT = 0.75  # absolute discount d (Kneser-Ney 1995 / Chen-Goodman)
     FROM agg
     """,
     tags=("text", "quality", "lm"),
+    bench=True,
 )
 def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity under an interpolated Kneser-Ney bigram
