@@ -1513,3 +1513,56 @@ def text_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("long").alias("code_score_milli"),
         (score >= CODE_SCORE_THRESH_MILLI).alias("is_code"),
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS n_tok,
+             strlen(text) AS n_bytes
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           CAST((1000 * SUM(n_tok)) // SUM(n_bytes) AS BIGINT) AS fertility_milli,
+           CAST((1000 * SUM(n_bytes)) // SUM(n_tok) AS BIGINT) AS bytes_per_tok_milli
+    FROM d GROUP BY lang
+    """,
+    tags=("text", "tokenize", "agg"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: tokens per byte (and its
+    reciprocal) for the whitespace tokenizer — THE per-language
+    efficiency metric of tokenizer design (a language whose
+    bytes-per-token is 3x English pays 3x the context window for the
+    same text; fertility tables drive vocab-allocation decisions in
+    multilingual tokenizers).  Complements text_vocab_coverage (which
+    tokens to know) with how MUCH token stream each language emits per
+    stored byte.
+
+    Exactness: token and byte counts are row-local integers
+    (size(split) / strlen mirrored by len(list_filter)/strlen), ratios
+    are integer milli-divisions.  Scale shape: one scan, one map-side
+    partial aggregate keyed by the bounded language set."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    s = d.select(
+        "lang",
+        F.size(words_col_lower()).alias("n_tok"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    g = s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tok",
+        "n_bytes",
+        F.expr("CAST((1000 * n_tok) div n_bytes AS BIGINT)").alias("fertility_milli"),
+        F.expr("CAST((1000 * n_bytes) div n_tok AS BIGINT)").alias("bytes_per_tok_milli"),
+    )
