@@ -1661,15 +1661,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- stored-state incremental dedup: the O(batch) admission path ----------
 
 
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Content fingerprint of one table's parquet files: sorted
+    (relpath, size, mtime_ns) triples, md5-folded.  Catches the
+    fixture-regenerated-in-place case (same path, new data) that a
+    path-only key would silently serve stale state for (ADVICE r7).
+    Also keys the pagerank bucketed-edge state (table="lineitem")."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(f"{table}.parquet:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}")
+    parts.sort()
+    return hashlib.md5("|".join(parts).encode("utf-8")).hexdigest()[:12]
+
+
 def dedup_state_dir(sf_dir: str) -> str:
     """Deterministic per-corpus location for the standing dedup index
     (``/root/testdata`` is read-only, so state lives under the temp
-    root keyed by the corpus path)."""
+    root).  Keyed by corpus path AND a content fingerprint of the
+    documents parquet files (sizes + mtimes), so regenerating the
+    fixture at the same path yields a fresh key and forces a state
+    rebuild instead of serving verdicts from a stale index; concurrent
+    sessions over the same bytes share a key safely because the state
+    they would write is identical."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    raw = sf_dir + "#" + _corpus_fingerprint(sf_dir)
+    key = hashlib.md5(raw.encode("utf-8")).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "opds_dedup_state", key)
 
 

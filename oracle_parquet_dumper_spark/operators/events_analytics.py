@@ -2438,7 +2438,7 @@ def events_psi_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(2 * F.col("ts_us") >= F.col("mn") + F.col("mx"), 1).otherwise(0)
             ).alias("n_post"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     t = g.agg(
         F.sum("n_pre").alias("tot_pre"),

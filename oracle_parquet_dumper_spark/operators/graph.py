@@ -75,12 +75,20 @@ def pagerank(
     # which imports this module — a module-level import would be circular
     from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
 
-    # Round-invariant relation: materialize ONCE, hash-partitioned by the
-    # join key, with the out-degree denormalized onto each edge.  Every
-    # round's edges⋈ranks join then reuses this partitioning (only the
-    # small ranks side moves) and the old per-round edges⋈deg join
-    # disappears entirely — 2 shuffles/round instead of 4 (the module
-    # docstring's bucket-by-src design, now actually in the plan).
+    # Round-invariant relation: computed and materialized ONCE, with the
+    # out-degree denormalized onto each edge, so the old per-round
+    # edges⋈deg join disappears.  PLAN REALITY (r8 sweep, measured): the
+    # checkpoint surfaces as Scan ExistingRDD, which DROPS the
+    # repartition's outputPartitioning — it does NOT carry into the
+    # per-round join.  What the executed round body actually does: AQE
+    # broadcasts the node-sized ranks side (zero edge movement — the
+    # fixture-scale plan, verified), leaving ONE fresh exchange per
+    # round (the dst aggregate).  At 100 TB node counts, ranks stops
+    # being broadcastable and each round re-SHUFFLES the checkpointed
+    # edges (bounded I/O of materialized rows, never recompute); the
+    # structural fix at that scale is the bucketed-table variant
+    # (graph_pagerank_bucketed: bucketBy(src) scan keeps its clustering
+    # across queries, so only the ranks side ever moves).
     edges = truncate_lineage(edges.repartition("src"), checkpoint_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n1 = deg.agg(F.count(F.lit(1)).alias("nn"))  # 1-row, stays in-plan
@@ -175,6 +183,107 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(supplier_edges(spark, sf_dir))
     return (
         ranks.select(F.col("node").cast("long").alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(PR_TOP)
+    )
+
+
+PR_BUCKETS = 32
+
+
+def pagerank_edge_state(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the round-invariant (src, dst, deg) relation exists as a
+    BUCKETED parquet table (bucketBy src, sortBy src) and return its
+    catalog name.  This is the structural fix for the checkpoint-drops-
+    partitioning trap (r8 sweep): a localCheckpoint surfaces as Scan
+    ExistingRDD with NO outputPartitioning, so at node counts where the
+    ranks side stops being broadcastable every round re-shuffles the
+    edges.  A bucketed scan reports its hash clustering to EVERY query
+    that reads it — the edges never move again, in any round, at any
+    scale; only the node-sized ranks relation exchanges into the bucket
+    partitioning.  Keyed by corpus path + content fingerprint (the
+    dedup_state_dir convention) so a regenerated fixture rebuilds."""
+    import hashlib
+    import os
+    import tempfile
+
+    from oracle_parquet_dumper_spark.operators.dedup import _corpus_fingerprint
+    from oracle_parquet_dumper_spark.sources.layouts import write_bucketed_table
+
+    raw = sf_dir + "#" + _corpus_fingerprint(sf_dir, table="lineitem")
+    key = hashlib.md5(raw.encode("utf-8")).hexdigest()[:12]
+    table = f"pr_edges_{key}"
+    path = os.path.join(tempfile.gettempdir(), "opds_pr_state", key)
+    if not spark.catalog.tableExists(table):
+        edges = supplier_edges(spark, sf_dir)
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        write_bucketed_table(
+            edges.join(deg, "src").select("src", "dst", "deg"),
+            table,
+            path,
+            bucket_col="src",
+            n_buckets=PR_BUCKETS,
+            sort_col="src",
+        )
+    return table
+
+
+@query(
+    "graph_pagerank_bucketed",
+    oracle=_pagerank_oracle(),
+    tags=("join", "graph", "iterative", "layout"),
+)
+def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank's exact semantics (same oracle, identical integer
+    rank mass) with the round-invariant edge relation persisted as a
+    BUCKETED table instead of a localCheckpoint: the bucketBy(src) scan
+    carries HashPartitioning(src) into every round's edges⋈ranks merge
+    join, so the edge relation is shuffled ZERO times across all
+    {PR_ITERS} rounds — only the node-sized ranks side moves (plan-
+    asserted in tests/test_plans.py with auto-broadcast disabled).  The
+    one-time bucketed write is the same amortize-at-export-time story
+    as dedup_incremental_stored's standing index.  At 100 TB this is
+    the variant that holds: the checkpointed form silently degrades to
+    an edge re-shuffle per round once V outgrows the broadcast
+    threshold (measured note at pagerank(), graph.py)."""
+    from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+
+    table = pagerank_edge_state(spark, sf_dir)
+    edges_deg = spark.table(table)
+    deg = edges_deg.groupBy("src").agg(F.first("deg").alias("deg"))
+    # 1-row node count, materialized ONCE — left in-plan it would
+    # re-scan the edge table every round just to recount nodes
+    n1 = truncate_lineage(deg.agg(F.count(F.lit(1)).alias("nn")))
+    d_num = int(round(PR_DAMPING * 100))
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        F.col("src").alias("node"), F.expr(f"{PR_SCALE} div nn").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        # no join hint: while ranks fits the broadcast threshold the
+        # round is a zero-shuffle broadcast join over the bucketed scan;
+        # past it, the SAME plan degrades gracefully to a merge join
+        # where only ranks exchanges (the bucketed side never moves —
+        # asserted with auto-broadcast disabled in tests/test_plans.py)
+        contribs = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"{(100 - d_num) * PR_SCALE} div (100 * nn) + ({d_num} * sc) div 100"
+                ).alias("r"),
+            )
+        )
+        ranks = truncate_lineage(ranks)
+    return (
+        ranks.select(
+            F.col("node").cast("long").alias("node"),
+            (F.col("r") / F.lit(float(PR_SCALE))).alias("pr"),
+        )
         .orderBy(F.col("pr").desc(), "node")
         .limit(PR_TOP)
     )
@@ -607,27 +716,35 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject heap.  The HAVING >= 2 prune also drops
     single-supplier parts BEFORE the self-join, shrinking the wedge
     input."""
-    from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+    from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE p-partitioned exchange, materialized and reused by the degree
-    # aggregate (map-side, no exchange) and BOTH wedge-join sides — the
-    # minhash-LSH reused-band-exchange pattern.  The merge hint keeps
-    # the planner from broadcasting the DATA-SIZED pair relation into
-    # the self-join (a per-task 600k-row hash build measured 2.7x
-    # slower than the zero-exchange co-partitioned SMJ).
-    ps = truncate_lineage(
-        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+    # ONE p-partitioned exchange (the repartition), genuinely reused via
+    # ReusedExchange by the wedge b-side, and NO degree JOIN at all:
+    # the per-part degree is a count() window over partitionBy(p),
+    # which rides the same p-exchange (clustering satisfied, only a
+    # local sort added — which the wedge SMJ needed anyway).  NO
+    # localCheckpoint — a checkpoint surfaces as Scan ExistingRDD,
+    # which DROPS outputPartitioning and forces every consumer to
+    # re-exchange (VERDICT r7 #1).  NO F.broadcast of the degree
+    # relation — it is O(#parts), data-sized (~20B rows at the 100 TB
+    # point); the window form eliminates that relation entirely.  The
+    # explicit non-null guard makes the a/b branches canonically
+    # identical (without it the inferred isnotnull filters differ and
+    # defeat ReuseExchange — captured r8).  The merge hint pins the
+    # wedge join to SMJ so neither the static planner nor AQE
+    # hash-builds the data-sized pair relation per task.
+    ps = (
+        li.where(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
         .repartition("p")
     )
-    deg = (
-        ps.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .where(F.col("d") >= 2)
-        .select("p", F.round(1000000 / F.log("d")).cast("long").alias("w"))
+    keyed = (
+        ps.withColumn("d", F.count(F.lit(1)).over(W.partitionBy("p")))
+        .where(F.col("d") >= 2)  # deg-1 parts pruned pre-wedge
+        .select("p", "s", F.round(1000000 / F.log("d")).cast("long").alias("w"))
     )
-    keyed = ps.join(F.broadcast(deg), "p")  # deg-1 parts pruned pre-wedge
     pairs = (
         keyed.alias("a")
         .join(

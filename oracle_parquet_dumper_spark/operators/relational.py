@@ -1151,7 +1151,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier is a GROWING dim (O(SF)) — no forced broadcast; AQE
+        # size-gates it at runtime (broadcasts at small SF, SMJ at 100 TB).
+        # nation/region stay hinted: constant 25/5 rows at every SF.
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -1289,7 +1292,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = dec_money("l_extendedprice") * dec_one_minus("l_discount")
     base = (
         li.join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(s, s.s_suppkey == li.l_suppkey)  # growing dim: AQE decides
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("l_year"),
@@ -1330,7 +1333,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec_money("l_extendedprice") * dec_one_minus("l_discount")
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(16,4)"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # growing dim: AQE decides
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
         .agg((100.0 * dec_sum(promo_rev) / dec_sum(rev)).alias("promo_share_pct"))
         .orderBy("ym")
@@ -1424,7 +1427,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction post-join — the predicate-decomposition stress test."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)  # growing dim: AQE decides
     q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     cond = (
         ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
@@ -1468,8 +1471,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        # part and the negative-balance supplier set both grow with SF —
+        # no forced broadcast; AQE picks broadcast vs shuffled anti-join.
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1841,8 +1846,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(0.01).cast("decimal(3,2)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # growing dims: AQE decides
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(
             ps,
             (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),

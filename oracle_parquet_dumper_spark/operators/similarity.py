@@ -1628,11 +1628,12 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             "v",
+            "nv",
             cosine_prenormed("v16", "qv16", "nv16", "nq16").alias("cos16"),
         )
         .withColumn("rn", F.row_number().over(w_pre))
         .where(F.col("rn") <= MRL_SHORTLIST)
-        .select("qid", "vec_id", "v")
+        .select("qid", "vec_id", "v", "nv")
     )
     ann = (
         short.join(
@@ -1641,8 +1642,7 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            norm("v").alias("nv2"),
-            cosine_prenormed("v", "qv", norm("v"), "nq").alias("cos"),
+            cosine_prenormed("v", "qv", "nv", "nq").alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w_full))
         .where(F.col("rn") <= TOP_K)

@@ -247,7 +247,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .count() here would run an extra job per query build
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        # df is VOCAB-SIZED (grows with the corpus) — no forced
+        # broadcast; AQE size-gates it (broadcasts at small corpora,
+        # shuffles the token-keyed join at 100 TB vocab).
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1527,8 +1530,8 @@ def text_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tok,
            CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
-           CAST((1000 * SUM(n_tok)) // SUM(n_bytes) AS BIGINT) AS fertility_milli,
-           CAST((1000 * SUM(n_bytes)) // SUM(n_tok) AS BIGINT) AS bytes_per_tok_milli
+           CAST((1000 * SUM(n_tok)) // NULLIF(SUM(n_bytes), 0) AS BIGINT) AS fertility_milli,
+           CAST((1000 * SUM(n_bytes)) // NULLIF(SUM(n_tok), 0) AS BIGINT) AS bytes_per_tok_milli
     FROM d GROUP BY lang
     """,
     tags=("text", "tokenize", "agg"),
@@ -1545,8 +1548,11 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: token and byte counts are row-local integers
     (size(split) / strlen mirrored by len(list_filter)/strlen), ratios
-    are integer milli-divisions.  Scale shape: one scan, one map-side
-    partial aggregate keyed by the bounded language set."""
+    are integer milli-divisions guarded by NULLIF — a language whose
+    surviving docs are all whitespace-only (n_tok = 0) reports a NULL
+    ratio instead of dying on division by zero (ADVICE r7).  Scale
+    shape: one scan, one map-side partial aggregate keyed by the
+    bounded language set."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     s = d.select(
         "lang",
@@ -1563,6 +1569,10 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tok",
         "n_bytes",
-        F.expr("CAST((1000 * n_tok) div n_bytes AS BIGINT)").alias("fertility_milli"),
-        F.expr("CAST((1000 * n_bytes) div n_tok AS BIGINT)").alias("bytes_per_tok_milli"),
+        F.expr("CAST((1000 * n_tok) div NULLIF(n_bytes, 0) AS BIGINT)").alias(
+            "fertility_milli"
+        ),
+        F.expr("CAST((1000 * n_bytes) div NULLIF(n_tok, 0) AS BIGINT)").alias(
+            "bytes_per_tok_milli"
+        ),
     )

@@ -86,7 +86,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("totalprice_positive", F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))),
     ]
     orphans = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        # customer's PK set grows with SF — no forced broadcast; AQE
+        # picks broadcast vs shuffled anti-join from runtime size
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(
             F.lit("custkey_references_customer").alias("constraint_name"),
             F.count(F.lit(1)).cast("long").alias("n_violations"),
@@ -623,8 +625,8 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, bucket,
            CAST(CASE WHEN bucket = 0 THEN 0
-                     ELSE 1 << bucket END AS BIGINT) AS lo_s,
-           CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi_s,
+                     ELSE CAST(1 AS BIGINT) << bucket END AS BIGINT) AS lo_s,
+           CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS hi_s,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
            CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
@@ -669,10 +671,11 @@ def dq_histogram_log2_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         "bucket",
-        F.expr("CAST(CASE WHEN bucket = 0 THEN 0 ELSE shiftleft(1, bucket) END AS BIGINT)").alias(
-            "lo_s"
-        ),
-        F.expr("CAST(shiftleft(1, bucket + 1) - 1 AS BIGINT)").alias("hi_s"),
+        F.expr(
+            "CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE shiftleft(CAST(1 AS BIGINT), bucket) END"
+        ).alias("lo_s"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").alias("hi_s"),
         "n",
         "min_gap_s",
         "max_gap_s",

@@ -39,6 +39,8 @@ class PlanAudit:
     unpartitioned_windows: int = 0
     quantile_bucketers: int = 0
     exact_percentiles: int = 0
+    hinted_broadcasts: int = 0
+    unbounded_broadcast_builds: list[str] = field(default_factory=list)
     aqe: bool = False
     warnings: list[str] = field(default_factory=list)
 
@@ -187,6 +189,91 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     "pipeline_curriculum_order": (1, "bucket offsets, <= 64 rows"),
 }
 
+# A FORCED F.broadcast()/hint("broadcast") overrides AQE's size
+# threshold AT ANY SCALE, so its build side must be provably bounded
+# regardless of data size.  The audit reads the OPTIMIZED LOGICAL plan
+# (the only place hints survive as text) and, for each broadcast-hinted
+# join side, requires every base relation in that subtree to sit under
+# a 1-row aggregate or a GlobalLimit — or be a constant-cardinality
+# catalog dim (region=5 / nation=25 rows at EVERY scale factor).
+# Anything else (raw base tables, key-grouped aggregates whose group
+# count is data-sized — the graph_adamic_adar O(#parts) degree relation
+# that motivated this rule, VERDICT r7 #1/#2) must be allowlisted HERE
+# by query name with its recorded bound; an unlisted occurrence (or one
+# exceeding its count) fails the lint.  Auto/AQE broadcasts are exempt
+# by construction: they are size-gated at runtime and simply don't
+# happen at 100 TB.
+BROADCAST_BUILD_ALLOWLIST: dict[str, tuple[int, str]] = {
+    # ANN/kNN query batches: a bounded query set selected by key
+    # (vec_id = 0, or vec_id < 8 for the multivector set) — the
+    # "broadcast query batch" protocol; at scale the batch is the
+    # user's query payload, never the corpus.
+    "sim_ann_lsh": (1, "1 query vector (vec_id = 0)"),
+    "sim_ann_lsh_multiprobe": (1, "1 query vector (vec_id = 0)"),
+    "sim_ivf_coarse": (1, "1 query vector (vec_id = 0)"),
+    "sim_maxsim_multivector": (1, "8 query token vectors (vec_id < 8)"),
+    "sim_reciprocal_rank_fusion": (4, "1 query vector x 2 rankers x 2 index passes"),
+    "sim_topk_bruteforce": (1, "1 query vector (vec_id = 0)"),
+    "sim_topk_hamming_binary": (1, "1 query vector (vec_id = 0)"),
+    "sim_topk_mips": (1, "1 query vector (vec_id = 0)"),
+    "sim_topk_quantized_int8": (1, "1 query vector (vec_id = 0)"),
+    # incremental-dedup admission: the broadcast side is ONE crawl
+    # batch (doc_id % INC_MOD) — bounded by the admission batch size
+    # at scale, by protocol (the corpus side always streams).
+    "dedup_incremental": (1, "one admission batch of band rows"),
+    "dedup_incremental_stored": (3, "one admission batch: digests + bands + digest re-probe"),
+    # BM25: the df relation is filtered to the literal query terms
+    # (w IN (...)) before the aggregate — <= #query-terms rows.
+    "text_bm25_search": (1, "df of the 3 literal query terms"),
+    # zonemap probe rollup: grouped on the probe key, <= 8 probe rows
+    # (spark.range(8) drives the probe set).
+    "layout_zonemap_pruning": (1, "per-probe match counts, <= 8 probe keys"),
+    # argmax set: suppliers whose revenue equals the broadcast 1-row
+    # global max — ties only, ~1 row at any scale.
+    "q15_top_supplier": (1, "argmax supplier set (revenue = global max)"),
+}
+
+# Columns whose cardinality is data-size-INDEPENDENT: fixed catalog
+# domains (TPC-H flag/status/segment/priority columns), fixed algorithm
+# parameters (bucket counts, sketch widths, k-means k), or calendar
+# axes.  A grouped Aggregate whose every grouping key is listed here is
+# a bounded relation (its row count is the product of these domains),
+# and a checkpointed LogicalRDD whose FIRST column is listed here is
+# recognized as the materialized form of such an aggregate.  Bounds are
+# recorded so an entry is a documented decision.
+BOUNDED_DOMAIN_COLS: dict[str, str] = {
+    "_gb": "global-index bucket id, <= 64 (operators/global_index.py)",
+    "_qb": "global-index quantile boundary array, <= 63 values/group",
+    "event_type": "event-type domain, ~12",
+    "t": "event-type alias (events_audience_overlap)",
+    "prev_type": "event-type domain (markov)",
+    "cur_type": "event-type domain (markov)",
+    "src": "event-type domain (markov transitions)",
+    "dst": "event-type domain (markov transitions)",
+    "lang": "language domain, <= ~10",
+    "source": "source-catalog domain",
+    "label": "embedding label domain",
+    "cluster": "k-means cell id, k fixed",
+    "l_returnflag": "3 (TPC-H)",
+    "l_linestatus": "2 (TPC-H)",
+    "l_shipmode": "7 (TPC-H)",
+    "o_orderpriority": "5 (TPC-H)",
+    "o_orderstatus": "3 (TPC-H)",
+    "c_mktsegment": "5 (TPC-H)",
+    "priority": "5 (o_orderpriority alias)",
+    "status": "3 (o_orderstatus alias)",
+    "flag": "3 (l_returnflag alias)",
+    "metric": "RFM metric axis, 3 literals",
+    "phase": "curriculum phases, 3",
+    "stratum": "stratification domain",
+    "dep": "CMS sketch depth, 4",
+    "b": "CMS width / shuffle-bucket / MI-axis id, <= 16384 fixed",
+    "a": "MI axis alias (o_orderstatus)",
+    "day": "calendar days in the observation window",
+    "hr": "hour of day, 24",
+    "band": "LSH band id, fixed band count",
+}
+
 # The >10-exchange heuristic flags accidental subtree re-derivation.
 # A query listed here runs a DELIBERATE multi-sweep algorithm whose
 # exchange count is the algorithm, not an accident — the budget pins
@@ -200,6 +287,144 @@ EXCHANGE_BUDGET: dict[str, tuple[int, str]] = {
     # table, unioned — exchanges scale with #candidates, not data
     "dq_functional_dependencies": (16, "5 FD probes x groupBy+fold"),
 }
+
+
+_JOIN_HINT_RE = re.compile(r"\bJoin\b.*\b(?:leftHint|rightHint)=\(")
+_REL_RE = re.compile(r"^(?:Relation|LogicalRDD) \[([^\]]*)")
+_BOUNDING_RE = re.compile(r"^(?:GlobalLimit) ")
+_CONST_DIM_PREFIXES = ("r_", "n_")  # region (5 rows) / nation (25 rows)
+
+
+def _child_indices(nodes: list[tuple[int, str]], i: int) -> list[int]:
+    """Indices of node i's DIRECT children: the descendants at the
+    minimal depth below i (Spark prints all children of a node at the
+    same marker column)."""
+    d = nodes[i][0]
+    kids: list[int] = []
+    child_depth: int | None = None
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            break
+        if child_depth is None:
+            child_depth = nodes[j][0]
+        if nodes[j][0] == child_depth:
+            kids.append(j)
+    return kids
+
+
+def _is_one_row_aggregate(text: str) -> bool:
+    """Logical ``Aggregate [aggexprs]`` (ONE bracket group) is a global
+    1-row fold; ``Aggregate [keys], [exprs]`` (two groups) is grouped —
+    its row count is the key domain.  A bare ``Aggregate`` (both lists
+    empty — a global fold whose outputs were all pruned) is 1 row."""
+    if text.strip() == "Aggregate":
+        return True
+    return bool(re.match(r"Aggregate \[", text)) and len(_bracket_group_texts(text)) == 1
+
+
+_COL_NAME_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _is_bounded_grouped_aggregate(text: str) -> bool:
+    """Grouped ``Aggregate [keys], [exprs]`` whose every grouping key is
+    a bare column from BOUNDED_DOMAIN_COLS: row count is the product of
+    fixed domains, data-size-independent.  A computed key or any key
+    not in the registered domain table disqualifies."""
+    if not re.match(r"Aggregate \[", text):
+        return False
+    groups = _bracket_group_texts(text)
+    if len(groups) != 2:
+        return False
+    keys = _split_top_level(groups[0])
+    if not keys:
+        return False
+    for k in keys:
+        m = _COL_NAME_RE.match(k)
+        if not m or m.group(1) not in BOUNDED_DOMAIN_COLS:
+            return False
+    return True
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in (), [] — grouping-key lists may
+    contain function calls with their own commas."""
+    out, buf, depth = [], [], 0
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf).strip())
+    return out
+
+
+def _unbounded_broadcast_builds(logical: str) -> tuple[int, list[str]]:
+    """Scan the optimized LOGICAL plan for broadcast-hinted join sides
+    whose subtree scans a base relation not dominated by a bounding
+    node.  Returns (hinted_broadcast_side_count, violation descriptions).
+    """
+    nodes = _nodes(logical)
+    hinted = 0
+    bad: list[str] = []
+    for i, (_, text) in enumerate(nodes):
+        if not _JOIN_HINT_RE.search(text):
+            continue
+        kids = _child_indices(nodes, i)
+        sides: list[int] = []
+        if "leftHint=(strategy=broadcast" in text and len(kids) >= 1:
+            sides.append(kids[0])
+        if "rightHint=(strategy=broadcast" in text and len(kids) >= 2:
+            sides.append(kids[1])
+        for k in sides:
+            hinted += 1
+            # subtree of k, with depths, k included
+            dk = nodes[k][0]
+            sub = [(dk, nodes[k][1])]
+            for j in range(k + 1, len(nodes)):
+                if nodes[j][0] <= dk:
+                    break
+                sub.append(nodes[j])
+            for si, (sd, st) in enumerate(sub):
+                m = _REL_RE.match(st)
+                if not m:
+                    continue
+                first_col = m.group(1).split(",")[0].split("#")[0].strip()
+                if first_col.startswith(_CONST_DIM_PREFIXES):
+                    continue  # region/nation: constant rows at any SF
+                if st.startswith("LogicalRDD") and first_col in BOUNDED_DOMAIN_COLS:
+                    # checkpointed bounded state (quantile boundaries,
+                    # per-domain rollups) — the aggregate that bounded
+                    # it is hidden behind the checkpoint, so the column
+                    # convention is the marker (bound recorded in
+                    # BOUNDED_DOMAIN_COLS)
+                    continue
+                # ancestors of this relation within the build subtree
+                anc = [
+                    at
+                    for aj, (ad, at) in enumerate(sub[:si])
+                    if ad < sd
+                    and all(sub[x][0] > ad for x in range(aj + 1, si))
+                ]
+                if any(
+                    _BOUNDING_RE.match(t)
+                    or _is_one_row_aggregate(t)
+                    or _is_bounded_grouped_aggregate(t)
+                    for t in anc
+                ):
+                    continue
+                bad.append(
+                    f"broadcast build scans unbounded relation "
+                    f"[{first_col}...] with no bounding ancestor "
+                    "(1-row fold / limit / bounded-domain groupBy)"
+                )
+                break  # one violation per hinted side
+    return hinted, bad
 
 
 def audit_text(name: str, plan: str) -> PlanAudit:
@@ -324,6 +549,16 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
     budget = EXCHANGE_BUDGET.get(a.name, (10, ""))[0]
     if a.exchanges > budget and not (t & {"iterative", "graph", "pipeline"}):
         w.append(f"{a.exchanges} exchanges — audit for a reusable partitioning")
+    b_allowed, b_reason = BROADCAST_BUILD_ALLOWLIST.get(a.name, (0, ""))
+    if len(a.unbounded_broadcast_builds) > b_allowed and not (t & EXEMPT["demo"]):
+        w.append(
+            f"{len(a.unbounded_broadcast_builds)} forced-broadcast build side(s) "
+            f"not provably bounded (allowlisted: {b_allowed}"
+            f"{' — ' + b_reason if b_reason else ''}): "
+            + "; ".join(a.unbounded_broadcast_builds[:3])
+            + " — a F.broadcast hint overrides AQE at ANY scale; bound the "
+            "build side (1-row fold, limit) or record the domain bound here"
+        )
     a.warnings = w
     return w
 
@@ -339,6 +574,10 @@ def audit_query(spark, sf_dir: str, name: str, df=None) -> PlanAudit:
         df = spec.fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     a = audit_text(name, plan)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    a.hinted_broadcasts, a.unbounded_broadcast_builds = _unbounded_broadcast_builds(
+        logical
+    )
     lint(a, spec.tags)
     return a
 
@@ -353,6 +592,7 @@ def _fmt(a: PlanAudit) -> str:
         f"topk={a.take_ordered}",
         f"gsort={a.global_sorts}(raw={a.raw_global_sorts})",
         f"upwin={a.unpartitioned_windows}",
+        f"fbcast={a.hinted_broadcasts}(unb={len(a.unbounded_broadcast_builds)})",
         f"py={a.python_eval}",
     ]
     return " ".join(parts)

@@ -164,8 +164,11 @@ def enrich_with_dimension(
     keyed = events.withWatermark("ts", watermark).withColumn(
         "cust_key", (F.col("user_id") % F.lit(n_dim_rows)) + 1
     )
+    # no forced broadcast: the customer dim grows with the business —
+    # Spark size-gates the static side per micro-batch (broadcast while
+    # it fits, shuffled stream-static join when it doesn't)
     enriched = keyed.join(
-        F.broadcast(dim.select(F.col("c_custkey"), F.col("c_mktsegment"))),
+        dim.select(F.col("c_custkey"), F.col("c_mktsegment")),
         F.col("cust_key") == F.col("c_custkey"),
     )
     return enriched.groupBy("c_mktsegment").agg(

@@ -520,3 +520,151 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_adamic_adar_no_broadcast_one_reused_exchange(spark, sf_dir):
+    """VERDICT r7 #1: graph_adamic_adar must NOT broadcast the degree
+    relation (O(#parts) — data-sized at 100 TB) and its one-reused-
+    p-exchange story must hold in the EXECUTED plan.  The r8 rewrite
+    computes the degree as a count() window riding the repartition("p")
+    exchange (no degree join at all, no localCheckpoint dropping
+    outputPartitioning), so the final plan is: ONE lineitem scan, the
+    distinct exchange, the p-repartition exchange (reused by the wedge
+    b-side via ReusedExchange), one wedge SortMergeJoin, one pair-agg
+    exchange, TakeOrderedAndProject."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    df = REGISTRY["graph_adamic_adar"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE appends the initial plan
+    assert "BroadcastExchange" not in final
+    assert final.count("ReusedExchange") >= 1
+    assert final.count("Scan parquet") == 1
+    assert final.count("SortMergeJoin") == 1
+    fresh_exchanges = sum(  # ReusedExchange lines echo the reused node's text
+        1
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    )
+    assert fresh_exchanges <= 3
+    assert "TakeOrderedAndProject" in final
+
+
+def test_audit_broadcast_build_boundedness_rule(spark, sf_dir):
+    """Round-7 verdict #2: a forced F.broadcast whose build side scans a
+    base table with no domain-bounding node must fail the lint — the
+    exact shape (broadcast of a key-grouped, data-sized degree relation)
+    that graph_adamic_adar shipped in round 7 and the old bcast_join
+    counter silently passed.  Bounded shapes (1-row folds, GlobalLimit,
+    bounded-domain groupBys, region/nation dims) must pass."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+    from oracle_parquet_dumper_spark.plans.audit import (
+        PlanAudit,
+        _unbounded_broadcast_builds,
+        lint,
+    )
+
+    def logical(d):
+        return d._jdf.queryExecution().optimizedPlan().toString()
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    deg = ps.groupBy("p").agg(F.count(F.lit(1)).alias("d"))  # O(#parts) rows
+
+    # the round-7 offender: forced broadcast of the key-grouped relation
+    hinted, bad = _unbounded_broadcast_builds(logical(ps.join(F.broadcast(deg), "p")))
+    assert hinted == 1 and len(bad) == 1
+    a = PlanAudit(name="not_allowlisted")
+    a.hinted_broadcasts, a.unbounded_broadcast_builds = hinted, bad
+    assert any("forced-broadcast" in w for w in lint(a, ()))
+
+    # 1-row fold: bounded
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    hinted, bad = _unbounded_broadcast_builds(logical(ps.crossJoin(F.broadcast(tot))))
+    assert hinted == 1 and bad == []
+
+    # GlobalLimit: bounded
+    q = ps.orderBy("p").limit(8).select(F.col("p").alias("qp"))
+    hinted, bad = _unbounded_broadcast_builds(
+        logical(ps.join(F.broadcast(q), F.col("p") == F.col("qp")))
+    )
+    assert hinted == 1 and bad == []
+
+    # bounded-domain groupBy (l_returnflag: 3 values at any SF): bounded
+    fl = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    hinted, bad = _unbounded_broadcast_builds(logical(li.join(F.broadcast(fl), "l_returnflag")))
+    assert hinted == 1 and bad == []
+
+    # constant catalog dim (nation): bounded
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    hinted, bad = _unbounded_broadcast_builds(
+        logical(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    )
+    assert hinted == 1 and bad == []
+
+    # allowlisted query: bounded at its recorded count, not blanket-exempt
+    a = PlanAudit(name="sim_topk_bruteforce")
+    a.unbounded_broadcast_builds = ["x"]
+    assert not lint(a, ())
+    a.unbounded_broadcast_builds = ["x", "y"]
+    assert any("forced-broadcast" in w for w in lint(a, ()))
+
+
+def test_pagerank_bucketed_edges_never_exchange(spark, sf_dir):
+    """graph_pagerank_bucketed's structural claim: with auto-broadcast
+    disabled (the 100 TB regime, where the node-sized ranks relation no
+    longer fits a broadcast), the per-round edges⋈ranks join reads the
+    bucketBy(src) table's own clustering — the edge relation crosses
+    ZERO exchanges; only ranks and the dst aggregate shuffle."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.graph import pagerank_edge_state
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        table = pagerank_edge_state(spark, sf_dir)
+        ed = spark.table(table)
+        ranks = (
+            ed.groupBy("src")
+            .agg(F.first("deg").alias("deg"))
+            .select(F.col("src").alias("node"), F.lit(100).alias("r"))
+            .localCheckpoint(eager=True)  # same lost-partitioning state as a real round
+        )
+        body = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        body.collect()
+        plan = body._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final  # the edge scan uses its buckets
+        assert final.count("SortMergeJoin") == 1
+        fresh = [
+            ln
+            for ln in final.splitlines()
+            if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+        ]
+        # ranks -> hashpartitioning(node), agg -> hashpartitioning(dst);
+        # NO exchange keyed on the edge table's src column
+        assert len(fresh) == 2
+        assert not any("src#" in ln for ln in fresh)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
