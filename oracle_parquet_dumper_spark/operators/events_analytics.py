@@ -2459,6 +2459,105 @@ def events_psi_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_jsd_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    b AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e),
+    g AS (
+      SELECT event_type,
+             SUM(CASE WHEN 2 * ts_us < mn + mx THEN 1 ELSE 0 END) AS n_pre,
+             SUM(CASE WHEN 2 * ts_us >= mn + mx THEN 1 ELSE 0 END) AS n_post
+      FROM e CROSS JOIN b GROUP BY event_type
+    ),
+    t AS (SELECT SUM(n_pre) AS tot_pre, SUM(n_post) AS tot_post,
+                 COUNT(*) AS k FROM g),
+    terms AS (
+      SELECT event_type, n_pre, n_post,
+             CAST(round((
+               0.5 * ((n_pre + 1.0) / (tot_pre + k))
+                   * ln(((n_pre + 1.0) / (tot_pre + k))
+                        / (0.5 * ((n_pre + 1.0) / (tot_pre + k))
+                           + 0.5 * ((n_post + 1.0) / (tot_post + k))))
+             + 0.5 * ((n_post + 1.0) / (tot_post + k))
+                   * ln(((n_post + 1.0) / (tot_post + k))
+                        / (0.5 * ((n_pre + 1.0) / (tot_pre + k))
+                           + 0.5 * ((n_post + 1.0) / (tot_post + k))))
+             ) * 1000000) AS BIGINT) AS jsd_term_micro
+      FROM g CROSS JOIN t
+    ),
+    tot AS (SELECT SUM(jsd_term_micro) AS s FROM terms)
+    SELECT event_type, CAST(n_pre AS BIGINT) AS n_pre,
+           CAST(n_post AS BIGINT) AS n_post,
+           jsd_term_micro,
+           CAST(s AS BIGINT) AS jsd_total_micro
+    FROM terms CROSS JOIN tot
+    """,
+    tags=("agg", "events", "stats", "drift"),
+)
+def events_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the first and second half of
+    the event stream (same midpoint split and Laplace smoothing as
+    events_psi_category_drift): per category the JSD term
+    ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2.  JSD complements PSI
+    where PSI misbehaves: it is SYMMETRIC, bounded by ln 2, and finite
+    even for categories absent from one side pre-smoothing — the
+    drift score to alert on when category churn is expected (new event
+    types appearing mid-stream), while PSI's unbounded terms make
+    better leaderboards for stable vocabularies.
+
+    Determinism: the smoothed p, q, m ratios are evaluated in one
+    shared double expression and integerized to micro-nats (the PSI
+    convention), bit-identical across engines.
+
+    Scale shape: identical to PSI — one scan, 1-row min/max broadcast,
+    one map-side partial aggregate to the <= #types relation, terms and
+    total on bounded rows.  No window, no Python."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    b = e.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    g = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("ts_us") < F.col("mn") + F.col("mx"), 1).otherwise(0)
+            ).alias("n_pre"),
+            F.sum(
+                F.when(2 * F.col("ts_us") >= F.col("mn") + F.col("mx"), 1).otherwise(0)
+            ).alias("n_post"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = g.agg(
+        F.sum("n_pre").alias("tot_pre"),
+        F.sum("n_post").alias("tot_post"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = (F.col("n_pre") + F.lit(1.0)) / (F.col("tot_pre") + F.col("k"))
+    q = (F.col("n_post") + F.lit(1.0)) / (F.col("tot_post") + F.col("k"))
+    m = F.lit(0.5) * p + F.lit(0.5) * q
+    terms = g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round((F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)) * 1000000)
+        .cast("long")
+        .alias("jsd_term_micro"),
+    )
+    tot = terms.agg(F.sum("jsd_term_micro").cast("long").alias("s"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_pre",
+        "n_post",
+        "jsd_term_micro",
+        F.col("s").alias("jsd_total_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Poisson bootstrap — the at-scale bootstrap (Chamandy et al. 2012,
 # "Estimating Uncertainty for Massive Data Streams" / Kleiner's BLB

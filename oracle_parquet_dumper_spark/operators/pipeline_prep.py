@@ -778,3 +778,119 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select(
         "doc_id", "n_tok", "phase", F.col("position").cast("long").alias("position")
     )
+
+
+MIX_BUDGET_MULT = 2  # token budget = 2x the corpus
+MIX_MAX_EPOCHS = 4   # repeat cap per source (Muennighoff et al. 2023)
+
+
+@query(
+    "pipeline_mixture_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                       t -> length(t) > 0))) AS BIGINT) AS n_tok
+      FROM documents WHERE length(text) > 0 GROUP BY source
+    ),
+    t AS (
+      SELECT SUM(n_tok) AS total, SUM(sqrt(CAST(n_tok AS DOUBLE))) AS z FROM s
+    ),
+    terms AS (
+      SELECT source, n_tok,
+             CAST((1000000 * n_tok) // total AS BIGINT) AS share_ppm,
+             CAST(round(1000000 * sqrt(CAST(n_tok AS DOUBLE)) / z) AS BIGINT) AS w_ppm,
+             CAST(CAST(round(1000000 * sqrt(CAST(n_tok AS DOUBLE)) / z) AS BIGINT)
+                  * ({MIX_BUDGET_MULT} * total) // 1000000 AS BIGINT) AS target_tok
+      FROM s CROSS JOIN t
+    ),
+    capped AS (
+      SELECT source, n_tok, share_ppm, w_ppm, target_tok,
+             target_tok > {MIX_MAX_EPOCHS} * n_tok AS capped,
+             LEAST(target_tok, {MIX_MAX_EPOCHS} * n_tok) AS final_tok
+      FROM terms
+    ),
+    lo AS (SELECT CAST(SUM(target_tok - final_tok) AS BIGINT) AS leftover FROM capped)
+    SELECT source, n_tok, share_ppm, w_ppm, target_tok, capped,
+           CAST(final_tok AS BIGINT) AS final_tok,
+           CAST((1000 * final_tok) // n_tok AS BIGINT) AS epochs_milli,
+           leftover AS leftover_tok
+    FROM capped CROSS JOIN lo
+    """,
+    tags=("pipeline", "agg", "text"),
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture with a repeat cap — the data-
+    mixing planner for multi-source pretraining: raw shares p_i are
+    flattened to w_i ∝ p_i^0.5 (temperature sampling, the multilingual
+    convention that keeps big sources from drowning small ones), a
+    {MIX_BUDGET_MULT}x-corpus token budget is allotted by w_i, and each
+    source's allotment is capped at {MIX_MAX_EPOCHS} epochs of its own
+    data (repeated data stops helping around 4 epochs — Muennighoff et
+    al. 2023); the uncovered remainder is reported as leftover_tok (the
+    budget the planner must fill with new crawl or accept as a
+    shortfall).
+
+    Determinism: the only float math is sqrt(n_tok)/Σsqrt — one shared
+    double expression rounded once to ppm; every downstream quantity is
+    integer arithmetic on that rounded weight (floor divisions), so
+    allocation rows are bit-identical across engines.
+
+    Scale shape: one scan + map-side token-count partial to <= #sources
+    rows; everything after lives on that bounded relation crossJoined
+    with broadcast 1-row folds."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    s = (
+        d.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_tok")
+        )
+        .localCheckpoint(eager=False)  # <= #sources rows, 3 consumers
+    )
+    t = s.agg(
+        F.sum("n_tok").alias("total"),
+        F.sum(F.sqrt(F.col("n_tok").cast("double"))).alias("z"),
+    )
+    w_ppm = F.round(
+        F.lit(1000000) * F.sqrt(F.col("n_tok").cast("double")) / F.col("z")
+    ).cast("long")
+    terms = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tok",
+        F.expr("CAST((1000000 * n_tok) div total AS BIGINT)").alias("share_ppm"),
+        w_ppm.alias("w_ppm"),
+        (w_ppm * (F.lit(MIX_BUDGET_MULT) * F.col("total")) / F.lit(1000000))
+        .cast("long")
+        .alias("target_tok"),
+    )
+    capped = terms.select(
+        "source",
+        "n_tok",
+        "share_ppm",
+        "w_ppm",
+        "target_tok",
+        (F.col("target_tok") > MIX_MAX_EPOCHS * F.col("n_tok")).alias("capped"),
+        F.least(F.col("target_tok"), MIX_MAX_EPOCHS * F.col("n_tok")).alias("final_tok"),
+    ).localCheckpoint(eager=False)
+    lo = capped.agg(
+        F.sum(F.col("target_tok") - F.col("final_tok")).cast("long").alias("leftover")
+    )
+    return capped.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "n_tok",
+        "share_ppm",
+        "w_ppm",
+        "target_tok",
+        "capped",
+        F.col("final_tok").cast("long").alias("final_tok"),
+        F.expr("CAST((1000 * final_tok) div n_tok AS BIGINT)").alias("epochs_milli"),
+        F.col("leftover").alias("leftover_tok"),
+    )

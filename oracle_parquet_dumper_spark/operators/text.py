@@ -1576,3 +1576,149 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_tok_milli"
         ),
     )
+
+
+REP_TOP2G_MAX_MILLI = 180  # Gopher A1.1: drop if top 2-gram > 0.18 of tokens
+REP_DUP2G_MAX_MILLI = 400
+
+
+@query(
+    "text_repetition_screen",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
+      FROM documents WHERE length(text) > 0
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words WHERE len(w) >= 2
+    ), per AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bigram
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           CAST((1000 * (n_bigrams - n_distinct)) // n_bigrams AS BIGINT) AS dup_frac_milli,
+           CAST((1000 * top_count) // n_bigrams AS BIGINT) AS top_frac_milli,
+           ((1000 * top_count) // n_bigrams <= {REP_TOP2G_MAX_MILLI}
+            AND (1000 * (n_bigrams - n_distinct)) // n_bigrams <= {REP_DUP2G_MAX_MILLI}) AS keep
+    FROM agg
+    """,
+    tags=("text", "ngram", "quality", "clean"),
+)
+def text_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen (Rae et al. 2021 §A1.1, the
+    "repetitious documents" gates): per document the duplicate-bigram
+    fraction (1 - distinct/total bigram slots) and the modal-bigram
+    fraction (occurrences of the single most frequent bigram / total),
+    both integer milli-fractions, AND a keep flag at the published
+    thresholds.  Catches the loop-generated / boilerplate pages that
+    pass the word-statistics gates (clean_gopher_quality) with flying
+    colors — repetition and vocabulary statistics fail independently,
+    which is why Gopher applies both families.
+
+    Determinism: only counts are aggregated (max count, distinct count
+    — never "which bigram", so count ties cannot reorder anything);
+    ratios are integer milli-divisions.
+
+    Scale shape: bigrams via one zip_with over two token-array slices
+    (the text_bigram_topk convention — no per-shingle re-tokenize),
+    then two doc-keyed partial aggregates; everything shuffles on
+    doc_id, nothing global."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    w = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    docs = d.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n1),
+                F.slice("w", 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    dup_milli = F.expr("CAST((1000 * (n_bigrams - n_distinct)) div n_bigrams AS BIGINT)")
+    top_milli = F.expr("CAST((1000 * top_count) div n_bigrams AS BIGINT)")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        dup_milli.alias("dup_frac_milli"),
+        top_milli.alias("top_frac_milli"),
+        (
+            (top_milli <= REP_TOP2G_MAX_MILLI) & (dup_milli <= REP_DUP2G_MAX_MILLI)
+        ).alias("keep"),
+    )
+
+
+OOV_MIN_COUNT = 5  # corpus vocabulary = tokens seen >= this many times
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    vocab AS (
+      SELECT token FROM tok GROUP BY token HAVING COUNT(*) >= {OOV_MIN_COUNT}
+    ),
+    j AS (
+      SELECT t.source, t.token, v.token IS NOT NULL AS in_vocab
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           CAST((1000000 * SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END)) // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM j GROUP BY source
+    """,
+    tags=("text", "tokenize", "join", "agg"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus vocabulary
+    (tokens with count >= {OOV_MIN_COUNT}): the tokenizer-coverage
+    metric that decides whether a new crawl source needs vocab
+    extension before training — a source whose OOV ppm spikes is
+    feeding the model byte-fallback garbage.  Min-count vocabulary
+    (not top-K) so membership is tie-free and deterministic.
+
+    Scale shape: ONE tokenize pass feeds both the vocabulary aggregate
+    and the membership probe; the probe is a token-keyed LEFT join
+    against the vocab relation with NO broadcast hint — the vocabulary
+    is corpus-sized (the text_tfidf_topterms r8 lesson), so AQE decides
+    broadcast vs shuffle from its runtime size; the final rollup is a
+    map-side partial to <= #sources rows."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    tok = d.select(
+        "source", F.explode(words_col_lower()).alias("token")
+    ).localCheckpoint(eager=False)  # one tokenize pass, two consumers
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= OOV_MIN_COUNT)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    j = tok.join(vocab, "token", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("in_vocab"), 0).otherwise(1)).cast("long").alias("n_oov"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END)) div COUNT(*) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )

@@ -680,3 +680,86 @@ def dq_histogram_log2_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_gap_s",
         "max_gap_s",
     )
+
+
+K_ANON_MIN = 10  # the conventional "k >= 10" publication threshold
+L_DIV_MIN = 3
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT CAST(floor(o_totalprice / 50000.0) AS BIGINT)) AS BIGINT) AS l_distinct
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority, year(o_orderdate)
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN k < {K_ANON_MIN} THEN k ELSE 0 END) AS rows_below_k,
+             SUM(k) AS rows_total
+      FROM cls
+    )
+    SELECT status, priority, yr, k, l_distinct,
+           k >= {K_ANON_MIN} AS meets_k,
+           l_distinct >= {L_DIV_MIN} AS meets_l,
+           CAST((1000000 * rows_below_k) // rows_total AS BIGINT) AS frac_rows_below_k_ppm
+    FROM cls CROSS JOIN s
+    """,
+    tags=("dq", "agg", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier tuple
+    (status, priority, order year): k = rows per QI equivalence class
+    (Sweeney 2002 — a class with k < {K_ANON_MIN} re-identifies its
+    members against any external join on the same QI columns),
+    l_distinct = distinct sensitive values (50k-wide price bands) per
+    class (Machanavajjhala 2007 — a k-anonymous class whose sensitive
+    attribute is CONSTANT still leaks it).  The release gate a training
+    corpus built from transactional exports needs before the export
+    layer ships rows downstream; frac_rows_below_k_ppm is the headline
+    suppression cost.
+
+    Scale shape: the QI domain is bounded (3 statuses x 5 priorities x
+    calendar years), so the class relation is a map-side partial
+    aggregate to <= a few hundred cells at ANY data size; the summary
+    is a 1-row fold over it, crossJoined back broadcast.  The distinct
+    count is per-class exact (partial distinct within the bounded
+    cell)."""
+    o = load_table(spark, sf_dir, "orders")
+    cls = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.countDistinct(
+                F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+            )
+            .cast("long")
+            .alias("l_distinct"),
+        )
+        .localCheckpoint(eager=False)  # <= #QI-cells rows, feeds 2 consumers
+    )
+    s = cls.agg(
+        F.sum(F.when(F.col("k") < K_ANON_MIN, F.col("k")).otherwise(0)).alias(
+            "rows_below_k"
+        ),
+        F.sum("k").alias("rows_total"),
+    )
+    return cls.crossJoin(F.broadcast(s)).select(
+        "status",
+        "priority",
+        "yr",
+        "k",
+        "l_distinct",
+        (F.col("k") >= K_ANON_MIN).alias("meets_k"),
+        (F.col("l_distinct") >= L_DIV_MIN).alias("meets_l"),
+        F.expr("CAST((1000000 * rows_below_k) div rows_total AS BIGINT)").alias(
+            "frac_rows_below_k_ppm"
+        ),
+    )
