@@ -1688,19 +1688,23 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
 def dedup_state_dir(sf_dir: str) -> str:
     """Deterministic per-corpus location for the standing dedup index
     (``/root/testdata`` is read-only, so state lives under the temp
-    root).  Keyed by corpus path AND a content fingerprint of the
-    documents parquet files (sizes + mtimes), so regenerating the
-    fixture at the same path yields a fresh key and forces a state
-    rebuild instead of serving verdicts from a stale index; concurrent
-    sessions over the same bytes share a key safely because the state
-    they would write is identical."""
+    root): ``opds_dedup_state/<md5(corpus path)>/<content fingerprint>``.
+    The two-level layout (VERDICT r8 #3) keys the inner dir by a
+    content fingerprint of the documents parquet files (sizes +
+    mtimes), so regenerating the fixture at the same path yields a
+    fresh key and forces a state rebuild instead of serving verdicts
+    from a stale index — and superseded fingerprints of the SAME
+    corpus path are identifiable siblings, garbage-collected on
+    rebuild (write_dedup_corpus_state).  Concurrent sessions over the
+    same bytes share a key safely: builds land via atomic rename, and
+    an existing keyed dir is never rewritten in place."""
     import hashlib
     import os
     import tempfile
 
-    raw = sf_dir + "#" + _corpus_fingerprint(sf_dir)
-    key = hashlib.md5(raw.encode("utf-8")).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "opds_dedup_state", key)
+    pathkey = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    fpkey = _corpus_fingerprint(sf_dir)
+    return os.path.join(tempfile.gettempdir(), "opds_dedup_state", pathkey, fpkey)
 
 
 def write_dedup_corpus_state(
@@ -1725,22 +1729,46 @@ def write_dedup_corpus_state(
     At 100 TB maintenance is itself incremental (union the admitted
     batch's digests/bands into the stored tables — the same relations
     this function writes); here the builder recomputes from the corpus
-    because the fixture corpus is the ground truth."""
+    because the fixture corpus is the ground truth.
+
+    Durability: both tables are written into a session-unique temp dir
+    and atomically renamed into the keyed location — an existing keyed
+    dir is never rewritten in place (a concurrent session could be
+    mid-scan, ADVICE r8); superseded fingerprint siblings of the same
+    corpus path are garbage-collected after a successful build."""
+    import os
+    import shutil
+    import uuid
+
+    gc_siblings = state_dir is None  # only GC inside the managed layout
     state_dir = state_dir or dedup_state_dir(sf_dir)
+    tmp_dir = f"{state_dir}.tmp.{uuid.uuid4().hex[:8]}"
     d = load_table(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") % INC_MOD != 0).select("doc_id", "text")
     corp_dig = corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
         F.min("doc_id").alias("matched_id")
     )
     corp_dig.write.mode("overwrite").option("compression", "zstd").parquet(
-        state_dir + "/corpus_digests"
+        tmp_dir + "/corpus_digests"
     )
     corp_bands = minhash_band_rows(minhash_signatures_df(corpus), keep_sig=True).select(
         F.col("doc_id").alias("c_id"), F.col("sig").alias("sig_c"), "band", "bucket"
     )
     corp_bands.write.mode("overwrite").option("compression", "zstd").parquet(
-        state_dir + "/corpus_bands"
+        tmp_dir + "/corpus_bands"
     )
+    try:
+        os.rename(tmp_dir, state_dir)
+    except OSError:
+        # a concurrent session renamed first (same fingerprint => same
+        # corpus => identical state) — discard ours
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    if gc_siblings:
+        base = os.path.dirname(state_dir)
+        fpkey = os.path.basename(state_dir)
+        for old in os.listdir(base):
+            if old != fpkey and ".tmp." not in old:
+                shutil.rmtree(os.path.join(base, old), ignore_errors=True)
     return state_dir
 
 
@@ -1770,9 +1798,10 @@ def dedup_incremental_stored(
     the same one-time cost dedup_incremental pays EVERY batch."""
     import os
 
+    explicit = state_dir is not None  # None => managed layout (GC-able)
     state_dir = state_dir or dedup_state_dir(sf_dir)
     if not os.path.exists(os.path.join(state_dir, "corpus_bands", "_SUCCESS")):
-        write_dedup_corpus_state(spark, sf_dir, state_dir)
+        write_dedup_corpus_state(spark, sf_dir, state_dir if explicit else None)
     corp_dig = spark.read.parquet(state_dir + "/corpus_digests")
     corp_bands = spark.read.parquet(state_dir + "/corpus_bands")
 

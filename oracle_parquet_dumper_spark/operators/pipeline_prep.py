@@ -796,13 +796,17 @@ MIX_MAX_EPOCHS = 4   # repeat cap per source (Muennighoff et al. 2023)
     t AS (
       SELECT SUM(n_tok) AS total, SUM(sqrt(CAST(n_tok AS DOUBLE))) AS z FROM s
     ),
-    terms AS (
-      SELECT source, n_tok,
-             CAST((1000000 * n_tok) // total AS BIGINT) AS share_ppm,
-             CAST(round(1000000 * sqrt(CAST(n_tok AS DOUBLE)) / z) AS BIGINT) AS w_ppm,
-             CAST(CAST(round(1000000 * sqrt(CAST(n_tok AS DOUBLE)) / z) AS BIGINT)
-                  * ({MIX_BUDGET_MULT} * total) // 1000000 AS BIGINT) AS target_tok
+    terms0 AS (
+      SELECT source, n_tok, total,
+             CAST((CAST(1000000 AS HUGEINT) * n_tok) // total AS BIGINT) AS share_ppm,
+             CAST(round(1000000 * sqrt(CAST(n_tok AS DOUBLE)) / z) AS BIGINT) AS w_ppm
       FROM s CROSS JOIN t
+    ),
+    terms AS (
+      SELECT source, n_tok, share_ppm, w_ppm,
+             CAST((CAST(w_ppm AS HUGEINT) * ({MIX_BUDGET_MULT} * total))
+                  // 1000000 AS BIGINT) AS target_tok
+      FROM terms0
     ),
     capped AS (
       SELECT source, n_tok, share_ppm, w_ppm, target_tok,
@@ -813,7 +817,7 @@ MIX_MAX_EPOCHS = 4   # repeat cap per source (Muennighoff et al. 2023)
     lo AS (SELECT CAST(SUM(target_tok - final_tok) AS BIGINT) AS leftover FROM capped)
     SELECT source, n_tok, share_ppm, w_ppm, target_tok, capped,
            CAST(final_tok AS BIGINT) AS final_tok,
-           CAST((1000 * final_tok) // n_tok AS BIGINT) AS epochs_milli,
+           CAST((1000 * final_tok) // NULLIF(n_tok, 0) AS BIGINT) AS epochs_milli,
            leftover AS leftover_tok
     FROM capped CROSS JOIN lo
     """,
@@ -859,17 +863,35 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total"),
         F.sum(F.sqrt(F.col("n_tok").cast("double"))).alias("z"),
     )
-    w_ppm = F.round(
-        F.lit(1000000) * F.sqrt(F.col("n_tok").cast("double")) / F.col("z")
-    ).cast("long")
-    terms = s.crossJoin(F.broadcast(t)).select(
-        "source",
-        "n_tok",
-        F.expr("CAST((1000000 * n_tok) div total AS BIGINT)").alias("share_ppm"),
-        w_ppm.alias("w_ppm"),
-        (w_ppm * (F.lit(MIX_BUDGET_MULT) * F.col("total")) / F.lit(1000000))
-        .cast("long")
-        .alias("target_tok"),
+    terms = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_tok",
+            "total",
+            # DECIMAL(38,0) intermediates: 1e6 * n_tok and w_ppm * budget
+            # overflow BIGINT once the corpus passes ~9e12 tokens (real at
+            # 100 TB); div on decimals is exact floor division, matching
+            # the oracle's HUGEINT `//` bit-for-bit (ADVICE r8).
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tok) div total AS BIGINT)"
+            ).alias("share_ppm"),
+            F.round(
+                F.lit(1000000) * F.sqrt(F.col("n_tok").cast("double")) / F.col("z")
+            )
+            .cast("long")
+            .alias("w_ppm"),
+        )
+        .select(
+            "source",
+            "n_tok",
+            "share_ppm",
+            "w_ppm",
+            F.expr(
+                "CAST((CAST(w_ppm AS DECIMAL(38,0)) * "
+                f"({MIX_BUDGET_MULT} * total)) div 1000000 AS BIGINT)"
+            ).alias("target_tok"),
+        )
     )
     capped = terms.select(
         "source",
@@ -891,6 +913,8 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_tok",
         "capped",
         F.col("final_tok").cast("long").alias("final_tok"),
-        F.expr("CAST((1000 * final_tok) div n_tok AS BIGINT)").alias("epochs_milli"),
+        F.expr("CAST((1000 * final_tok) div NULLIF(n_tok, 0) AS BIGINT)").alias(
+            "epochs_milli"
+        ),
         F.col("leftover").alias("leftover_tok"),
     )

@@ -245,11 +245,8 @@ BOUNDED_DOMAIN_COLS: dict[str, str] = {
     "_gb": "global-index bucket id, <= 64 (operators/global_index.py)",
     "_qb": "global-index quantile boundary array, <= 63 values/group",
     "event_type": "event-type domain, ~12",
-    "t": "event-type alias (events_audience_overlap)",
     "prev_type": "event-type domain (markov)",
     "cur_type": "event-type domain (markov)",
-    "src": "event-type domain (markov transitions)",
-    "dst": "event-type domain (markov transitions)",
     "lang": "language domain, <= ~10",
     "source": "source-catalog domain",
     "label": "embedding label domain",
@@ -260,19 +257,58 @@ BOUNDED_DOMAIN_COLS: dict[str, str] = {
     "o_orderpriority": "5 (TPC-H)",
     "o_orderstatus": "3 (TPC-H)",
     "c_mktsegment": "5 (TPC-H)",
-    "priority": "5 (o_orderpriority alias)",
-    "status": "3 (o_orderstatus alias)",
-    "flag": "3 (l_returnflag alias)",
     "metric": "RFM metric axis, 3 literals",
     "phase": "curriculum phases, 3",
     "stratum": "stratification domain",
     "dep": "CMS sketch depth, 4",
-    "b": "CMS width / shuffle-bucket / MI-axis id, <= 16384 fixed",
-    "a": "MI axis alias (o_orderstatus)",
-    "day": "calendar days in the observation window",
     "hr": "hour of day, 24",
     "band": "LSH band id, fixed band count",
 }
+
+# Generic names are bounded only in the SPECIFIC query that aliases a
+# fixed domain to them (ADVICE r8): a global entry for 'src'/'dst'/'a'/
+# 'b'/'t'/'status'/'priority'/'flag'/'day' would blanket-bless
+# broadcasts of data-sized relations that share the name — graph edges
+# use src/dst for supplier/doc ids, the dedup pair joins alias
+# doc_id/vec_id/c_custkey to a/b.  Keyed by query name; merged over
+# BOUNDED_DOMAIN_COLS for that query only.
+QUERY_BOUNDED_DOMAIN_COLS: dict[str, dict[str, str]] = {
+    "events_markov_transitions": {
+        "src": "event-type domain (markov), ~12",
+        "dst": "event-type domain (markov), ~12",
+    },
+    "events_markov_top1_accuracy": {
+        "src": "event-type domain (markov), ~12",
+        "dst": "event-type domain (markov), ~12",
+    },
+    "events_audience_overlap": {"t": "event-type alias, ~12"},
+    "profile_mutual_information": {
+        "a": "MI axis alias (o_orderstatus), 3",
+        "b": "MI axis alias (o_orderpriority), 5",
+    },
+    "agg_sketch_panel": {"b": "CMS width bucket, <= 16384 fixed"},
+    "agg_approx": {"b": "CMS width bucket, <= 16384 fixed"},
+    "dq_k_anonymity": {
+        "status": "3 (o_orderstatus alias)",
+        "priority": "5 (o_orderpriority alias)",
+    },
+    "agg_chi_square_independence": {
+        "status": "3 (o_orderstatus alias)",
+        "priority": "5 (o_orderpriority alias)",
+    },
+    "agg_cms_frequency": {"b": "CMS width bucket, <= 64 fixed"},
+    "pipeline_global_shuffle": {"b": "shuffle bucket, SHUF_BUCKETS fixed"},
+    "events_dau_wau": {"day": "observed calendar days in the window"},
+    "sample_stratified_neyman": {"flag": "3 (l_returnflag alias)"},
+}
+
+
+def _bounded_cols(name: str) -> dict[str, str]:
+    """The bounded-domain table in effect for ONE query: the globally
+    unambiguous names plus that query's scoped generic aliases."""
+    merged = dict(BOUNDED_DOMAIN_COLS)
+    merged.update(QUERY_BOUNDED_DOMAIN_COLS.get(name, {}))
+    return merged
 
 # The >10-exchange heuristic flags accidental subtree re-derivation.
 # A query listed here runs a DELIBERATE multi-sweep algorithm whose
@@ -325,11 +361,11 @@ def _is_one_row_aggregate(text: str) -> bool:
 _COL_NAME_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
 
-def _is_bounded_grouped_aggregate(text: str) -> bool:
+def _is_bounded_grouped_aggregate(text: str, bounded: dict[str, str]) -> bool:
     """Grouped ``Aggregate [keys], [exprs]`` whose every grouping key is
-    a bare column from BOUNDED_DOMAIN_COLS: row count is the product of
-    fixed domains, data-size-independent.  A computed key or any key
-    not in the registered domain table disqualifies."""
+    a bare column from the query's bounded-domain table: row count is
+    the product of fixed domains, data-size-independent.  A computed
+    key or any key not in the table disqualifies."""
     if not re.match(r"Aggregate \[", text):
         return False
     groups = _bracket_group_texts(text)
@@ -340,7 +376,7 @@ def _is_bounded_grouped_aggregate(text: str) -> bool:
         return False
     for k in keys:
         m = _COL_NAME_RE.match(k)
-        if not m or m.group(1) not in BOUNDED_DOMAIN_COLS:
+        if not m or m.group(1) not in bounded:
             return False
     return True
 
@@ -364,11 +400,15 @@ def _split_top_level(s: str) -> list[str]:
     return out
 
 
-def _unbounded_broadcast_builds(logical: str) -> tuple[int, list[str]]:
+def _unbounded_broadcast_builds(
+    logical: str, bounded: dict[str, str] | None = None
+) -> tuple[int, list[str]]:
     """Scan the optimized LOGICAL plan for broadcast-hinted join sides
     whose subtree scans a base relation not dominated by a bounding
     node.  Returns (hinted_broadcast_side_count, violation descriptions).
-    """
+    ``bounded`` is the query-scoped domain table (_bounded_cols)."""
+    if bounded is None:
+        bounded = BOUNDED_DOMAIN_COLS
     nodes = _nodes(logical)
     hinted = 0
     bad: list[str] = []
@@ -397,7 +437,7 @@ def _unbounded_broadcast_builds(logical: str) -> tuple[int, list[str]]:
                 first_col = m.group(1).split(",")[0].split("#")[0].strip()
                 if first_col.startswith(_CONST_DIM_PREFIXES):
                     continue  # region/nation: constant rows at any SF
-                if st.startswith("LogicalRDD") and first_col in BOUNDED_DOMAIN_COLS:
+                if st.startswith("LogicalRDD") and first_col in bounded:
                     # checkpointed bounded state (quantile boundaries,
                     # per-domain rollups) — the aggregate that bounded
                     # it is hidden behind the checkpoint, so the column
@@ -414,7 +454,7 @@ def _unbounded_broadcast_builds(logical: str) -> tuple[int, list[str]]:
                 if any(
                     _BOUNDING_RE.match(t)
                     or _is_one_row_aggregate(t)
-                    or _is_bounded_grouped_aggregate(t)
+                    or _is_bounded_grouped_aggregate(t, bounded)
                     for t in anc
                 ):
                     continue
@@ -576,7 +616,7 @@ def audit_query(spark, sf_dir: str, name: str, df=None) -> PlanAudit:
     a = audit_text(name, plan)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     a.hinted_broadcasts, a.unbounded_broadcast_builds = _unbounded_broadcast_builds(
-        logical
+        logical, _bounded_cols(name)
     )
     lint(a, spec.tags)
     return a

@@ -614,6 +614,49 @@ def test_audit_broadcast_build_boundedness_rule(spark, sf_dir):
     assert any("forced-broadcast" in w for w in lint(a, ()))
 
 
+def test_audit_bounded_domains_are_query_scoped(spark, sf_dir):
+    """ADVICE r8: generic names ('src', 'dst', 'a', 'b', 't', 'status',
+    'day') must NOT be blanket-bounded — graph relations use src/dst for
+    data-sized supplier ids, dedup pair joins alias doc_id to a/b.  A
+    forced broadcast of a groupBy('src') degree relation over part keys
+    must fail the lint under the GLOBAL table and under any query scope
+    that doesn't register 'src'; only the markov queries (whose src IS
+    the ~12-value event-type domain) get the scoped entry."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.plans.audit import (
+        BOUNDED_DOMAIN_COLS,
+        QUERY_BOUNDED_DOMAIN_COLS,
+        _bounded_cols,
+        _unbounded_broadcast_builds,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    for generic in ("src", "dst", "a", "b", "t", "status", "priority", "flag", "day"):
+        assert generic not in BOUNDED_DOMAIN_COLS, (
+            f"'{generic}' blanket-bounded again — scope it per query "
+            "(QUERY_BOUNDED_DOMAIN_COLS)"
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))  # O(#parts)
+    logical = (
+        edges.join(F.broadcast(deg), "src")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # unscoped (global table only): the r7 defect shape must be flagged
+    hinted, bad = _unbounded_broadcast_builds(logical, _bounded_cols("graph_pagerank"))
+    assert hinted == 1 and len(bad) == 1
+    # the markov scope blesses ITS OWN src (event-type domain) — the
+    # same plan text passes there, which is exactly why the scope must
+    # be per-query, not global
+    hinted, bad = _unbounded_broadcast_builds(
+        logical, _bounded_cols("events_markov_transitions")
+    )
+    assert hinted == 1 and bad == []
+    assert "src" in QUERY_BOUNDED_DOMAIN_COLS["events_markov_transitions"]
+
+
 def test_pagerank_bucketed_edges_never_exchange(spark, sf_dir):
     """graph_pagerank_bucketed's structural claim: with auto-broadcast
     disabled (the 100 TB regime, where the node-sized ranks relation no

@@ -1,0 +1,294 @@
+"""Planted-math tests for the five queries registered at the round-8
+snapshot (VERDICT r8 #1): known inputs with hand-computable answers,
+independent of the DuckDB differential (which checks Spark==DuckDB but
+not Spark==math)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+
+def _write_documents(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_mixture_temperature_planted(spark, tmp_path):
+    """Sources a=900, b=100, c=1, z=0 tokens.  z_sum = 30+10+1 = 41,
+    total = 1001, budget = 2*1001 = 2002.
+
+    w_ppm  = round(1e6*sqrt(n)/41):    a 731707, b 243902, c 24390, z 0
+    target = w_ppm*2002 div 1e6:       a 1464,   b 488,    c 48,    z 0
+    cap 4*n_tok:                       a 3600,   b 400,    c 4,     z 0
+    capped:                            a no,     b YES,    c YES,   z no
+    final:                             a 1464,   b 400,    c 4,     z 0
+    leftover = (488-400)+(48-4) = 132
+    epochs_milli = 1000*final div n:   a 1626, b 4000, c 4000, z NULL
+    share_ppm = 1e6*n div 1001:        a 899100, b 99900, c 999, z 0
+
+    z is a whitespace-only doc (n_tok = 0): epochs_milli must be NULL,
+    not a division error (ADVICE r8)."""
+    rows = [
+        (1, " ".join(["w"] * 900), "en", "a", 1800),
+        (2, " ".join(["w"] * 100), "en", "b", 200),
+        (3, "w", "en", "c", 1),
+        (4, " ", "en", "z", 1),
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.pipeline_prep import (
+        pipeline_mixture_temperature,
+    )
+
+    out = {
+        r["source"]: r
+        for r in pipeline_mixture_temperature(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"a", "b", "c", "z"}
+    a, b, c, z = out["a"], out["b"], out["c"], out["z"]
+    assert (a.n_tok, b.n_tok, c.n_tok, z.n_tok) == (900, 100, 1, 0)
+    assert (a.w_ppm, b.w_ppm, c.w_ppm, z.w_ppm) == (731707, 243902, 24390, 0)
+    assert (a.share_ppm, b.share_ppm, c.share_ppm, z.share_ppm) == (
+        899100,
+        99900,
+        999,
+        0,
+    )
+    assert (a.target_tok, b.target_tok, c.target_tok, z.target_tok) == (
+        1464,
+        488,
+        48,
+        0,
+    )
+    assert (a.capped, b.capped, c.capped, z.capped) == (False, True, True, False)
+    assert (a.final_tok, b.final_tok, c.final_tok, z.final_tok) == (1464, 400, 4, 0)
+    assert a.leftover_tok == 132
+    assert (a.epochs_milli, b.epochs_milli, c.epochs_milli) == (1626, 4000, 4000)
+    assert z.epochs_milli is None  # div-by-zero guarded to NULL
+
+
+def test_dq_k_anonymity_planted(spark, tmp_path):
+    """Two QI classes: (F, 1-URGENT, 1995) with k=12 and prices cycling
+    {10k, 60k, 120k} => 3 distinct 50k-bands (meets k>=10 and l>=3);
+    (O, 2-HIGH, 1996) with k=3, constant price => l=1 (fails both).
+    rows_below_k = 3, total = 15 => frac = 1e6*3 div 15 = 200000."""
+    rows = []
+    prices = [10000.0, 60000.0, 120000.0]
+    for i in range(12):
+        rows.append(
+            (i, 1, "F", prices[i % 3], datetime(1995, 3, 1 + i), "1-URGENT")
+        )
+    for i in range(3):
+        rows.append((100 + i, 2, "O", 10000.0, datetime(1996, 7, 4), "2-HIGH"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.validation import dq_k_anonymity
+
+    out = {(r.status, r.priority, r.yr): r for r in dq_k_anonymity(spark, str(tmp_path)).collect()}
+    assert set(out) == {("F", "1-URGENT", 1995), ("O", "2-HIGH", 1996)}
+    big = out[("F", "1-URGENT", 1995)]
+    assert (big.k, big.l_distinct, big.meets_k, big.meets_l) == (12, 3, True, True)
+    small = out[("O", "2-HIGH", 1996)]
+    assert (small.k, small.l_distinct, small.meets_k, small.meets_l) == (
+        3,
+        1,
+        False,
+        False,
+    )
+    assert big.frac_rows_below_k_ppm == 200000
+    assert small.frac_rows_below_k_ppm == 200000
+
+
+def test_events_jsd_drift_planted(spark, tmp_path):
+    """Events at t0+{0,10,50}s (type a) and t0+{90,100}s (type b):
+    midpoint = 50 s; the boundary event (exactly the midpoint) goes to
+    the POST half (2*ts >= mn+mx).  So a: n_pre=2 n_post=1, b: n_pre=0
+    n_post=2; tot_pre=2, tot_post=3, k=2.  Expected micro-nat terms are
+    computed here with math.log, replicating the published formula
+    independently of both engines."""
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "a", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=10), 7, "a", 1.0, "{}"),
+        (3, t0 + timedelta(seconds=50), 7, "a", 1.0, "{}"),  # boundary -> post
+        (4, t0 + timedelta(seconds=90), 8, "b", 1.0, "{}"),
+        (5, t0 + timedelta(seconds=100), 8, "b", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import events_jsd_drift
+
+    out = {r.event_type: r for r in events_jsd_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {"a", "b"}
+    assert (out["a"].n_pre, out["a"].n_post) == (2, 1)
+    assert (out["b"].n_pre, out["b"].n_post) == (0, 2)
+
+    def term(n_pre, n_post, tot_pre, tot_post, k):
+        p = (n_pre + 1.0) / (tot_pre + k)
+        q = (n_post + 1.0) / (tot_post + k)
+        m = 0.5 * p + 0.5 * q
+        return round((0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)) * 1e6)
+
+    exp_a = term(2, 1, 2, 3, 2)
+    exp_b = term(0, 2, 2, 3, 2)
+    assert out["a"].jsd_term_micro == exp_a
+    assert out["b"].jsd_term_micro == exp_b
+    assert out["a"].jsd_total_micro == exp_a + exp_b
+    # JSD terms are non-negative (p, q > 0 after smoothing) and the
+    # boundary event moved a's mass post-ward, so a drifted DOWN: p > q.
+    assert exp_a > 0 and exp_b > 0
+
+
+def test_text_oov_rate_planted(spark, tmp_path):
+    """Corpus vocabulary = tokens seen >= 5 times.  x appears 6 times
+    (in vocab), y appears 4 times (OOV).  s1 = 'x'*5: 0/5 OOV; s2 =
+    'x y y y y': 4/5 OOV => oov_ppm = 4e6 div 5 = 800000."""
+    rows = [
+        (1, "x x x x x", "en", "s1", 9),
+        (2, "x y y y y", "en", "s2", 9),
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.text import text_oov_rate
+
+    out = {r.source: r for r in text_oov_rate(spark, str(tmp_path)).collect()}
+    assert set(out) == {"s1", "s2"}
+    assert (out["s1"].n_tok, out["s1"].n_oov, out["s1"].oov_ppm) == (5, 0, 0)
+    assert (out["s2"].n_tok, out["s2"].n_oov, out["s2"].oov_ppm) == (5, 4, 800000)
+
+
+def test_text_repetition_screen_planted(spark, tmp_path):
+    """doc 1 = 'a b a b a b': 5 bigram slots, 2 distinct ('a b' x3,
+    'b a' x2) => dup = 1000*3 div 5 = 600, top = 1000*3 div 5 = 600,
+    both over the Gopher thresholds => keep False.  doc 2 = 10 distinct
+    tokens: 9 slots, 9 distinct, top 1 => dup 0, top = 1000 div 9 =
+    111 => keep True.  doc 3 has one token (no bigrams) and doc 4 is
+    empty: both excluded."""
+    rows = [
+        (1, "a b a b a b", "en", "s1", 11),
+        (2, "c d e f g h i j k l", "en", "s1", 19),
+        (3, "solo", "en", "s1", 4),
+        (4, "", "en", "s1", 0),
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.text import text_repetition_screen
+
+    out = {r.doc_id: r for r in text_repetition_screen(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    rep = out[1]
+    assert (rep.n_bigrams, rep.n_distinct) == (5, 2)
+    assert (rep.dup_frac_milli, rep.top_frac_milli, rep.keep) == (600, 600, False)
+    ok = out[2]
+    assert (ok.n_bigrams, ok.n_distinct) == (9, 9)
+    assert (ok.dup_frac_milli, ok.top_frac_milli, ok.keep) == (0, 111, True)
+
+
+def test_dedup_stored_state_lifecycle(spark, tmp_path):
+    """VERDICT r8 #3: regenerate the corpus in place -> the OLD state
+    key is garbage-collected, a NEW key is built, and the query stays
+    green.  Also pins the two-level layout (pathkey/fingerprint) that
+    makes superseded siblings identifiable."""
+    import os
+
+    def corpus(version):
+        rows = [
+            (i, f"{version} common words {i % 3} repeated here for shingles", "en", "s1", 40)
+            for i in range(1, 22)
+        ]
+        _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.dedup import dedup_state_dir
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    corpus("alpha")
+    q = REGISTRY["dedup_incremental_stored"].fn
+    assert q(spark, str(tmp_path)).count() > 0
+    d1 = dedup_state_dir(str(tmp_path))
+    assert os.path.isfile(os.path.join(d1, "corpus_bands", "_SUCCESS"))
+
+    # regenerate in place: same path, new bytes -> new fingerprint
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    corpus("beta")
+    d2 = dedup_state_dir(str(tmp_path))
+    assert d2 != d1, "content fingerprint did not rotate on regeneration"
+    assert q(spark, str(tmp_path)).count() > 0
+    assert os.path.isfile(os.path.join(d2, "corpus_bands", "_SUCCESS"))
+    assert not os.path.exists(d1), "superseded state key not garbage-collected"
+    # both keys sit under the same pathkey dir (siblings, GC-able)
+    assert os.path.dirname(d1) == os.path.dirname(d2)
+
+
+def test_pagerank_edge_state_lifecycle(spark, tmp_path):
+    """VERDICT r8 #3 / ADVICE r8: the bucketed-edge state must survive
+    all four (metastore x data-path) disagreement states:
+    - both present: no-op;
+    - table without data (tmp cleaned): drop + rebuild;
+    - data without table (fresh session): register existing files
+      WITHOUT rewriting them;
+    - corpus regenerated in place: new fingerprint built, superseded
+      sibling dir AND its catalog entry dropped."""
+    import os
+    import shutil
+
+    def lineitem(version):
+        rows = [
+            (o, s + version, 1)
+            for o in range(1, 30)
+            for s in range(1, 4)
+        ]
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_suppkey long, l_linenumber int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.graph import pagerank_edge_state
+
+    lineitem(0)
+    t1 = pagerank_edge_state(spark, str(tmp_path))
+    assert spark.catalog.tableExists(t1)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {t1}")
+        .where("col_name = 'Location'")
+        .collect()[0][1]
+    ).replace("file:", "")
+    assert os.path.isfile(os.path.join(loc, "_SUCCESS"))
+    files = {
+        f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)
+    }
+
+    # data without table: fresh-session analog -> register, DO NOT rewrite
+    spark.sql(f"DROP TABLE {t1}")
+    t1b = pagerank_edge_state(spark, str(tmp_path))
+    assert t1b == t1 and spark.catalog.tableExists(t1)
+    assert {
+        f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)
+    } == files, "warm path was rewritten on re-registration"
+    assert spark.table(t1).count() > 0
+
+    # table without data: tmp cleaned under a live metastore -> rebuild
+    shutil.rmtree(loc)
+    t1c = pagerank_edge_state(spark, str(tmp_path))
+    assert t1c == t1
+    assert os.path.isfile(os.path.join(loc, "_SUCCESS"))
+    assert spark.table(t1).count() > 0
+
+    # corpus regenerated in place -> new key, old sibling + table GC'd
+    shutil.rmtree(str(tmp_path / "lineitem.parquet"))
+    lineitem(100)
+    t2 = pagerank_edge_state(spark, str(tmp_path))
+    assert t2 != t1
+    assert not os.path.exists(loc), "superseded edge-state dir not GC'd"
+    assert not spark.catalog.tableExists(t1), "superseded catalog entry kept"
+    assert spark.table(t2).count() > 0
