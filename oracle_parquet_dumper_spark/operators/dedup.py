@@ -1299,6 +1299,99 @@ def dedup_label_propagation(
     )
 
 
+LP_BUCKETS = 32
+
+
+def label_prop_edge_state(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the symmetric near-dup candidate edges (x, y) exist as a
+    bucketBy(y) parquet table and return its catalog name — the
+    label-propagation analog of graph.pagerank_edge_state: the edge
+    relation is ROUND-INVARIANT (built once from the MinHash-LSH pass),
+    and every round joins it on ``y``, so persisting it bucketed means
+    the |E|-sized side never crosses an exchange in any round at any
+    scale — only the labels relation moves.  The expensive
+    shingle->minhash->band pass is amortized into the one-time state
+    build (the dedup_incremental_stored story).  Lifecycle: the shared
+    ensure_bucketed_state contract (sources/layouts.py)."""
+    from oracle_parquet_dumper_spark.sources.layouts import ensure_bucketed_state
+
+    def build(spark):
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+        return pairs.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+            pairs.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        )
+
+    return ensure_bucketed_state(
+        spark,
+        sf_dir,
+        state_name="opds_lp_edges",
+        fp_table="documents",
+        schema_ddl="x BIGINT, y BIGINT",
+        bucket_col="y",
+        n_buckets=LP_BUCKETS,
+        sort_col="y",
+        build=build,
+    )
+
+
+@query(
+    "dedup_label_propagation_bucketed",
+    oracle=_label_prop_oracle(),
+    tags=("dedup", "graph", "iterative", "layout"),
+    bench=True,  # steady-state (warm edge state): bench.py pre-builds
+)
+def dedup_label_propagation_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_label_propagation's exact semantics (same oracle, same
+    integer votes and tie-breaks) with the round-invariant edge relation
+    persisted as a bucketBy(y) table instead of a localCheckpoint —
+    VERDICT r8 "Next" #4, the second instance of the bucketed-state
+    pattern.  The r8 checkpoint sweep's physics apply verbatim: a
+    checkpointed edge list re-shuffles per round once the labels side
+    outgrows the broadcast threshold, while the bucketed scan reports
+    HashPartitioning(y) to every round's vote join, so only the
+    node-sized labels relation ever moves (plan-asserted with
+    auto-broadcast disabled in tests/test_plans.py).  The per-round
+    groupBy(x) vote shuffle remains — that aggregation IS the
+    algorithm.  Results equality-asserted against the checkpointed
+    variant in tests/test_round9_ops.py."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    edges = spark.table(label_prop_edge_state(spark, sf_dir))
+
+    labels = truncate_lineage(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id", F.col("lang").alias("assigned"), F.lit("seed").alias("status")
+        )
+    )
+    for _ in range(3):
+        votes = (
+            edges.join(labels, edges.y == labels.doc_id)
+            .groupBy(F.col("x"), F.col("assigned"))
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        win = W.partitionBy("x").orderBy(F.col("n_votes").desc(), F.col("assigned"))
+        winners = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("x").alias("doc_id"), "assigned", F.lit("propagated").alias("status")
+            )
+        )
+        new = winners.join(labels.select("doc_id"), "doc_id", "left_anti")
+        labels = truncate_lineage(labels.unionByName(new))
+
+    full = d.join(labels, "doc_id", "left").select(
+        F.coalesce(F.col("assigned"), F.lit("__unlabeled__")).alias("assigned"),
+        F.coalesce(F.col("status"), F.lit("unlabeled")).alias("status"),
+    )
+    return (
+        full.groupBy("assigned", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("assigned", "status")
+    )
+
+
 @query(
     "sample_stratified_hash",
     oracle="""

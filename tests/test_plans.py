@@ -711,3 +711,60 @@ def test_pagerank_bucketed_edges_never_exchange(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_label_prop_bucketed_edges_never_exchange(spark, sf_dir):
+    """dedup_label_propagation_bucketed's structural claim (VERDICT r8
+    "Next" #4): with auto-broadcast disabled (the 100 TB regime, where
+    the labels relation no longer fits a broadcast), the per-round vote
+    join reads the bucketBy(y) edge table's own clustering — the
+    |E|-sized edge relation crosses ZERO exchanges; only labels and the
+    per-node vote aggregate shuffle."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.dedup import label_prop_edge_state
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        table = label_prop_edge_state(spark, sf_dir)
+        ed = spark.table(table)
+        labels = (
+            ed.select(F.col("y").alias("doc_id"))
+            .distinct()
+            .limit(50)
+            .select("doc_id", F.lit("en").alias("assigned"))
+            .localCheckpoint(eager=True)  # same lost-partitioning state as a real round
+        )
+        body = (
+            ed.join(labels, ed.y == labels.doc_id)
+            .groupBy("x", "assigned")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        body.collect()
+        plan = body._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final  # the edge scan uses its buckets
+        assert final.count("SortMergeJoin") == 1
+        fresh = [
+            ln
+            for ln in final.splitlines()
+            if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+        ]
+        # labels -> hashpartitioning(doc_id), agg -> hashpartitioning(x, assigned);
+        # NO exchange keyed on the edge table's y column
+        assert len(fresh) == 2
+        assert not any(" y#" in ln or "(y#" in ln for ln in fresh)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

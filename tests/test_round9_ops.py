@@ -292,3 +292,18 @@ def test_pagerank_edge_state_lifecycle(spark, tmp_path):
     assert not os.path.exists(loc), "superseded edge-state dir not GC'd"
     assert not spark.catalog.tableExists(t1), "superseded catalog entry kept"
     assert spark.table(t2).count() > 0
+
+
+def test_label_prop_bucketed_matches_checkpointed(spark, sf_dir):
+    """dedup_label_propagation_bucketed must return bit-identical label
+    histograms to dedup_label_propagation — same integer votes and
+    deterministic tie-breaks, different physical storage of the
+    round-invariant edge relation (VERDICT r8 "Next" #4)."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+
+    a = [tuple(r) for r in REGISTRY["dedup_label_propagation"].fn(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in REGISTRY["dedup_label_propagation_bucketed"].fn(spark, sf_dir).collect()
+    ]
+    assert a == b and len(a) > 0
