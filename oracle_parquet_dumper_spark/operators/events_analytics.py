@@ -3205,3 +3205,117 @@ def events_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_steps", "completed")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# Wald SPRT constants (Wald 1945): H0 p=0.4 vs H1 p=0.6 purchase share,
+# alpha=0.05, beta=0.2.  The per-observation log-likelihood increments
+# and the decision thresholds are PYTHON-COMPUTED literal doubles, so
+# neither engine ever evaluates ln() on data — only IEEE multiply/add on
+# exact-integer-valued doubles, bit-identical across engines; decisions
+# compare the micro-nat INTEGER against integer thresholds.
+SPRT_L1 = 0.4054651081081642  # ln(p1/p0) = ln(1.5)
+SPRT_L0 = -0.4054651081081643  # ln((1-p1)/(1-p0)) = ln(2/3)
+SPRT_A_MICRO = 2772589  # round(ln((1-beta)/alpha) * 1e6) = ln(16)
+SPRT_B_MICRO = -1558145  # round(ln(beta/(1-alpha)) * 1e6)
+
+
+@query(
+    "events_sprt_sequential",
+    oracle=f"""
+    WITH e AS (
+      SELECT (user_id % 2) AS arm, CAST(ts AS DATE) AS d,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+      SELECT arm, d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS k
+      FROM e GROUP BY arm, d
+    ),
+    cum AS (
+      SELECT arm, d,
+             SUM(n) OVER (PARTITION BY arm ORDER BY d) AS n_cum,
+             SUM(k) OVER (PARTITION BY arm ORDER BY d) AS k_cum
+      FROM g
+    ),
+    llr AS (
+      SELECT arm, d, CAST(n_cum AS BIGINT) AS n_cum,
+             CAST(k_cum AS BIGINT) AS k_cum,
+             CAST(round((CAST(k_cum AS DOUBLE) * {SPRT_L1!r}
+                         + CAST(n_cum - k_cum AS DOUBLE) * {SPRT_L0!r})
+                        * 1000000) AS BIGINT) AS llr_micro
+      FROM cum
+    )
+    SELECT arm, strftime(d, '%Y-%m-%d') AS day, n_cum, k_cum, llr_micro,
+           CASE WHEN llr_micro >= {SPRT_A_MICRO} THEN 'reject_h0'
+                WHEN llr_micro <= {SPRT_B_MICRO} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+    tags=("events", "experiment", "stats", "window"),
+)
+def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential A/B monitor (Wald 1945; the always-valid
+    peeking answer the fixed-horizon t-test family cannot give): per
+    arm (user_id % 2, the repo's assignment convention) and calendar
+    day, cumulative trials (view+purchase events), cumulative successes
+    (purchases), the sequential log-likelihood ratio
+    LLR = k·ln(p1/p0) + (n-k)·ln((1-p1)/(1-p0)) in micro-nats, and the
+    Wald decision at each day — the dashboard that lets an experimenter
+    STOP THE TEST the first day the boundary is crossed instead of
+    waiting out the horizon (and unlike repeated t-tests, crossing
+    guarantees the alpha/beta the thresholds encode).
+
+    Determinism: the ln() increments and thresholds are Python-computed
+    LITERALS (module constants) — the engines only multiply/add exact
+    integer counts as doubles in one shared op tree, then integerize to
+    micro-nats; decisions compare integers to integer thresholds.
+
+    Scale shape: pushed event_type IN-filter, ONE map-side-partial
+    aggregate to the (2 arms x calendar days) relation; the cumulative
+    window runs per arm over that bounded relation (never raw events).
+    No join, no Python."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.to_date("ts").alias("d"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("k"),
+        )
+    )
+    g = e.groupBy("arm", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("k").cast("long").alias("k")
+    )
+    w = W.partitionBy("arm").orderBy("d")
+    cum = g.select(
+        "arm",
+        "d",
+        F.sum("n").over(w).cast("long").alias("n_cum"),
+        F.sum("k").over(w).cast("long").alias("k_cum"),
+    )
+    llr_micro = F.round(
+        (
+            F.col("k_cum").cast("double") * F.lit(SPRT_L1)
+            + (F.col("n_cum") - F.col("k_cum")).cast("double") * F.lit(SPRT_L0)
+        )
+        * 1000000
+    ).cast("long")
+    out = cum.select(
+        "arm",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_cum",
+        "k_cum",
+        llr_micro.alias("llr_micro"),
+    )
+    return out.select(
+        "arm",
+        "day",
+        "n_cum",
+        "k_cum",
+        "llr_micro",
+        F.when(F.col("llr_micro") >= SPRT_A_MICRO, F.lit("reject_h0"))
+        .when(F.col("llr_micro") <= SPRT_B_MICRO, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

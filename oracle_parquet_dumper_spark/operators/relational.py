@@ -3019,3 +3019,104 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det1 / det_a).alias("beta_per_qty_cents"),
         (det2 / det_a).alias("beta_per_disc_pct_cents"),
     )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "agg_winsorized_trimmed_mean",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    q AS (
+      SELECT status,
+             CAST(quantile_disc(cents, {WINSOR_LO}) AS BIGINT) AS p05,
+             CAST(quantile_disc(cents, {WINSOR_HI}) AS BIGINT) AS p95
+      FROM w GROUP BY status
+    )
+    SELECT w.status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           p05, p95,
+           CAST((1000 * SUM(CAST(LEAST(GREATEST(cents, p05), p95) AS HUGEINT)))
+                // COUNT(*) AS BIGINT) AS winsorized_mean_milli,
+           CAST((1000 * SUM(CASE WHEN cents BETWEEN p05 AND p95
+                                 THEN CAST(cents AS HUGEINT) ELSE 0 END))
+                // SUM(CASE WHEN cents BETWEEN p05 AND p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS trimmed_mean_milli
+    FROM w JOIN q USING (status)
+    GROUP BY w.status, p05, p95
+    """,
+    tags=("agg", "stats", "skew-source"),
+)
+def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means of order value per status at the
+    [p05, p95] EXACT percentile fences — the outlier-robust location
+    estimates every metrics pipeline reaches for when a few whale
+    orders (or corrupt rows) drag the plain mean: winsorizing CLAMPS
+    the tails to the fences, trimming DROPS them; reporting both makes
+    tail mass visible (they diverge exactly when the tails are heavy).
+
+    Exactness end to end: fences are exact quantile_disc order
+    statistics from the value-domain pre-aggregation + weighted
+    global-index rank (the registry-wide ban on percentile() buffer
+    aggregates — per-task state is a bucket of DISTINCT cent values,
+    never raw rows; quantile bucketer, since money is heavy-tailed);
+    means stay INTEGER all the way (HUGEINT/DECIMAL(38,0) sums — a
+    BIGINT cents sum overflows past ~9e13 rows — and milli-unit floor
+    division), so rows are bit-identical across engines with no double
+    anywhere.
+
+    Scale shape: one map-side partial to the (status x cents-domain)
+    relation feeding BOTH the fence pass and the final fold; fences
+    (<= 3 rows) broadcast back; the final aggregate is map-side partial
+    again.  No raw-row window, no data-sized join side."""
+    from oracle_parquet_dumper_spark.operators.global_index import weighted_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vc = (
+        o.groupBy("status", "cents")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        # cents first: the checkpointed value-domain relation must NOT
+        # lead with 'status', which this query's scoped bounded-domain
+        # entry blesses for the <= 3-row fence relations — leading with
+        # the value column keeps the lint able to flag a (hypothetical)
+        # forced broadcast of this data-sized relation
+        .select("cents", "status", "_w")
+        .localCheckpoint(eager=False)  # value-domain relation, 2 consumers
+    )
+    q = weighted_quantiles(
+        vc,
+        "cents",
+        "_w",
+        group_cols=["status"],
+        disc={"p05": WINSOR_LO, "p95": WINSOR_HI},
+        bucketer="quantile",
+    ).select("status", F.col("p05").cast("long").alias("p05"), F.col("p95").cast("long").alias("p95"))
+    d38 = "decimal(38,0)"
+    j = vc.join(F.broadcast(q), "status")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    inside = F.col("cents").between(F.col("p05"), F.col("p95"))
+    agg = j.groupBy("status", "p05", "p95").agg(
+        F.sum("_w").cast("long").alias("n"),
+        F.sum((clamped * F.col("_w")).cast(d38)).cast(d38).alias("s_w"),
+        F.sum(F.when(inside, (F.col("cents") * F.col("_w")).cast(d38)).otherwise(F.lit(0).cast(d38)))
+        .cast(d38)
+        .alias("s_t"),
+        F.sum(F.when(inside, F.col("_w")).otherwise(0)).cast("long").alias("n_t"),
+    )
+    return agg.select(
+        "status",
+        "n",
+        "p05",
+        "p95",
+        F.expr("CAST((1000 * s_w) div n AS BIGINT)").alias("winsorized_mean_milli"),
+        F.expr("CAST((1000 * s_t) div n_t AS BIGINT)").alias("trimmed_mean_milli"),
+    )

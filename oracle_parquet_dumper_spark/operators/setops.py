@@ -73,6 +73,30 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_symmetric_diff",
+    oracle=f"""WITH {_HALF_SQL}
+    SELECT custkey, 'lo_only' AS side FROM (SELECT custkey FROM lo EXCEPT SELECT custkey FROM hi)
+    UNION ALL
+    SELECT custkey, 'hi_only' AS side FROM (SELECT custkey FROM hi EXCEPT SELECT custkey FROM lo)
+    """,
+    tags=("setop",),
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance: keys in exactly one of the
+    two sets, tagged with WHICH side — the churn report behind every
+    'who appeared / who disappeared' comparison of two snapshots (the
+    set-op composition (A∖B) ⊎ (B∖A); dq_snapshot_diff is the row-level
+    cousin).  Spark's ``subtract`` is the distinct anti-join both
+    EXCEPTs compile to; the union of the two disjoint sides needs no
+    re-distinct.  Scale shape: two shuffle anti-joins on the same key +
+    a shuffle-free union — no broadcast, no window."""
+    lo, hi = _half_keys(spark, sf_dir)
+    return lo.subtract(hi).select("custkey", F.lit("lo_only").alias("side")).unionByName(
+        hi.subtract(lo).select("custkey", F.lit("hi_only").alias("side"))
+    )
+
+
+@query(
     "sort_topk_global",
     oracle="""
     SELECT o_orderkey, o_totalprice

@@ -763,3 +763,58 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_rows_below_k_ppm"
         ),
     )
+
+
+FRESH_SLA_S = 86400  # one-day staleness SLA per event stream
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY event_type
+    ),
+    t AS (SELECT MAX(last_us) AS now_us FROM g)
+    SELECT event_type, n_events,
+           CAST((now_us - last_us) // 1000000 AS BIGINT) AS lag_s,
+           (now_us - last_us) // 1000000 > {FRESH_SLA_S} AS stale
+    FROM g CROSS JOIN t
+    """,
+    tags=("dq", "agg", "timeseries"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: each event type's lag behind the
+    most recent event anywhere in the table (the batch-world proxy for
+    'now'), with a one-day SLA flag — the first monitor an ingestion
+    pipeline grows, because a silently-stalled upstream topic shows up
+    as one stream's lag diverging while row counts still look plausible
+    day over day.
+
+    Determinism: pure integer microsecond arithmetic (epoch max, floor
+    division to seconds) — no doubles anywhere.
+
+    Scale shape: ONE map-side-partial aggregate to the <= #types
+    relation (count + max fold per partition, then merge); the 'now'
+    fold is 1 row crossJoined back broadcast.  No window, no raw-row
+    shuffle — the scan's partial aggregates are the entire data-sized
+    work at any scale."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        )
+        .localCheckpoint(eager=False)  # <= #types rows, feeds 2 consumers
+    )
+    t = g.agg(F.max("last_us").alias("now_us"))
+    lag_s = F.expr("(now_us - last_us) div 1000000")
+    return g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_events",
+        lag_s.cast("long").alias("lag_s"),
+        (lag_s > FRESH_SLA_S).alias("stale"),
+    )

@@ -300,6 +300,7 @@ QUERY_BOUNDED_DOMAIN_COLS: dict[str, dict[str, str]] = {
     "pipeline_global_shuffle": {"b": "shuffle bucket, SHUF_BUCKETS fixed"},
     "events_dau_wau": {"day": "observed calendar days in the window"},
     "sample_stratified_neyman": {"flag": "3 (l_returnflag alias)"},
+    "agg_winsorized_trimmed_mean": {"status": "3 (o_orderstatus alias)"},
 }
 
 

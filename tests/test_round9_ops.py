@@ -307,3 +307,162 @@ def test_label_prop_bucketed_matches_checkpointed(spark, sf_dir):
         for r in REGISTRY["dedup_label_propagation_bucketed"].fn(spark, sf_dir).collect()
     ]
     assert a == b and len(a) > 0
+
+
+def test_events_sprt_sequential_planted(spark, tmp_path):
+    """Hand-planted SPRT: arm 1 is all purchases (7 by day 2: LLR =
+    7*ln(1.5) = 2.838 nats, crosses the A = ln(16) = 2.773 boundary ->
+    reject_h0); arm 0 accumulates 9 views vs 2 purchases by day 2
+    (LLR = 2*L1 + 9*L0 = -2.838 nats <= B -> accept_h0).  Day-1 states
+    are both 'continue' — the monitor must not fire early."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 5, 1, 8, 0, 0)
+    d2 = t0 + timedelta(days=1)
+    rows = []
+    eid = 0
+    # arm 0 = even user ids; day 1: 3 views + 1 purchase; day 2: +1 purchase, +6 views
+    for et, ts in [("view", t0), ("view", t0), ("view", t0), ("purchase", t0),
+                   ("purchase", d2)] + [("view", d2)] * 6:
+        eid += 1
+        rows.append((eid, ts, 2, et, 1.0, "{}"))
+    # arm 1 = odd user ids; day 1: 5 purchases; day 2: +2 purchases
+    for et, ts in [("purchase", t0)] * 5 + [("purchase", d2)] * 2:
+        eid += 1
+        rows.append((eid, ts, 1, et, 1.0, "{}"))
+    # a 'click' event must be ignored by the trials filter
+    rows.append((eid + 1, t0, 2, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        SPRT_L0,
+        SPRT_L1,
+        events_sprt_sequential,
+    )
+
+    out = {
+        (r.arm, r.day): r
+        for r in events_sprt_sequential(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(0, "2024-05-01"), (0, "2024-05-02"),
+                        (1, "2024-05-01"), (1, "2024-05-02")}
+
+    def micro(n, k):
+        return round((k * SPRT_L1 + (n - k) * SPRT_L0) * 1e6)
+
+    a0d1 = out[(0, "2024-05-01")]
+    assert (a0d1.n_cum, a0d1.k_cum) == (4, 1)
+    assert a0d1.llr_micro == micro(4, 1) and a0d1.decision == "continue"
+    a0d2 = out[(0, "2024-05-02")]
+    assert (a0d2.n_cum, a0d2.k_cum) == (11, 2)
+    assert a0d2.llr_micro == micro(11, 2) == -2838256
+    assert a0d2.decision == "accept_h0"
+    a1d1 = out[(1, "2024-05-01")]
+    assert (a1d1.n_cum, a1d1.k_cum) == (5, 5)
+    assert a1d1.llr_micro == micro(5, 5) == 2027326
+    assert a1d1.decision == "continue"
+    a1d2 = out[(1, "2024-05-02")]
+    assert (a1d2.n_cum, a1d2.k_cum) == (7, 7)
+    assert a1d2.llr_micro == micro(7, 7) == 2838256
+    assert a1d2.decision == "reject_h0"
+
+
+def test_dq_freshness_lag_planted(spark, tmp_path):
+    """'click' owns the corpus max ts (lag 0, fresh); 'error' last fired
+    2 days earlier (lag 172800 s > the 86400 s SLA -> stale)."""
+    from datetime import datetime, timedelta
+
+    now = datetime(2024, 6, 10, 12, 0, 0)
+    rows = [
+        (1, now, 1, "click", 1.0, "{}"),
+        (2, now - timedelta(hours=5), 2, "click", 1.0, "{}"),
+        (3, now - timedelta(days=2), 3, "error", 1.0, "{}"),
+        (4, now - timedelta(days=3), 3, "error", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.validation import dq_freshness_lag
+
+    out = {r.event_type: r for r in dq_freshness_lag(spark, str(tmp_path)).collect()}
+    assert set(out) == {"click", "error"}
+    assert (out["click"].n_events, out["click"].lag_s, out["click"].stale) == (2, 0, False)
+    assert (out["error"].n_events, out["error"].lag_s, out["error"].stale) == (
+        2,
+        172800,
+        True,
+    )
+
+
+def test_winsorized_trimmed_mean_planted(spark, tmp_path):
+    """Status O: 20 orders at 1.00..20.00 (cents 100..2000).  Exact
+    disc fences: p05 = ceil(0.05*20)th smallest = 100, p95 = 1900.
+    Winsorize clamps only the 2000 -> 1900: mean = 20900/20 = 1045.000
+    milli-cents 1045000.  Trim drops it: 19000/19 = exactly 1000.000.
+    Status F checks an all-inside group: clamp and trim are no-ops."""
+    from datetime import datetime
+
+    rows = [
+        (i, 1, "O", i / 1.0, datetime(1997, 1, 1), "1-URGENT")
+        for i in range(1, 21)
+    ]
+    rows += [
+        (100, 2, "F", 5.0, datetime(1997, 1, 1), "1-URGENT"),
+        (101, 2, "F", 5.0, datetime(1997, 1, 1), "1-URGENT"),
+        (102, 2, "F", 500.0, datetime(1997, 1, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.relational import (
+        agg_winsorized_trimmed_mean,
+    )
+
+    out = {
+        r.status: r for r in agg_winsorized_trimmed_mean(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"O", "F"}
+    o = out["O"]
+    assert (o.n, o.p05, o.p95) == (20, 100, 1900)
+    assert o.winsorized_mean_milli == 1045000
+    assert o.trimmed_mean_milli == 1000000
+    f = out["F"]
+    assert (f.n, f.p05, f.p95) == (3, 500, 50000)
+    assert f.winsorized_mean_milli == f.trimmed_mean_milli == 17000000
+
+
+def test_set_symmetric_diff_planted(spark, tmp_path):
+    """Keys {1,2,3} buy cheap, {3,4} buy pricey (2 also buys mid-range
+    — invisible to both sides): symmetric diff = {1,2} lo_only, {4}
+    hi_only; the shared key 3 and the mid-range-only key 5 are absent."""
+    from datetime import datetime
+
+    rows = [
+        (10, 1, "O", 50000.0, datetime(1996, 1, 1), "1-URGENT"),
+        (11, 2, "O", 60000.0, datetime(1996, 1, 2), "1-URGENT"),
+        (12, 3, "O", 70000.0, datetime(1996, 1, 3), "1-URGENT"),
+        (13, 3, "O", 200000.0, datetime(1996, 2, 1), "1-URGENT"),
+        (14, 4, "O", 160000.0, datetime(1996, 2, 2), "1-URGENT"),
+        (15, 2, "O", 120000.0, datetime(1996, 3, 1), "1-URGENT"),  # mid: neither side
+        (16, 5, "O", 110000.0, datetime(1996, 3, 2), "1-URGENT"),  # mid-only key
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.setops import set_symmetric_diff
+
+    out = sorted(tuple(r) for r in set_symmetric_diff(spark, str(tmp_path)).collect())
+    assert out == [(1, "lo_only"), (2, "lo_only"), (4, "hi_only")]
