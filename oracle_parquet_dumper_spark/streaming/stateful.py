@@ -314,3 +314,93 @@ def markov_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --- streaming SPRT sequential A/B monitor ----------------------------------
+# Streaming twin of operators/events_analytics.events_sprt_sequential:
+# same Python-literal LLR increments and integer thresholds; state per
+# arm is the (n_cum, k_cum) cumulant pair plus the last processed day —
+# O(1) per key, the textbook sequential-test state.  With in-order
+# arrival (or any single batch, which the kernel sorts by day) the
+# emitted (arm, day) rows are BIT-IDENTICAL to the batch query —
+# asserted by tests/test_streaming.py::test_stream_sprt_equals_batch.
+
+SPRT_STATE = T.StructType(
+    [
+        T.StructField("n_cum", T.LongType()),
+        T.StructField("k_cum", T.LongType()),
+        T.StructField("last_day", T.StringType()),
+    ]
+)
+SPRT_OUT = T.StructType(
+    [
+        T.StructField("arm", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("n_cum", T.LongType()),
+        T.StructField("k_cum", T.LongType()),
+        T.StructField("llr_micro", T.LongType()),
+        T.StructField("decision", T.StringType()),
+    ]
+)
+
+
+def sprt_kernel(key, pdfs, state):
+    """Fold each arm's (day, trials, successes) into the cumulative
+    Wald LLR, one emitted row per day.  Constants are re-declared here
+    (ship-by-value: workers must not import the operators package) and
+    equality with the batch module is pinned in the test."""
+    L1 = 0.4054651081081642  # ln(1.5)  — events_analytics.SPRT_L1
+    L0 = -0.4054651081081643  # ln(2/3) — events_analytics.SPRT_L0
+    A_MICRO, B_MICRO = 2772589, -1558145
+
+    n_cum, k_cum, last_day = (
+        (state.get[0], state.get[1], state.get[2]) if state.exists else (0, 0, "")
+    )
+    days: dict[str, tuple[int, int]] = {}
+    for pdf in pdfs:
+        for d, k in zip(pdf["day"], pdf["k"]):
+            n, s = days.get(d, (0, 0))
+            days[d] = (n + 1, s + int(k))
+    out = {c.name: [] for c in SPRT_OUT.fields}
+    for d in sorted(days):  # in-order fold within the batch
+        n, s = days[d]
+        n_cum += n
+        k_cum += s
+        llr = round((k_cum * L1 + (n_cum - k_cum) * L0) * 1e6)
+        out["arm"].append(key[0])
+        out["day"].append(d)
+        out["n_cum"].append(n_cum)
+        out["k_cum"].append(k_cum)
+        out["llr_micro"].append(llr)
+        out["decision"].append(
+            "reject_h0" if llr >= A_MICRO else ("accept_h0" if llr <= B_MICRO else "continue")
+        )
+        last_day = max(last_day, d)
+    state.update((n_cum, k_cum, last_day))
+    yield pd.DataFrame(out)
+
+
+def sprt_monitor(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming Wald SPRT monitor: per arm (user_id % 2), cumulative
+    trials/successes over view+purchase events and the boundary decision
+    per day — the always-valid experiment monitor as a stateful stream
+    (state = two longs per arm)."""
+    from pyspark.sql import functions as F
+
+    trials = (
+        events.withWatermark("ts", watermark)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("k"),
+            F.col("ts"),
+        )
+    )
+    return trials.groupBy("arm").applyInPandasWithState(
+        sprt_kernel,
+        outputStructType=SPRT_OUT,
+        stateStructType=SPRT_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

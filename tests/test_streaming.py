@@ -395,3 +395,36 @@ def test_stream_drift_monitor_equals_batch(spark, smoke_sf_dir):
         load_table(spark, smoke_sf_dir, "events").drop("props"), ref
     )
     assert _normalize(got) == _normalize(expect)
+
+
+def test_stream_sprt_equals_batch(spark, smoke_sf_dir):
+    """The stateful streaming SPRT monitor must emit BIT-IDENTICAL
+    (arm, day) rows to the batch twin events_sprt_sequential — same
+    cumulative counts, micro-nat LLR, and boundary decisions (the
+    smoke fixture streams as one file = one in-order batch).  Also pins
+    the kernel's re-declared constants to the operators module."""
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        SPRT_B_MICRO,
+        SPRT_A_MICRO,
+        SPRT_L0,
+        SPRT_L1,
+        events_sprt_sequential,
+    )
+    from oracle_parquet_dumper_spark.streaming import stateful
+
+    import inspect
+
+    src = inspect.getsource(stateful.sprt_kernel)
+    for const in (SPRT_L1, SPRT_L0, SPRT_A_MICRO, SPRT_B_MICRO):
+        assert repr(const) in src, (
+            f"kernel constant drifted from events_analytics: {const!r}"
+        )
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = stateful.sprt_monitor(events)
+    ops.run_to_memory(stream, "t_sprt", output_mode="update")
+    got = sorted(tuple(r) for r in spark.table("t_sprt").collect())
+    want = sorted(
+        tuple(r) for r in events_sprt_sequential(spark, smoke_sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
