@@ -247,9 +247,18 @@ PHASH_SCHEMA = T.StructType(
     ]
 )
 
-PHASH_BANDS = 8
-PHASH_BAND_BITS = 8
-PHASH_HAMMING_MAX = 6
+# 4 bands x 16 bits, threshold 3 — the published 64-bit fingerprint
+# dedup configuration (Manku, Jain & Das Sarma, WWW'07 §3: k=3 with 4
+# blocks).  Round-9 measurement forced this: the previous 8x8-bit
+# banding saturates at scale — an 8-bit band key has only 256 values,
+# so per-bucket occupancy grows as N/256 and candidate pairs as N^2/256
+# once N >> 2k (measured 512.7 s engine-side at sf1's 600k docs);
+# 16-bit keys defer the same blow-up by 256x (65k values -> ~9 docs per
+# bucket at sf1, ~10M candidates).  Pigeonhole exactness holds at the
+# tighter threshold: 3 errors cannot touch all 4 bands.
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_HAMMING_MAX = 3
 
 
 def payload_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -321,16 +330,20 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media detection by perceptual hash: Python touches
     each payload exactly once (the mapInPandas dHash stub); candidate
     generation and verification are pure JVM — explode the 64-bit hash
-    into {PHASH_BANDS} 8-bit bands, equi-join on (band, band_value),
-    then verify bit_count(XOR) <= {PHASH_HAMMING_MAX}.
+    into {PHASH_BANDS} {PHASH_BAND_BITS}-bit bands (Manku et al. WWW'07
+    k={PHASH_HAMMING_MAX}), equi-join on (band, band_value), then
+    verify bit_count(XOR) <= {PHASH_HAMMING_MAX}.
 
-    By pigeonhole, any pair within Hamming distance {PHASH_BANDS}-1 = 7
+    By pigeonhole, any pair within Hamming distance {PHASH_BANDS}-1
     shares at least one clean band, so at threshold {PHASH_HAMMING_MAX}
     the banded join is EXACT (full recall), not approximate — asserted
     against a brute-force pass in tests AND against the brute-force SQL
     oracle (codepoint-region dHash is DuckDB-replayable).  At 100 TB the
-    (band, value) key bucket-partitions like every other LSH key here;
-    per-candidate verification is one XOR+popcount."""
+    (band, value) key bucket-partitions like every other LSH key here —
+    band-key CARDINALITY is the scale limiter (the r9 lesson: 8-bit
+    bands saturate at 256 values and went quadratic by sf1), which is
+    why the band width is 16 bits; per-candidate verification is one
+    XOR+popcount."""
     d = load_table(spark, sf_dir, "documents")
     p = with_payload(d).select("doc_id", "payload")
     hashes = p.mapInPandas(payload_dhash, PHASH_SCHEMA).localCheckpoint(eager=False)
