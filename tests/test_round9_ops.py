@@ -466,3 +466,30 @@ def test_set_symmetric_diff_planted(spark, tmp_path):
 
     out = sorted(tuple(r) for r in set_symmetric_diff(spark, str(tmp_path)).collect())
     assert out == [(1, "lo_only"), (2, "lo_only"), (4, "hi_only")]
+
+
+def test_levenshtein_lsh_cap_planted(spark, tmp_path):
+    """20 identical names (custkeys 7..140, all %7==0): identical
+    signatures put every key in the same 4 buckets.  The capped variant
+    admits only the 16 smallest keys per bucket => exactly C(16,2) = 120
+    pairs, all edit_dist 0, none involving the 4 largest keys; the
+    uncapped flagship returns all C(20,2) = 190 — the declared
+    recall-for-boundedness trade, pinned."""
+    rows = [(7 * i, "identical template name", "SEG") for i in range(1, 21)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.dedup import (
+        LEV_LSH_CAP,
+        dedup_fuzzy_levenshtein_lsh,
+        dedup_fuzzy_levenshtein_lsh_capped,
+    )
+
+    capped = [tuple(r) for r in dedup_fuzzy_levenshtein_lsh_capped(spark, str(tmp_path)).collect()]
+    kept_keys = {7 * i for i in range(1, LEV_LSH_CAP + 1)}
+    assert len(capped) == LEV_LSH_CAP * (LEV_LSH_CAP - 1) // 2  # 120
+    assert all(d == 0 and a in kept_keys and b in kept_keys for a, b, d in capped)
+
+    full = dedup_fuzzy_levenshtein_lsh(spark, str(tmp_path)).count()
+    assert full == 20 * 19 // 2  # 190: the uncapped flagship keeps all
