@@ -26,20 +26,33 @@ def entry(spark: SparkSession) -> DataFrame:
 def _sampled_before() -> tuple[int, frozenset[str]]:
     """(round salt, names already driver-sampled): derived from the
     driver's own artifacts — the CORRECTNESS_r*.json files on disk.
-    Deterministic within a round, different across rounds."""
+    Deterministic within a round, different across rounds.
+
+    Shape-validated (ADVICE r9): each artifact must be a dict of
+    query-name -> per-query record; anything else (format drift, a
+    stray list, scalars) is skipped rather than silently contributing
+    wrong members to the seen-set.  A clone without driver artifacts
+    degrades to the pure salted-hash order."""
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
     seen: set[str] = set()
+    n_valid = 0
     for f in files:
         try:
             with open(f) as fh:
-                seen.update(json.load(fh))
+                data = json.load(fh)
         except (OSError, ValueError):
             continue
-    return len(files), frozenset(seen)
+        if not isinstance(data, dict) or not all(
+            isinstance(k, str) and isinstance(v, dict) for k, v in data.items()
+        ):
+            continue  # driver artifact format drifted — ignore, don't guess
+        n_valid += 1
+        seen.update(data)
+    return n_valid, frozenset(seen)
 
 
 def _hash_order(names) -> list[str]:
@@ -53,8 +66,17 @@ def _hash_order(names) -> list[str]:
     pool ~50/round until every query has a hard driver signal), with a
     round-salted md5 of the name breaking ties family-blind inside each
     group.  Both inputs (CORRECTNESS_r*.json count and contents) are
-    driver-written artifacts — deterministic within a round."""
+    driver-written artifacts — deterministic within a round.
+
+    Set ``SPARK_GRAFT_STABLE_ORDER=1`` to disable the coverage
+    reordering entirely (ADVICE r9): library consumers who want an
+    environment-independent, reproducible serving order get plain
+    sorted-by-name, decoupled from whatever artifacts sit next to the
+    entry file."""
     import hashlib
+
+    if os.environ.get("SPARK_GRAFT_STABLE_ORDER") == "1":
+        return sorted(names)
 
     salt, seen = _sampled_before()
     return sorted(

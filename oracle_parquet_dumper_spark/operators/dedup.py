@@ -304,6 +304,7 @@ def _minhash_pairs_sql(source_cte: str = "documents") -> str:
     """,
     tags=("dedup", "lsh"),
     bench=True,
+    band_bits=124,  # 4 minhash components x 31 bits, concat
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs.
@@ -398,7 +399,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"), band_bits=64)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures: per token-hash, each bit votes +1/-1;
     the signature sign-thresholds the 64 vote sums.  Near-dups = small
@@ -564,6 +565,7 @@ def _emb_lsh_oracle() -> str:
     "dedup_embedding_cosine_narrow_demo",
     oracle=_emb_lsh_oracle(),
     tags=("dedup", "embedding", "lsh", "demo"),
+    band_bits=4,  # the measured-dying fixed domain, kept as pedagogy
 )
 def dedup_embedding_cosine_narrow_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEMO: the 4-sign-bit (16-bucket/band) banding this repo MEASURED
@@ -686,11 +688,21 @@ def _lev_lsh_oracle() -> str:
 @query(
     "dedup_fuzzy_levenshtein_lsh",
     oracle=_lev_lsh_oracle(),
-    tags=("dedup", "fuzzy", "lsh", "flagship"),
+    tags=("dedup", "fuzzy", "lsh", "flagship", "degenerate-data-sensitive"),
+    band_bits=120,  # two 60-bit md5-prefix minhash components
 )
 def dedup_fuzzy_levenshtein_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching blocked by character-shingle MinHash bands —
-    the scale-path flagship for string near-dup.
+    the FULL-RECALL reference for string near-dup.
+
+    DEGENERATE-DATA-SENSITIVE (VERDICT r9 #2): on templated key
+    populations (TPC-H customer names: 14-char template + digits) the
+    correct <=3-edit pair relation is near-DENSE — 8.37M pairs at sf1's
+    21k-name sample — so this query is OUTPUT-bound there and no
+    candidate scheme can beat its own output; don't bench it on such
+    keys.  The production scale path is
+    ``dedup_fuzzy_levenshtein_lsh_capped`` (per-bucket occupancy cap,
+    O(#buckets) at any occupancy, bench headline set).
 
     ``dedup_fuzzy_levenshtein`` blocks on the 5-value ``c_mktsegment``:
     within-block pairs are O((n/5)^2) and the biggest segment skews one
@@ -805,6 +817,9 @@ def _lev_lsh_capped_oracle() -> str:
     "dedup_fuzzy_levenshtein_lsh_capped",
     oracle=_lev_lsh_capped_oracle(),
     tags=("dedup", "fuzzy", "lsh"),
+    bench=True,
+    band_bits=120,
+    capped_occupancy=True,  # per-(band,v0,v1) budget of LEV_LSH_CAP keys
 )
 def dedup_fuzzy_levenshtein_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_fuzzy_levenshtein_lsh`` with a PER-BUCKET OCCUPANCY CAP —
@@ -1630,6 +1645,7 @@ CONTAIN_THRESHOLD = 0.7
           >= {CONTAIN_THRESHOLD}
     """,
     tags=("dedup", "lsh", "containment"),
+    band_bits=124,
 )
 def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric CONTAINMENT scoring on LSH candidates:
@@ -1711,6 +1727,8 @@ def _emb_lsh_wide_oracle() -> str:
     oracle=_emb_lsh_wide_oracle(),
     tags=("dedup", "embedding", "lsh", "flagship"),
     bench=True,
+    band_bits=8,
+    capped_occupancy=True,  # capacity-scaled: functions.lsh.capacity_bits
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection blocked by banded sign-LSH — the
@@ -1809,6 +1827,7 @@ def _incremental_oracle() -> str:
     oracle=_incremental_oracle(),
     tags=("dedup", "lsh", "incremental"),
     bench=True,
+    band_bits=124,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: classify an INCOMING BATCH of documents
@@ -1963,13 +1982,27 @@ def write_dedup_corpus_state(
     Durability: both tables are written into a session-unique temp dir
     and atomically renamed into the keyed location — an existing keyed
     dir is never rewritten in place (a concurrent session could be
-    mid-scan, ADVICE r8); superseded fingerprint siblings of the same
-    corpus path are garbage-collected after a successful build."""
+    mid-scan, ADVICE r8).  A FAILED rename is accepted as a concurrent
+    identical build ONLY in the managed fingerprint-keyed layout and
+    only when the destination verifies complete; an EXPLICIT
+    ``state_dir`` that already exists is superseded by an aside-rename
+    swap instead (the old ADVICE-r9 behavior silently discarded the
+    rebuild and kept serving stale state).  Superseded fingerprint
+    siblings of the same corpus path are garbage-collected with the
+    two-phase tombstone + grace protocol of
+    ``sources.layouts.gc_state_siblings`` — never deleted the instant
+    they're superseded, so a concurrent reader keeps its files."""
     import os
     import shutil
     import uuid
 
-    gc_siblings = state_dir is None  # only GC inside the managed layout
+    from oracle_parquet_dumper_spark.sources.layouts import (
+        gc_state_siblings,
+        promote_state_build,
+        revive_state,
+    )
+
+    explicit = state_dir is not None  # explicit => caller owns lifecycle, no GC
     state_dir = state_dir or dedup_state_dir(sf_dir)
     tmp_dir = f"{state_dir}.tmp.{uuid.uuid4().hex[:8]}"
     d = load_table(spark, sf_dir, "documents")
@@ -1986,18 +2019,26 @@ def write_dedup_corpus_state(
     corp_bands.write.mode("overwrite").option("compression", "zstd").parquet(
         tmp_dir + "/corpus_bands"
     )
-    try:
+    def complete() -> bool:
+        return all(
+            os.path.isfile(os.path.join(state_dir, t, "_SUCCESS"))
+            for t in ("corpus_digests", "corpus_bands")
+        )
+
+    if explicit and os.path.exists(state_dir):
+        # caller-owned target already exists (e.g. rebuilt after the
+        # corpus changed): swap it out via aside-rename so the fresh
+        # build REPLACES the old state atomically — never discard the
+        # rebuild in favor of whatever was there (ADVICE r9, medium)
+        aside = f"{state_dir}.superseded.{uuid.uuid4().hex[:8]}"
+        os.rename(state_dir, aside)
         os.rename(tmp_dir, state_dir)
-    except OSError:
-        # a concurrent session renamed first (same fingerprint => same
-        # corpus => identical state) — discard ours
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-    if gc_siblings:
-        base = os.path.dirname(state_dir)
-        fpkey = os.path.basename(state_dir)
-        for old in os.listdir(base):
-            if old != fpkey and ".tmp." not in old:
-                shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+        shutil.rmtree(aside, ignore_errors=True)
+    else:
+        promote_state_build(tmp_dir, state_dir, complete)
+    if not explicit:
+        revive_state(state_dir)  # reinstated fingerprint => clear tombstone
+        gc_state_siblings(os.path.dirname(state_dir), os.path.basename(state_dir))
     return state_dir
 
 
@@ -2006,6 +2047,7 @@ def write_dedup_corpus_state(
     oracle=_incremental_oracle(),
     tags=("dedup", "lsh", "incremental", "layout"),
     bench=True,
+    band_bits=124,
 )
 def dedup_incremental_stored(
     spark: SparkSession, sf_dir: str, state_dir: str | None = None
@@ -2031,6 +2073,10 @@ def dedup_incremental_stored(
     state_dir = state_dir or dedup_state_dir(sf_dir)
     if not os.path.exists(os.path.join(state_dir, "corpus_bands", "_SUCCESS")):
         write_dedup_corpus_state(spark, sf_dir, state_dir if explicit else None)
+    elif not explicit:
+        from oracle_parquet_dumper_spark.sources.layouts import revive_state
+
+        revive_state(state_dir)  # warm managed hit: clear any stale tombstone
     corp_dig = spark.read.parquet(state_dir + "/corpus_digests")
     corp_bands = spark.read.parquet(state_dir + "/corpus_bands")
 
@@ -2204,6 +2250,7 @@ def _minhash_accuracy_oracle() -> str:
     "dedup_minhash_accuracy_eval",
     oracle=_minhash_accuracy_oracle(),
     tags=("dedup", "lsh", "eval"),
+    band_bits=124,
 )
 def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator quality measurement: for every LSH candidate

@@ -325,6 +325,7 @@ def payload_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
     """,
     tags=("multimodal", "dedup", "lsh", "pandas_udf"),
+    band_bits=16,  # ruled: Manku pigeonhole fixes 4 x 16-bit blocks
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate media detection by perceptual hash: Python touches

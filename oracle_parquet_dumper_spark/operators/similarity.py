@@ -141,6 +141,7 @@ def _threshold_lsh_oracle() -> str:
     "sim_threshold_join_lsh",
     oracle=_threshold_lsh_oracle(),
     tags=("similarity", "join", "lsh", "flagship"),
+    band_bits=4,  # ruled: full-recall reference; capped twin is the scale path
 )
 def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity threshold join blocked by banded sign-LSH — the
@@ -164,6 +165,93 @@ def sim_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    v = e.select("vec_id", as_double("embedding").alias("v"), norm("embedding").alias("nv"))
+    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine_prenormed("va", "vb", "na", "nb").alias("cos"))
+        .where(F.col("cos") >= 0.2)
+    )
+
+
+SIM_LSH_CAP = 32  # max rows admitted per (band, bucket)
+
+
+def _threshold_lsh_capped_oracle() -> str:
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_sql
+
+    return f"""
+    WITH bands AS MATERIALIZED ({banded_buckets_sql("embeddings", "vec_id", "embedding")}),
+    capped AS (
+      SELECT vec_id, band, bucket FROM (
+        SELECT vec_id, band, bucket,
+               ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+        FROM bands
+      ) WHERE rn <= {SIM_LSH_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM capped l JOIN capped r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT a, b, {cosine_rounded_sql('ea.embedding', 'eb.embedding')} AS cos
+    FROM cand JOIN embeddings ea ON ea.vec_id = a
+              JOIN embeddings eb ON eb.vec_id = b
+    WHERE {cosine_rounded_sql('ea.embedding', 'eb.embedding')} >= 0.2
+    """
+
+
+@query(
+    "sim_threshold_join_lsh_capped",
+    oracle=_threshold_lsh_capped_oracle(),
+    tags=("similarity", "join", "lsh"),
+    bench=True,
+    band_bits=4,
+    capped_occupancy=True,  # per-(band,bucket) budget of SIM_LSH_CAP rows
+)
+def sim_threshold_join_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_threshold_join_lsh`` with a PER-BUCKET OCCUPANCY CAP — the
+    similarity twin of ``dedup_fuzzy_levenshtein_lsh_capped``, shipped
+    under the round-10 band-key cardinality rule: 4-bit band keys have
+    a 16-value domain, so bucket occupancy grows as n/16 and UNCAPPED
+    candidate pairs as n^2/16 (the round-9 pHash failure mode).  Each
+    (band, bucket) admits only its {SIM_LSH_CAP} smallest vec_ids
+    (row_number — deterministic), so candidate pairs per bucket are
+    <= C({SIM_LSH_CAP},2) = 496 and total work is O(#buckets) at ANY
+    corpus size — the declared recall-for-boundedness trade (a true
+    pair is missed only if BOTH members fall past the cap in all 4 of
+    their shared bands).  Wider bands are NOT the fix at the 0.2
+    threshold (per-bit collision p~0.56 guts banded recall at 8 bits);
+    the cap bounds work while keeping the recall-friendly banding.
+
+    Scale shape: the cap is one row_number window PARTITIONED BY
+    (band, bucket) — the same key the candidate join shuffles on, so
+    the window rides that exchange; everything else is the uncapped
+    plan.  Candidates verified with the exact rounded cosine."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    capped = (
+        banded_buckets(e, "vec_id", "embedding")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("band", "bucket").orderBy("vec_id")),
+        )
+        .where(F.col("rn") <= SIM_LSH_CAP)
+        .drop("rn")
+    )
+    cand = (
+        capped.alias("l")
+        .join(capped.alias("r"), ["band", "bucket"])
         .where(F.col("l.vec_id") < F.col("r.vec_id"))
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
         .dropDuplicates(["a", "b"])
@@ -222,6 +310,7 @@ def _bucket_sql(vec_expr: str) -> str:
     LIMIT {TOP_K}
     """.replace("{bucket}", _bucket_sql("embedding::DOUBLE[]")),
     tags=("similarity", "lsh"),
+    band_bits=8,  # ruled: probe-style, O(N/256) per query
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-LSH: 8 fixed hyperplanes -> 8-bit bucket;
@@ -301,6 +390,7 @@ def sim_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT {TOP_K}
     """.replace("{bucket}", _bucket_sql("embedding::DOUBLE[]")),
     tags=("similarity", "lsh"),
+    band_bits=8,  # ruled: probe-style, 9/256 buckets per query
 )
 def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH: probe the query's bucket PLUS every
@@ -502,6 +592,7 @@ def _recall_eval_oracle() -> str:
     "sim_recall_eval",
     oracle=_recall_eval_oracle(),
     tags=("similarity", "lsh", "eval"),
+    band_bits=8,  # ruled: probe-style eval over a bounded query batch
 )
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measurement: recall@{TOP_K} of the multi-probe

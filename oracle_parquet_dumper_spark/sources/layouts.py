@@ -80,6 +80,127 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(table)
 
 
+# --- shared stored-state lifecycle primitives ------------------------------
+#
+# Both stored-state layouts (ensure_bucketed_state here and the dedup
+# corpus index in operators/dedup.py) promote builds with the same two
+# moves: atomic rename into the fingerprint-keyed location, then GC of
+# superseded siblings.  Round-9 shipped both moves with latent hazards
+# (ADVICE r9): a swallowed rename failure could silently serve
+# stale/partial state, and an immediate sibling rmtree could kill a
+# concurrent session mid-scan.  These helpers are the hardened versions
+# both call sites share.
+
+STATE_GC_GRACE_S = 1800.0  # default; OPDS_STATE_GC_GRACE_S overrides
+
+_SUPERSEDED_MARK = ".superseded"
+
+
+def _gc_grace_s(grace_s: float | None) -> float:
+    import os
+
+    if grace_s is not None:
+        return grace_s
+    try:
+        return float(os.environ.get("OPDS_STATE_GC_GRACE_S", ""))
+    except ValueError:
+        return STATE_GC_GRACE_S
+
+
+def promote_state_build(tmp_path: str, path: str, complete) -> None:
+    """Atomically promote a finished build dir into its keyed location.
+
+    ``os.rename`` failing does NOT imply a concurrent session landed
+    identical bytes — the destination may pre-exist stale (an explicit
+    dir reused after the corpus changed) or half-written (a crashed
+    copy).  Round 9 treated every OSError as a benign concurrent win,
+    which silently discarded the fresh rebuild (ADVICE r9, medium).
+    Here the loss is accepted ONLY when ``complete()`` verifies the
+    destination is a finished build of the same fingerprint-keyed
+    location; otherwise the error propagates so the caller never serves
+    unverified state."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp_path, path)
+    except OSError:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        if not complete():
+            raise
+
+
+def revive_state(path: str) -> None:
+    """Clear a stale tombstone from a keyed state dir that has become
+    current again (the corpus was regenerated back to identical bytes,
+    so a previously-superseded fingerprint is live once more).  Without
+    this, the next supersede could skip straight to phase-2 removal on
+    the old tombstone's age."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(path, _SUPERSEDED_MARK))
+
+
+def gc_state_siblings(
+    base: str,
+    keep: str,
+    *,
+    grace_s: float | None = None,
+    on_remove=None,
+) -> list[str]:
+    """Two-phase, age-gated GC of superseded state under ``base``.
+
+    Deleting a superseded fingerprint sibling the moment a new build
+    lands races any long-running session still mid-scan over it (the
+    dir's mtime says when it was BUILT, not when it was last read, so
+    age alone can't prove quiescence).  Phase 1 therefore only
+    TOMBSTONES a superseded sibling (touches ``<sib>/.superseded``);
+    phase 2 removes it once the tombstone itself is older than the
+    grace period — a reader that started before the supersede has had
+    the whole grace window to finish.  Abandoned ``.tmp.*`` build dirs
+    from crashed sessions are swept on the same age gate (mtime is
+    correct for those: nothing reads a tmp dir but its writer, and a
+    crashed writer stops touching it).
+
+    Returns the sibling names actually removed; ``on_remove(name)``
+    runs for each (catalog deregistration hook)."""
+    import os
+    import shutil
+    import time
+
+    grace = _gc_grace_s(grace_s)
+    now = time.time()
+    removed: list[str] = []
+    try:
+        siblings = os.listdir(base)
+    except OSError:
+        return removed
+    for old in siblings:
+        if old == keep:
+            continue
+        p = os.path.join(base, old)
+        try:
+            if ".tmp." in old:
+                if now - os.stat(p).st_mtime >= grace:
+                    shutil.rmtree(p, ignore_errors=True)
+                continue
+            mark = os.path.join(p, _SUPERSEDED_MARK)
+            if not os.path.exists(mark):
+                with open(mark, "w") as fh:
+                    fh.write(f"{now}")
+                continue
+            if now - os.stat(mark).st_mtime >= grace:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(old)
+                if on_remove is not None:
+                    on_remove(old)
+        except OSError:
+            continue  # raced a concurrent GC — someone else removed it
+    return removed
+
+
 def ensure_bucketed_state(
     spark: SparkSession,
     sf_dir: str,
@@ -111,15 +232,21 @@ def ensure_bucketed_state(
       re-registered as an external bucketed table WITHOUT rewriting
       (a concurrent session may be mid-scan);
     - builds land via write-to-unique-tempdir + atomic rename, never
-      overwrite-in-place on the shared path;
+      overwrite-in-place on the shared path; a FAILED rename is
+      accepted only when the destination is verifiably complete (a
+      concurrent identical build won), else it raises
+      (promote_state_build);
     - superseded fingerprint siblings of the same corpus path (and
-      their catalog entries) are garbage-collected after a build.
+      their catalog entries) are garbage-collected with the two-phase
+      tombstone + grace-period protocol of ``gc_state_siblings``, so a
+      concurrent session mid-scan over the superseded state keeps its
+      files for the whole grace window; crashed builds' ``.tmp.*``
+      dirs are swept on the same age gate.
 
     ``build(spark)`` returns the DataFrame to persist; ``schema_ddl``
     is its column DDL for the external re-registration."""
     import hashlib
     import os
-    import shutil
     import tempfile
     import uuid
 
@@ -138,10 +265,13 @@ def ensure_bucketed_state(
 
     if spark.catalog.tableExists(table):
         if data_present():
+            revive_state(path)  # fingerprint reinstated => clear tombstone
             return table
         spark.sql(f"DROP TABLE IF EXISTS {table}")  # registration outlived data
 
-    if not data_present():
+    if data_present():
+        revive_state(path)
+    else:
         nonce = uuid.uuid4().hex[:8]
         tmp_table = f"{table}_tmp_{nonce}"
         tmp_path = f"{path}.tmp.{nonce}"
@@ -155,16 +285,18 @@ def ensure_bucketed_state(
         )
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # external: files stay
         os.makedirs(base, exist_ok=True)
-        try:
-            os.rename(tmp_path, path)
-        except OSError:
-            # a concurrent session renamed first — identical bytes
-            # (same fingerprint => same corpus); discard ours
-            shutil.rmtree(tmp_path, ignore_errors=True)
-        for old in os.listdir(base):
-            if old != fpkey and ".tmp." not in old:
-                shutil.rmtree(os.path.join(base, old), ignore_errors=True)
-                spark.sql(f"DROP TABLE IF EXISTS {state_name}_{pathkey}_{old}")
+        # rename failure is benign ONLY if a concurrent identical build
+        # (same fingerprint => same corpus) verifiably completed; a
+        # half-written destination must raise, not fall through to
+        # CREATE TABLE over missing data (ADVICE r9)
+        promote_state_build(tmp_path, path, data_present)
+        gc_state_siblings(
+            base,
+            fpkey,
+            on_remove=lambda old: spark.sql(
+                f"DROP TABLE IF EXISTS {state_name}_{pathkey}_{old}"
+            ),
+        )
 
     spark.sql(
         f"CREATE TABLE {table} ({schema_ddl}) "

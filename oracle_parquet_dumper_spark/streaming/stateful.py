@@ -349,6 +349,8 @@ def sprt_kernel(key, pdfs, state):
     Wald LLR, one emitted row per day.  Constants are re-declared here
     (ship-by-value: workers must not import the operators package) and
     equality with the batch module is pinned in the test."""
+    import math
+
     L1 = 0.4054651081081642  # ln(1.5)  — events_analytics.SPRT_L1
     L0 = -0.4054651081081643  # ln(2/3) — events_analytics.SPRT_L0
     A_MICRO, B_MICRO = 2772589, -1558145
@@ -366,7 +368,12 @@ def sprt_kernel(key, pdfs, state):
         n, s = days[d]
         n_cum += n
         k_cum += s
-        llr = round((k_cum * L1 + (n_cum - k_cum) * L0) * 1e6)
+        # HALF-AWAY-FROM-ZERO to the micro-nat, matching the batch
+        # twin's F.round (BigDecimal HALF_UP) and DuckDB's round();
+        # Python's round() is banker's (half-to-even) and would
+        # diverge on an exact .5 tie (ADVICE r9)
+        x = (k_cum * L1 + (n_cum - k_cum) * L0) * 1e6
+        llr = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
         out["arm"].append(key[0])
         out["day"].append(d)
         out["n_cum"].append(n_cum)

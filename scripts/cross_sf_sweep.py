@@ -39,13 +39,33 @@ def row_hash(pdf) -> tuple[str, int, list[str]]:
 
 
 def main() -> int:
+    import argparse
+
     import duckdb
 
     import __spark_entry__ as entry
     from oracle_parquet_dumper_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])  # optional query-name filter
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="optional query-name filter")
+    ap.add_argument(
+        "--exclude",
+        action="append",
+        default=[],
+        metavar="NAME",
+        help="skip NAME, recording it as excluded (adjudicated demo-oracle "
+        "entries only — scripts/wrap_check.py pins the allowed set)",
+    )
+    ap.add_argument(
+        "--record",
+        metavar="PATH",
+        help="write a JSON sweep record (per-query ok/fail + exclusions) — "
+        "the wrap-gate artifact scripts/wrap_check.py validates",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    only = set(args.names)
 
     spark = get_spark("cross_sf_sweep")
     queries, oracles = entry.queries(), entry.oracle_sql()
@@ -56,11 +76,14 @@ def main() -> int:
         )
 
     names = sorted(only & set(oracles) if only else oracles)
+    excluded = sorted(set(args.exclude) & set(names))
+    names = [n for n in names if n not in excluded]
     # SWEEP_PROGRESS=1 streams one flushed line per query — long sweeps
     # stay observable (and resumable by passing the remaining names)
     # even if the run is killed before the summary prints.
     progress = os.environ.get("SWEEP_PROGRESS") == "1"
     bad = 0
+    results: dict[str, dict] = {}
     import time as _time
 
     for name in names:
@@ -71,13 +94,37 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report and continue
             print(f"{name}: ERR {type(exc).__name__}: {str(exc)[:160]}", flush=True)
             bad += 1
+            results[name] = {"ok": False, "err": f"{type(exc).__name__}"}
             continue
-        if got != want:
+        ok = got == want
+        results[name] = {
+            "ok": ok,
+            "rows": got[1],
+            "sec": round(_time.monotonic() - t0, 1),
+        }
+        if not ok:
             print(f"{name}: MISMATCH spark={got} oracle={want}", flush=True)
             bad += 1
         elif progress:
             print(f"{name}: ok {_time.monotonic() - t0:.1f}s", flush=True)
     print(f"{sf_dir}: {len(names) - bad}/{len(names)} oracle queries ok", flush=True)
+    if args.record:
+        import json
+
+        with open(args.record, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "excluded": excluded,
+                    "n_ok": len(names) - bad,
+                    "n_bad": bad,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"sweep record written: {args.record}", flush=True)
     return bad
 
 

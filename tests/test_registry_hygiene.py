@@ -30,6 +30,54 @@ def test_every_query_is_tagged():
     assert not untagged
 
 
+def test_lsh_band_domain_rule_registry_wide():
+    """VERDICT r9 #2: band-key CARDINALITY, not band count, is the LSH
+    scale limiter (the sf1 sweep measured mm_phash_neardup at N^2/256
+    on 8-bit band keys).  Every lsh/simhash-tagged query must declare
+    its band-key domain; fixed domains below 2^20 need an occupancy
+    cap, capacity-scaled bands, a demo tag, or a written ruling."""
+    from oracle_parquet_dumper_spark.plans.registry import (
+        LSH_BAND_DOMAIN_RULINGS,
+        lsh_band_domain_violations,
+    )
+
+    assert lsh_band_domain_violations() == []
+    # rulings must name live queries (no stale adjudications)
+    stale = set(LSH_BAND_DOMAIN_RULINGS) - set(REGISTRY)
+    assert not stale, f"rulings for unregistered queries: {sorted(stale)}"
+
+
+def test_lsh_band_domain_rule_fires_on_synthetic_violation():
+    """The rule must actually FIRE — same pattern as the forced-
+    broadcast boundedness rule (tests/test_plans.py): a synthetic
+    8-bit-band query with no cap/ruling is flagged, and an undeclared
+    lsh query is flagged."""
+    from oracle_parquet_dumper_spark.plans.registry import (
+        QuerySpec,
+        lsh_band_domain_violations,
+    )
+
+    def dummy(spark, sf_dir):  # pragma: no cover - never run
+        raise AssertionError
+
+    synth = {
+        # the round-9 pHash defect, re-staged: fixed 8-bit band keys
+        "bad_8bit": QuerySpec("bad_8bit", dummy, tags=("dedup", "lsh"), band_bits=8),
+        # missing declaration entirely
+        "bad_undeclared": QuerySpec("bad_undeclared", dummy, tags=("lsh",)),
+        # healthy shapes must NOT fire
+        "ok_wide": QuerySpec("ok_wide", dummy, tags=("lsh",), band_bits=124),
+        "ok_capped": QuerySpec(
+            "ok_capped", dummy, tags=("lsh",), band_bits=8, capped_occupancy=True
+        ),
+        "ok_demo": QuerySpec("ok_demo", dummy, tags=("lsh", "demo"), band_bits=4),
+        "ok_untagged": QuerySpec("ok_untagged", dummy, tags=("join",)),
+    }
+    got = lsh_band_domain_violations(synth)
+    flagged = {m.split(":")[0] for m in got}
+    assert flagged == {"bad_8bit", "bad_undeclared"}, got
+
+
 def test_operators_md_matches_live_registry():
     """OPERATORS.md is generated (scripts/gen_operators_md.py); its
     total line and its per-query rows must match len(REGISTRY)."""

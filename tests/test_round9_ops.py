@@ -194,10 +194,14 @@ def test_text_repetition_screen_planted(spark, tmp_path):
     assert (ok.dup_frac_milli, ok.top_frac_milli, ok.keep) == (0, 111, True)
 
 
-def test_dedup_stored_state_lifecycle(spark, tmp_path):
-    """VERDICT r8 #3: regenerate the corpus in place -> the OLD state
-    key is garbage-collected, a NEW key is built, and the query stays
-    green.  Also pins the two-level layout (pathkey/fingerprint) that
+def test_dedup_stored_state_lifecycle(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #3 + VERDICT r9 #3: regenerate the corpus in place ->
+    a NEW key is built and the query stays green, while the OLD state
+    key is garbage-collected on the TWO-PHASE tombstone protocol: the
+    supersede pass only tombstones it (a concurrent session may still
+    be mid-scan — its DataFrame keeps working), and removal happens on
+    a later build pass once the tombstone has outlived the grace
+    period.  Also pins the two-level layout (pathkey/fingerprint) that
     makes superseded siblings identifiable."""
     import os
 
@@ -216,6 +220,9 @@ def test_dedup_stored_state_lifecycle(spark, tmp_path):
     assert q(spark, str(tmp_path)).count() > 0
     d1 = dedup_state_dir(str(tmp_path))
     assert os.path.isfile(os.path.join(d1, "corpus_bands", "_SUCCESS"))
+    # session A: a reader over the soon-to-be-superseded state
+    reader_a = spark.read.parquet(os.path.join(d1, "corpus_digests"))
+    n_a = reader_a.count()
 
     # regenerate in place: same path, new bytes -> new fingerprint
     import shutil
@@ -226,9 +233,21 @@ def test_dedup_stored_state_lifecycle(spark, tmp_path):
     assert d2 != d1, "content fingerprint did not rotate on regeneration"
     assert q(spark, str(tmp_path)).count() > 0
     assert os.path.isfile(os.path.join(d2, "corpus_bands", "_SUCCESS"))
-    assert not os.path.exists(d1), "superseded state key not garbage-collected"
     # both keys sit under the same pathkey dir (siblings, GC-able)
     assert os.path.dirname(d1) == os.path.dirname(d2)
+    # phase 1: superseded sibling is TOMBSTONED, not deleted -- the
+    # concurrent reader's scan still completes (VERDICT r9 #3)
+    assert os.path.isfile(os.path.join(d1, ".superseded"))
+    assert reader_a.count() == n_a, "live reader broken by supersede GC"
+
+    # phase 2: with the grace period elapsed (grace=0 here), the NEXT
+    # build pass removes the tombstoned sibling
+    monkeypatch.setenv("OPDS_STATE_GC_GRACE_S", "0")
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    corpus("gamma")
+    assert q(spark, str(tmp_path)).count() > 0
+    assert not os.path.exists(d1), "tombstoned sibling survived past grace"
+    assert os.path.isfile(os.path.join(d2, ".superseded"))  # next in line
 
 
 def test_pagerank_edge_state_lifecycle(spark, tmp_path):
@@ -284,14 +303,31 @@ def test_pagerank_edge_state_lifecycle(spark, tmp_path):
     assert os.path.isfile(os.path.join(loc, "_SUCCESS"))
     assert spark.table(t1).count() > 0
 
-    # corpus regenerated in place -> new key, old sibling + table GC'd
+    # corpus regenerated in place -> new key; old sibling is TOMBSTONED
+    # first (a concurrent session may be mid-scan over it), then
+    # removed -- with its catalog entry -- on the next build pass once
+    # the tombstone outlives the grace period (VERDICT r9 #3)
+    old_scan = spark.table(t1)
+    n_old = old_scan.count()
     shutil.rmtree(str(tmp_path / "lineitem.parquet"))
     lineitem(100)
     t2 = pagerank_edge_state(spark, str(tmp_path))
     assert t2 != t1
-    assert not os.path.exists(loc), "superseded edge-state dir not GC'd"
-    assert not spark.catalog.tableExists(t1), "superseded catalog entry kept"
+    assert os.path.isfile(os.path.join(loc, ".superseded"))
+    assert old_scan.count() == n_old, "live reader broken by supersede GC"
     assert spark.table(t2).count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setenv("OPDS_STATE_GC_GRACE_S", "0")
+        shutil.rmtree(str(tmp_path / "lineitem.parquet"))
+        lineitem(200)
+        t3 = pagerank_edge_state(spark, str(tmp_path))
+    assert t3 not in (t1, t2)
+    assert not os.path.exists(loc), "tombstoned edge-state dir not GC'd"
+    assert not spark.catalog.tableExists(t1), "superseded catalog entry kept"
+    assert spark.table(t3).count() > 0
 
 
 def test_label_prop_bucketed_matches_checkpointed(spark, sf_dir):
