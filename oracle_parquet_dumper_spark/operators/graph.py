@@ -759,3 +759,64 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy(F.col("aa_micro").desc(), "sa", "sb").limit(AA_TOP)
+
+
+# --- market-basket co-occurrence (bipartite projection) ---------------------
+
+BASKET_CAP = 8  # items admitted per basket (row_number, deterministic)
+COPURCHASE_MIN_SUPPORT = 2
+
+
+@query(
+    "graph_copurchase_pairs",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    c AS (
+      SELECT o, p FROM (
+        SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn FROM b
+      ) WHERE rn <= {BASKET_CAP}
+    ),
+    pr AS (SELECT x.p AS p1, y.p AS p2 FROM c x JOIN c y ON x.o = y.o AND x.p < y.p)
+    SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pr GROUP BY p1, p2 HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}
+    """,
+    tags=("graph", "join", "agg"),
+)
+def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the bipartite order-part graph
+    projected onto parts — (p1, p2, support) for part pairs co-ordered
+    in >= {COPURCHASE_MIN_SUPPORT} baskets.  The pair-generation core of
+    frequent-itemset mining (Agrawal & Srikant, VLDB'94) and of
+    co-view/co-cite recommendation graphs.
+
+    Scale shape: within-basket pairs are C(k,2) in basket size k, so an
+    unbounded basket is the same quadratic hazard as an uncapped LSH
+    bucket (round-10 band-cardinality rule).  Each basket therefore
+    admits only its {BASKET_CAP} smallest partkeys (row_number over the
+    basket key — rides the self-join's own o-partitioning, the
+    lev-LSH-capped convention), bounding work at C({BASKET_CAP},2) = 28
+    pairs per basket, O(#baskets) total.  TPC-H baskets are <= 7 items
+    so the fixture answer is cap-invariant; the planted test pins the
+    cap's bite on a synthetic 12-item basket.  The support filter rides
+    the pair groupBy's partial aggregation (map-side combine drops
+    singletons before the shuffle spills them)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    c = (
+        b.withColumn("rn", F.row_number().over(W.partitionBy("o").orderBy("p")))
+        .where(F.col("rn") <= BASKET_CAP)
+        .drop("rn")
+    )
+    pairs = (
+        c.alias("x")
+        .join(c.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("p1"), F.col("y.p").alias("p2"))
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= COPURCHASE_MIN_SUPPORT)
+    )

@@ -918,3 +918,73 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("leftover").alias("leftover_tok"),
     )
+
+
+# --- canonical-document selection within duplicate clusters -----------------
+
+
+@query(
+    "pipeline_canonical_keeper",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                                'string_agg', '|')) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS cluster_size,
+             MIN(doc_id) OVER (PARTITION BY h) AS cluster_id
+      FROM keyed
+    )
+    SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM ranked WHERE cluster_size > 1
+    """,
+    tags=("pipeline", "dedup", "window"),
+)
+def pipeline_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each duplicate cluster keep
+    exactly ONE representative (longest, ties to smallest doc_id) and
+    mark the rest for dropping — the step between candidate-pair
+    finding and corpus rewriting in every dedup pipeline (near-dup
+    detection yields CLUSTERS; the training set wants one doc each).
+
+    Clusters here come from the bag-of-VOCABULARY fingerprint
+    (md5 of the sorted distinct token set): docs built from the same
+    vocabulary are one content cluster even when token order and
+    repetition differ — the deterministic, SQL-expressible stand-in
+    for whatever upstream pair relation (MinHash clusters, embedding
+    cells) a production pipeline feeds this keeper.  Singleton
+    clusters are filtered out so the output is exactly the actionable
+    keep/drop ledger.
+
+    Scale shape: one tokenize pass, then all three window functions
+    (row_number, count, min) share ONE (h)-partitioned sort — a single
+    exchange on the 16-byte fingerprint, never on text; the keeper
+    rule is rank-1 selection, so no per-cluster collect or re-join."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat_ws("|", F.array_sort(F.array_distinct(F.split("text", " ")))).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    w = W.partitionBy("h")
+    ranked = keyed.select(
+        "doc_id",
+        F.row_number().over(w.orderBy(F.col("n_chars").desc(), "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.min("doc_id").over(w).alias("cluster_id"),
+    )
+    return ranked.where(F.col("cluster_size") > 1).select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.when(F.col("rn") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )

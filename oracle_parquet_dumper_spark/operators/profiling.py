@@ -322,3 +322,81 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         ((num - num % den) / den).cast("long").alias("gini_micro"),
     )
+
+
+# --- missingness-pattern mining --------------------------------------------
+
+
+@query(
+    "profile_missingness_patterns",
+    oracle="""
+    WITH nullable AS (
+      SELECT
+        CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS price,
+        CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 2 = 0 THEN NULL
+             ELSE o_orderpriority END AS priority,
+        CASE WHEN o_custkey % 7 < 2 THEN NULL ELSE o_custkey END AS cust,
+        CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0 THEN NULL
+             ELSE o_orderdate END AS odate
+      FROM orders
+    )
+    SELECT
+      (CASE WHEN price IS NULL THEN '0' ELSE '1' END ||
+       CASE WHEN priority IS NULL THEN '0' ELSE '1' END ||
+       CASE WHEN cust IS NULL THEN '0' ELSE '1' END ||
+       CASE WHEN odate IS NULL THEN '0' ELSE '1' END) AS pattern,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST((CASE WHEN price IS NULL THEN 1 ELSE 0 END +
+            CASE WHEN priority IS NULL THEN 1 ELSE 0 END +
+            CASE WHEN cust IS NULL THEN 1 ELSE 0 END +
+            CASE WHEN odate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM nullable
+    GROUP BY 1, 3
+    """,
+    tags=("profile", "dq", "agg"),
+)
+def profile_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern mining (the co-missingness screen behind
+    Little's MCAR diagnostics and imputation planning): group rows by
+    the BITMAP of which nullable fields are absent and count each
+    pattern — nested/correlated missingness (a field that is only ever
+    null when another is) shows up as a missing pattern row, which no
+    per-column null-rate profile can reveal.
+
+    The fixture tables ship NULL-free, so the nullable fields are
+    synthesized deterministically (key-mod rules, one deliberately
+    NESTED inside another: ``priority`` can only be null where
+    ``price`` is) — the PATTERN MINER is the operator under test, the
+    rules just give it structure: 4 fields => at most 16 pattern rows,
+    but only the patterns the nesting permits may appear (pinned by the
+    planted test: no '0?1?' pattern with priority null but price
+    present).
+
+    Scale shape: one pass, map-side partial aggregation folds every
+    partition to <= 16 rows before the shuffle — the output relation is
+    2^k-bounded in the declared field count, never data-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    nullable = o.select(
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 2 == 0), None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(F.col("o_custkey") % 7 < 2, None).otherwise(F.col("o_custkey")).alias("cust"),
+        F.when((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0), None)
+        .otherwise(F.col("o_orderdate"))
+        .alias("odate"),
+    )
+    bit = lambda c: F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1"))  # noqa: E731
+    miss = lambda c: F.when(F.col(c).isNull(), 1).otherwise(0)  # noqa: E731
+    cols = ["price", "priority", "cust", "odate"]
+    return (
+        nullable.select(
+            F.concat(*[bit(c) for c in cols]).alias("pattern"),
+            sum([miss(c) for c in cols[1:]], miss(cols[0])).cast("long").alias("n_missing"),
+        )
+        .groupBy("pattern", "n_missing")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select("pattern", "n_rows", "n_missing")
+    )

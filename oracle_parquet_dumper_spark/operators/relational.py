@@ -3120,3 +3120,134 @@ def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000 * s_w) div n AS BIGINT)").alias("winsorized_mean_milli"),
         F.expr("CAST((1000 * s_t) div n_t AS BIGINT)").alias("trimmed_mean_milli"),
     )
+
+
+# --- exact distinct via bitmap aggregation ----------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH bm AS (
+      SELECT l_returnflag AS flag, l_suppkey // 63 AS bkt,
+             bit_or(CAST(1 AS BIGINT) << CAST(l_suppkey % 63 AS INT)) AS word
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT flag, CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM bm GROUP BY flag
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COUNT(DISTINCT) as a two-level bitmap aggregation — the
+    roaring/bitmap-index technique (Chambi et al., "Better bitmap
+    performance with Roaring bitmaps"): dense integer keys fold into
+    (key div 63) words via BIT_OR of single set bits, then popcounts
+    sum per group.
+
+    Why it matters at 100 TB: a plain COUNT(DISTINCT key) keeps every
+    distinct key alive through the shuffle (the partial state IS the
+    key set), while the bitmap's partial state is <= keyspace/63 words
+    per group REGARDLESS of row count — BIT_OR is associative and
+    commutative, so map-side combine crushes each partition to the
+    word relation before anything moves, and re-aggregation (merging
+    two days' bitmaps) is another BIT_OR, making the state MERGEABLE
+    the way sketches are but without approximation.  63-bit words keep
+    the shift inside BIGINT on both engines (DuckDB raises on 1 << 63;
+    Spark wraps silently — the planted test pins the equality against
+    COUNT(DISTINCT) so neither convention can drift).  ``n_words`` is
+    the materialized bitmap size, the op's own memory audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    words = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_suppkey") / 63).cast("long").alias("bkt"),
+            # F.shiftleft only takes a literal bit count; the SQL form
+            # shifts by a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("flag", "bkt")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return words.groupBy("flag").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+
+
+# --- point-in-time (temporal) join ------------------------------------------
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_id AS version_id, value AS state_value,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'signup' OR event_type = 'purchase'
+    ),
+    facts AS (
+      SELECT event_id AS fact_id, user_id, CAST(ts AS TIMESTAMP) AS fact_ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT f.fact_id, f.user_id, v.version_id, v.state_value
+    FROM facts f JOIN versions v
+      ON f.user_id = v.user_id
+     AND f.fact_ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.fact_ts < v.valid_to)
+    """,
+    tags=("join", "scd2", "window"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join — the feature-store / temporal-warehouse
+    staple: each fact row joins the dimension VERSION that was valid at
+    the fact's own timestamp (training-serving skew prevention: a model
+    trained on today's attributes for last month's facts is leaking the
+    future).  The versioned side is the scd2_history relation (signup/
+    purchase state changes per user, [valid_from, valid_to) intervals
+    from one LEAD window); facts are the view events.
+
+    vs join_asof: asof picks the nearest PRIOR event by pure timestamp
+    proximity; PIT picks the version whose VALIDITY INTERVAL contains
+    the fact — closed-open interval semantics, exactly one match per
+    fact (intervals partition each user's timeline past the first
+    version), NULL-valid_to open tail included.
+
+    Scale shape: the join is EQUI on user_id — Spark plans a hash/SMJ
+    partitioned by user_id and evaluates the interval predicate as a
+    post-join filter within each key group, so cost is per-user
+    (versions_u x facts_u), bounded by per-user activity, never
+    data-sized; the version relation's window rides the same user_id
+    partitioning the join shuffles on."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    versions = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                W.partitionBy("user_id").orderBy("valid_from", "version_id")
+            ),
+        )
+    )
+    facts = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("fact_id"), "user_id", F.col("ts").alias("fact_ts")
+    )
+    return (
+        facts.join(versions, "user_id")
+        .where(
+            (F.col("fact_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("fact_ts") < F.col("valid_to")))
+        )
+        .select("fact_id", "user_id", "version_id", "state_value")
+    )

@@ -1722,3 +1722,70 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END)) div COUNT(*) AS BIGINT)"
         ).alias("oov_ppm"),
     )
+
+
+# --- character-bigram entropy (compressibility / gibberish screen) ---------
+
+
+@query(
+    "text_char_entropy_screen",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text) - 1),
+                                   i -> substring(text, i, 2))) AS g
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id),
+    terms AS (
+      SELECT counts.doc_id, c, n,
+             CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS t
+      FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+    )
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c * t) AS BIGINT) // MAX(n) AS entropy_micro_nats,
+           (CAST(SUM(c * t) AS BIGINT) // MAX(n)) < 2500000 AS flag_low_entropy
+    FROM terms GROUP BY doc_id
+    """,
+    tags=("text", "quality", "agg"),
+)
+def text_char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER-BIGRAM Shannon entropy — the cheap
+    compressibility proxy quality gates use to flag boilerplate,
+    key-mashing, and template spam (low entropy = repetitive byte
+    structure; the screen behind Gopher's "symbol ratio" family and
+    zlib-ratio filters, expressed without a compressor so both engines
+    agree bit-for-bit).
+
+    Determinism: the profile_entropy convention — each bigram's
+    ln(n/c) integerizes to micro-nats per (n, c) pair (single-ln
+    rounding), then H = SUM(c*t) div n is pure integer arithmetic; the
+    2.5-nat flag threshold is applied to the integer.
+
+    Scale shape: one explode pass -> per-(doc, gram) counts fold
+    map-side; every subsequent relation is keyed by doc_id (the window
+    over counts rides one doc_id exchange); output is one row per doc,
+    never gram-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.withColumn("n", F.sum("c").over(W.partitionBy("doc_id")))
+    t = F.round(F.log(F.col("n").cast("double") / F.col("c")) * 1000000).cast("long")
+    h = F.expr("CAST(SUM(c * t) AS BIGINT) div MAX(n)")
+    return (
+        counts.withColumn("t", t)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            h.alias("entropy_micro_nats"),
+        )
+        .withColumn("flag_low_entropy", F.col("entropy_micro_nats") < 2500000)
+    )

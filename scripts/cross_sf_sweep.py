@@ -76,7 +76,7 @@ def main() -> int:
         )
 
     names = sorted(only & set(oracles) if only else oracles)
-    excluded = sorted(set(args.exclude) & set(names))
+    excluded = sorted(set(args.exclude) & set(oracles))
     names = [n for n in names if n not in excluded]
     # SWEEP_PROGRESS=1 streams one flushed line per query — long sweeps
     # stay observable (and resumable by passing the remaining names)

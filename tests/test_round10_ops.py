@@ -244,3 +244,161 @@ def test_revive_state_clears_tombstone(tmp_path):
     # ...so a later supersede restarts the clock at phase 1
     removed = gc_state_siblings(str(base), "k2", grace_s=0)
     assert removed == []  # first pass only re-tombstones
+
+
+# --- round-10 new operators: planted semantics ------------------------------
+
+
+def test_copurchase_cap_and_support_planted(spark, tmp_path):
+    """Basket 1 has 12 items -> the BASKET_CAP=8 window admits parts
+    1..8 only; pair (1,2) recurs in baskets 2 and 3 (support 3); pair
+    (9,10) recurs in baskets 4 and 5 but its basket-1 occurrence was
+    capped away (support 2, not 3) — the declared bound's bite, pinned.
+    All other basket-1 pairs are support-1 and drop at MIN_SUPPORT=2."""
+    rows = [(1, p, 1) for p in range(1, 13)]
+    rows += [(2, 1, 1), (2, 2, 1), (3, 1, 1), (3, 2, 1)]
+    rows += [(4, 9, 1), (4, 10, 1), (5, 9, 1), (5, 10, 1)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.graph import graph_copurchase_pairs
+
+    got = sorted(tuple(r) for r in graph_copurchase_pairs(spark, str(tmp_path)).collect())
+    assert got == [(1, 2, 3), (9, 10, 2)]
+
+
+def test_missingness_patterns_nesting_planted(spark, sf_dir):
+    """The nested rule (priority can only be null where price is null)
+    must make pattern 'price present + priority missing' IMPOSSIBLE;
+    n_missing must equal the zero-count of each pattern; row counts
+    must fold back to the full table."""
+    from oracle_parquet_dumper_spark.operators.profiling import (
+        profile_missingness_patterns,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    rows = profile_missingness_patterns(spark, sf_dir).collect()
+    assert rows, "no patterns mined"
+    for r in rows:
+        assert len(r.pattern) == 4 and set(r.pattern) <= {"0", "1"}
+        assert r.n_missing == r.pattern.count("0")
+        assert not (r.pattern[0] == "1" and r.pattern[1] == "0"), (
+            "nested missingness violated: priority null with price present"
+        )
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_rows for r in rows) == total
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The 63-bit-word bitmap fold must be EXACT: per-flag popcount sum
+    == COUNT(DISTINCT l_suppkey), and the bitmap state must be at most
+    keyspace/63 words."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.relational import agg_bitmap_distinct
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    got = {r.flag: (r.n_distinct, r.n_words) for r in agg_bitmap_distinct(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        r.flag: r.nd
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.countDistinct("l_suppkey").alias("nd"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    max_supp = li.agg(F.max("l_suppkey")).collect()[0][0]
+    for nd, nw in got.values():
+        assert nw <= max_supp // 63 + 1
+        assert nd <= nw * 63
+
+
+def test_canonical_keeper_planted(spark, tmp_path):
+    """Three docs over the SAME vocabulary (different order/repetition/
+    length) are one cluster: keeper = longest, tie to smallest doc_id;
+    singleton clusters are excluded from the ledger."""
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 16),
+        (2, "beta alpha gamma gamma alpha", "en", "s", 29),  # longest -> keep
+        (3, "gamma beta alpha", "en", "s", 16),
+        (9, "totally different words", "en", "s", 23),  # singleton -> absent
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.pipeline_prep import (
+        pipeline_canonical_keeper,
+    )
+
+    got = sorted(
+        tuple(r) for r in pipeline_canonical_keeper(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (1, 1, 3, "drop"),
+        (2, 1, 3, "keep"),
+        (3, 1, 3, "drop"),
+    ]
+
+
+def test_char_entropy_screen_planted(spark, tmp_path):
+    """Hand-computed micro-nat entropies: an all-'a' doc is 0 (flagged),
+    'ababab' is 673012 (flagged), the 26-letter alphabet is ln(25) =
+    3218876 (NOT flagged) — pins the single-ln integerization and the
+    2.5-nat threshold exactly."""
+    rows = [
+        (1, "aaaaaa", "en", "s", 6),
+        (2, "ababab", "en", "s", 6),
+        (3, "abcdefghijklmnopqrstuvwxyz", "en", "s", 26),
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.text import text_char_entropy_screen
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_distinct, r.entropy_micro_nats, r.flag_low_entropy)
+        for r in text_char_entropy_screen(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (5, 1, 0, True)
+    # ababab: c(ab)=3 t=round(ln(5/3)e6)=510826; c(ba)=2 t=round(ln(2.5)e6)=916291
+    # H = (3*510826 + 2*916291) div 5 = 673012
+    assert got[2] == (5, 2, 673012, True)
+    assert got[3] == (25, 25, 3218876, False)
+
+
+def test_point_in_time_join_planted(spark, tmp_path):
+    """Closed-open interval semantics pinned: a fact BEFORE the first
+    version drops; a fact AT a version boundary joins the NEW version
+    (>= from, < to); the open tail (valid_to NULL) catches late facts."""
+    from datetime import datetime as DT
+
+    rows = [
+        # versions for user 1: state 10.0 at t10, state 20.0 at t20
+        (101, DT(2024, 1, 10), 1, "signup", 10.0, "{}"),
+        (102, DT(2024, 1, 20), 1, "purchase", 20.0, "{}"),
+        # facts (views)
+        (201, DT(2024, 1, 5), 1, "view", 0.0, "{}"),   # before v1 -> dropped
+        (202, DT(2024, 1, 10), 1, "view", 0.0, "{}"),  # == v1.from -> v1
+        (203, DT(2024, 1, 15), 1, "view", 0.0, "{}"),  # inside [v1, v2) -> v1
+        (204, DT(2024, 1, 20), 1, "view", 0.0, "{}"),  # == v2.from -> v2 (not v1)
+        (205, DT(2024, 2, 1), 1, "view", 0.0, "{}"),   # open tail -> v2
+        # another user, no versions: all facts drop
+        (301, DT(2024, 1, 15), 2, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.relational import join_point_in_time
+
+    got = sorted(
+        (r.fact_id, r.version_id, r.state_value)
+        for r in join_point_in_time(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (202, 101, 10.0),
+        (203, 101, 10.0),
+        (204, 102, 20.0),
+        (205, 102, 20.0),
+    ]
