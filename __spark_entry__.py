@@ -23,22 +23,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _sampled_before() -> tuple[int, frozenset[str]]:
-    """(round salt, names already driver-sampled): derived from the
-    driver's own artifacts — the CORRECTNESS_r*.json files on disk.
-    Deterministic within a round, different across rounds.
+def _sampled_before() -> tuple[int, frozenset[str], frozenset[str]]:
+    """(round salt, names successfully driver-sampled, names whose ONLY
+    records are errors): derived from the driver's own artifacts — the
+    CORRECTNESS_r*.json files on disk.  Deterministic within a round,
+    different across rounds.
 
     Shape-validated (ADVICE r9): each artifact must be a dict of
     query-name -> per-query record; anything else (format drift, a
     stray list, scalars) is skipped rather than silently contributing
     wrong members to the seen-set.  A clone without driver artifacts
-    degrades to the pure salted-hash order."""
+    degrades to the pure salted-hash order.
+
+    A name counts as seen only if some record shows the driver actually
+    OBTAINED a result (``err`` null) — a sample that crashed the
+    harness (agg_approx r1, the one historical red, VERDICT r9 #1)
+    never produced a signal and must rotate back into the
+    never-sampled window for a clean retry."""
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
     seen: set[str] = set()
+    errored: set[str] = set()
     n_valid = 0
     for f in files:
         try:
@@ -51,8 +59,9 @@ def _sampled_before() -> tuple[int, frozenset[str]]:
         ):
             continue  # driver artifact format drifted — ignore, don't guess
         n_valid += 1
-        seen.update(data)
-    return n_valid, frozenset(seen)
+        seen.update(k for k, v in data.items() if v.get("err") is None)
+        errored.update(k for k, v in data.items() if v.get("err") is not None)
+    return n_valid, frozenset(seen), frozenset(errored - seen)
 
 
 def _hash_order(names) -> list[str]:
@@ -78,11 +87,15 @@ def _hash_order(names) -> list[str]:
     if os.environ.get("SPARK_GRAFT_STABLE_ORDER") == "1":
         return sorted(names)
 
-    salt, seen = _sampled_before()
+    salt, seen, errored = _sampled_before()
+    # three tiers: errored-only retries first (a red record is the
+    # highest-value resample — VERDICT r9 #1's agg_approx), then the
+    # never-sampled pool, then green-sampled names; salted hash breaks
+    # ties family-blind inside each tier.
     return sorted(
         names,
         key=lambda n: (
-            n in seen,
+            (0 if n in errored else (1 if n not in seen else 2)),
             hashlib.md5(f"{salt}:{n}".encode()).hexdigest(),
         ),
     )

@@ -186,9 +186,16 @@ def test_entry_order_env_gate_and_artifact_shape_validation(monkeypatch, tmp_pat
     (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"q_bad": "str_rec"}))
     (tmp_path / "CORRECTNESS_r04.json").write_text("not json at all")
     monkeypatch.setattr(entry, "__file__", str(tmp_path / "__spark_entry__.py"))
-    salt, seen = entry._sampled_before()
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"q_crashed": {"err": "boom"}, "q_ok": {"err": None}})
+    )
+    salt, seen, errored = entry._sampled_before()
     assert seen == {"q_ok"}, "malformed artifacts leaked into the seen-set"
-    assert salt == 1, "salt must count only shape-valid artifacts"
+    assert errored == {"q_crashed"}, "errored-only names must form the retry tier"
+    assert salt == 2, "salt must count only shape-valid artifacts"
+    # retry tier sorts FIRST (VERDICT r9 #1: the agg_approx resample)
+    order = entry._hash_order(["q_ok", "q_crashed", "q_new"])
+    assert order[0] == "q_crashed" and order[-1] == "q_ok"
 
 
 # --- SPRT kernel rounding mode (ADVICE r9) ----------------------------------
