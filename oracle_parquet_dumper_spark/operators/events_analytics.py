@@ -3319,3 +3319,150 @@ def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# --- bloom-filter semi-join reduction (returning-user screen) ---------------
+
+BLOOM_M = 1048576  # 2^20 bit positions
+BLOOM_WORDS = 63  # word width; 1 << 63 overflows DuckDB's BIGINT
+
+
+def _bloom_pos_sql(key_expr: str, lo: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), {lo}, 5)) "
+        f"AS BIGINT) % {BLOOM_M}"
+    )
+
+
+@query(
+    "events_bloom_returning_users",
+    oracle=f"""
+    WITH cutoff AS (SELECT CAST(MAX(ts) AS DATE) AS d FROM events),
+    hist AS (SELECT DISTINCT user_id FROM events, cutoff WHERE CAST(ts AS DATE) < d),
+    hpos AS (
+      SELECT {_bloom_pos_sql('user_id', 1)} AS p1,
+             {_bloom_pos_sql('user_id', 6)} AS p2
+      FROM hist
+    ),
+    words AS (
+      SELECT w, bit_or(b) AS word FROM (
+        SELECT p1 // {BLOOM_WORDS} AS w,
+               CAST(1 AS BIGINT) << CAST(p1 % {BLOOM_WORDS} AS INT) AS b FROM hpos
+        UNION ALL
+        SELECT p2 // {BLOOM_WORDS}, CAST(1 AS BIGINT) << CAST(p2 % {BLOOM_WORDS} AS INT)
+        FROM hpos
+      ) GROUP BY w
+    ),
+    probe AS (
+      SELECT user_id FROM (
+        SELECT DISTINCT user_id FROM events, cutoff WHERE CAST(ts AS DATE) = d
+      )
+      UNION ALL
+      SELECT user_id + 10000000 FROM (
+        SELECT DISTINCT user_id FROM events, cutoff WHERE CAST(ts AS DATE) = d
+      )
+    ),
+    ppos AS (
+      SELECT user_id, {_bloom_pos_sql('user_id', 1)} AS p1,
+             {_bloom_pos_sql('user_id', 6)} AS p2
+      FROM probe
+    )
+    SELECT p.user_id,
+           COALESCE((w1.word >> CAST(p.p1 % {BLOOM_WORDS} AS INT)) & 1, 0) = 1 AND
+           COALESCE((w2.word >> CAST(p.p2 % {BLOOM_WORDS} AS INT)) & 1, 0) = 1
+             AS bloom_hit,
+           (h.user_id IS NOT NULL) AS is_returning
+    FROM ppos p
+    LEFT JOIN words w1 ON w1.w = p.p1 // {BLOOM_WORDS}
+    LEFT JOIN words w2 ON w2.w = p.p2 // {BLOOM_WORDS}
+    LEFT JOIN hist h ON h.user_id = p.user_id
+    """,
+    tags=("events", "sketch", "join"),
+)
+def events_bloom_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN REDUCTION, evaluated: a 2^20-bit Bloom
+    filter (two md5-derived hash positions per key, 63-bit words via
+    BIT_OR — the agg_bitmap_distinct word convention) is built over
+    every user active BEFORE the last day, then the last day's users
+    (plus key-shifted synthetic novels, so the negative path is
+    exercised) probe it.  Output is the evaluation ledger: per probe
+    key, the bloom verdict AND the exact truth — the no-false-negative
+    invariant (bloom_hit >= is_returning) is the planted test.
+
+    Why this is THE 100 TB trick: the words relation is <= m/63 =
+    16,645 rows REGARDLESS of history size — it broadcasts forever,
+    so a petabyte of history reduces a new batch by one map-side probe
+    with zero history shuffle; only bloom-positive keys proceed to the
+    exact (expensive) join.  This query keeps the exact join on ALL
+    probes because it is measuring the filter (FP accounting), exactly
+    as sim_recall_eval keeps brute force to measure the ANN index.
+
+    Mechanics note: probe bits use (word >> pos) & 1 rather than a
+    shifted-constant AND, so the 63-bit convention never builds
+    1 << 63 on either engine."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max(F.to_date("ts")).alias("d"))
+    with_day = ev.select("user_id", F.to_date("ts").alias("day")).crossJoin(
+        F.broadcast(cutoff)
+    )
+    # hist/today are tiny (O(distinct users)) but feed 2-3 branches
+    # each; lazy localCheckpoints truncate the lineage so the events
+    # scan + cutoff fold run ONCE, not once per branch (the
+    # banded_buckets convention, functions/lsh.py)
+    hist = (
+        with_day.where(F.col("day") < F.col("d"))
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def pos(lo: int):
+        return F.expr(
+            f"CAST(conv(substring(md5(CAST(user_id AS STRING)), {lo}, 5), 16, 10) "
+            f"AS BIGINT) % {BLOOM_M}"
+        )
+
+    hpos = hist.select(pos(1).alias("p1"), pos(6).alias("p2"))
+    words = (
+        hpos.select(
+            (F.col("p1") / BLOOM_WORDS).cast("long").alias("w"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p1 % {BLOOM_WORDS} AS INT))").alias("b"),
+        )
+        .unionAll(
+            hpos.select(
+                (F.col("p2") / BLOOM_WORDS).cast("long").alias("w"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(p2 % {BLOOM_WORDS} AS INT))"
+                ).alias("b"),
+            )
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+    )
+    today = (
+        with_day.where(F.col("day") == F.col("d"))
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    probe = today.unionAll(today.select((F.col("user_id") + 10000000).alias("user_id")))
+    ppos = probe.select("user_id", pos(1).alias("p1"), pos(6).alias("p2"))
+    w1 = words.select(F.col("w").alias("w1"), F.col("word").alias("word1"))
+    w2 = words.select(F.col("w").alias("w2"), F.col("word").alias("word2"))
+    hit1 = F.coalesce(
+        F.expr(f"(word1 >> CAST(p1 % {BLOOM_WORDS} AS INT)) & 1"), F.lit(0)
+    ) == 1
+    hit2 = F.coalesce(
+        F.expr(f"(word2 >> CAST(p2 % {BLOOM_WORDS} AS INT)) & 1"), F.lit(0)
+    ) == 1
+    h = hist.select(F.col("user_id").alias("h_uid"))
+    return (
+        ppos.join(F.broadcast(w1), (ppos.p1 / BLOOM_WORDS).cast("long") == F.col("w1"), "left")
+        .join(F.broadcast(w2), (ppos.p2 / BLOOM_WORDS).cast("long") == F.col("w2"), "left")
+        .join(h, ppos.user_id == F.col("h_uid"), "left")
+        .select(
+            "user_id",
+            (hit1 & hit2).alias("bloom_hit"),
+            F.col("h_uid").isNotNull().alias("is_returning"),
+        )
+    )

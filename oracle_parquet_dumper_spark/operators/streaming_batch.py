@@ -241,3 +241,60 @@ def stream_drift_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return drift_mean_shift(ev.drop("props"), drift_reference(ev))
+
+
+@query(
+    "stream_cumulative_distinct",
+    oracle="""
+    WITH fd AS (
+      SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY 1, 2
+    ),
+    newc AS (SELECT event_type, d0, COUNT(*) AS n_new FROM fd GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events)
+    SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS day,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+             PARTITION BY g.event_type ORDER BY g.d) AS BIGINT) AS cum_users
+    FROM grid g LEFT JOIN newc n ON n.event_type = g.event_type AND n.d0 = g.d
+    """,
+    tags=("streaming", "agg", "sketch"),
+)
+def stream_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the running count of DISTINCT users ever seen,
+    one row per active day — the audience-growth monitor.  Batch form:
+    each user contributes on their FIRST day only (groupBy min-date =
+    one exact pass, state O(users)), then a cumulative window over the
+    <=(types x days) day grid; no day-over-day re-distinct.
+
+    The STREAMING twin (streaming/stateful.py:cumulative_distinct_
+    monitor) holds the agg_bitmap_distinct 63-bit-word bitmap as
+    per-type state — users/63 longs, exact, mergeable — and its emitted
+    rows are BIT-IDENTICAL to this query (pinned in
+    tests/test_streaming.py::test_stream_cumulative_distinct_equals_
+    batch); an HLL-state monitor could not be bit-checked like this."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    fd = (
+        ev.select("event_type", "user_id", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("d0"))
+    )
+    newc = fd.groupBy("event_type", "d0").agg(F.count(F.lit(1)).alias("n_new"))
+    grid = ev.select("event_type", F.to_date("ts").alias("d")).distinct()
+    return (
+        grid.join(
+            newc,
+            (grid.event_type == newc.event_type) & (grid.d == newc.d0),
+            "left",
+        )
+        .select(grid.event_type, grid.d, F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.sum("n_new")
+            .over(W.partitionBy("event_type").orderBy("d"))
+            .cast("long")
+            .alias("cum_users"),
+        )
+    )

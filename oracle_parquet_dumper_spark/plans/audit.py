@@ -297,6 +297,9 @@ QUERY_BOUNDED_DOMAIN_COLS: dict[str, dict[str, str]] = {
         "priority": "5 (o_orderpriority alias)",
     },
     "agg_cms_frequency": {"b": "CMS width bucket, <= 64 fixed"},
+    "events_bloom_returning_users": {
+        "w": "bloom word index, <= 2^20/63 = 16645 fixed",
+    },
     "pipeline_global_shuffle": {"b": "shuffle bucket, SHUF_BUCKETS fixed"},
     "events_dau_wau": {"day": "observed calendar days in the window"},
     "sample_stratified_neyman": {"flag": "3 (l_returnflag alias)"},

@@ -411,3 +411,71 @@ def sprt_monitor(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming cumulative-distinct monitor (bitmap state) -------------------
+
+CUMD_STATE = T.StructType(
+    [
+        T.StructField("idxs", T.ArrayType(T.LongType())),
+        T.StructField("words", T.ArrayType(T.LongType())),
+    ]
+)
+CUMD_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("cum_users", T.LongType()),
+    ]
+)
+
+
+def cumd_kernel(key, pdfs, state):
+    """Fold each event type's (day, user_id) rows into a 63-bit-word
+    bitmap of users ever seen, emitting one row per day with the EXACT
+    cumulative distinct user count — the streaming twin of
+    agg_bitmap_distinct's mergeable-bitmap technique: state is
+    <= keyspace/63 words regardless of event volume, and popcount over
+    the words is the count (no approximation, unlike an HLL monitor).
+    63-bit words match the batch/oracle convention (1 << 63 overflows
+    DuckDB's BIGINT)."""
+    words: dict[int, int] = (
+        dict(zip(state.get[0], state.get[1])) if state.exists else {}
+    )
+    days: dict[str, list] = {}
+    for pdf in pdfs:
+        for d, u in zip(pdf["day"], pdf["user_id"]):
+            days.setdefault(d, []).append(int(u))
+    out = {c.name: [] for c in CUMD_OUT.fields}
+    for d in sorted(days):  # in-order fold within the batch
+        for u in days[d]:
+            words[u // 63] = words.get(u // 63, 0) | (1 << (u % 63))
+        out["event_type"].append(key[0])
+        out["day"].append(d)
+        out["cum_users"].append(sum(bin(w).count("1") for w in words.values()))
+    idxs = sorted(words)
+    state.update((idxs, [words[i] for i in idxs]))
+    yield pd.DataFrame(out)
+
+
+def cumulative_distinct_monitor(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per event type, the running number of DISTINCT users ever seen,
+    one row per day — the audience-growth monitor as a stateful stream
+    whose state is a bitmap, not a user set (state size = users/63
+    longs; a set-valued state would be data-sized and an approximate
+    HLL would not be bit-checkable against the batch twin)."""
+    from pyspark.sql import functions as F
+
+    rows = events.withWatermark("ts", watermark).select(
+        F.col("event_type"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("user_id"),
+        F.col("ts"),
+    )
+    return rows.groupBy("event_type").applyInPandasWithState(
+        cumd_kernel,
+        outputStructType=CUMD_OUT,
+        stateStructType=CUMD_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -409,3 +409,30 @@ def test_point_in_time_join_planted(spark, tmp_path):
         (204, 102, 20.0),
         (205, 102, 20.0),
     ]
+
+
+def test_bloom_returning_users_invariants(spark, sf_dir):
+    """Bloom contract: NO false negatives (every truly returning user
+    is a bloom hit); the synthetic novel keys (user_id + 10M) are never
+    returning; probe count = 2 x last-day actives."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_bloom_returning_users,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    rows = events_bloom_returning_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.is_returning:
+            assert r.bloom_hit, f"false negative for user {r.user_id}"
+    novels = [r for r in rows if r.user_id >= 10_000_000]
+    assert novels and all(not r.is_returning for r in novels)
+
+    ev = load_table(spark, sf_dir, "events")
+    last = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    actives = (
+        ev.where(F.to_date("ts") == F.lit(last)).select("user_id").distinct().count()
+    )
+    assert len(rows) == 2 * actives

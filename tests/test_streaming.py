@@ -428,3 +428,53 @@ def test_stream_sprt_equals_batch(spark, smoke_sf_dir):
         tuple(r) for r in events_sprt_sequential(spark, smoke_sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_cumulative_distinct_equals_batch(spark, smoke_sf_dir):
+    """The stateful bitmap monitor must emit BIT-IDENTICAL
+    (event_type, day, cum_users) rows to the batch twin
+    stream_cumulative_distinct — exact distinct counts from 63-bit-word
+    popcounts, no approximation (the smoke fixture streams as one file
+    = one in-order batch)."""
+    from oracle_parquet_dumper_spark.operators.streaming_batch import (
+        stream_cumulative_distinct,
+    )
+    from oracle_parquet_dumper_spark.streaming import stateful
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = stateful.cumulative_distinct_monitor(events)
+    ops.run_to_memory(stream, "t_cumd", output_mode="update")
+    got = sorted(tuple(r) for r in spark.table("t_cumd").collect())
+    want = sorted(
+        tuple(r) for r in stream_cumulative_distinct(spark, smoke_sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cumd_kernel_state_is_bitmap_words(spark, smoke_sf_dir):
+    """The monitor's state contract: words/63 longs, batch-boundary
+    safe — feeding the same day across TWO batches must not double
+    count (set-bit idempotence)."""
+    import pandas as pd
+
+    from oracle_parquet_dumper_spark.streaming.stateful import cumd_kernel
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, t):
+            self.exists, self.get = True, t
+
+    st = FakeState()
+    b1 = pd.DataFrame({"day": ["d1", "d1"], "user_id": [1, 64]})
+    (out1,) = list(cumd_kernel(("view",), [b1], st))
+    assert list(out1.cum_users) == [2]
+    # user 1 again + one new user, same day, NEXT batch
+    b2 = pd.DataFrame({"day": ["d1"] * 2, "user_id": [1, 2]})
+    (out2,) = list(cumd_kernel(("view",), [b2], st))
+    assert list(out2.cum_users) == [3], "re-seen user double-counted"
+    idxs, words = st.get
+    assert list(idxs) == [0, 1]  # users 1,2 -> word 0; user 64 -> word 1
+    assert words[0] == (1 << 1) | (1 << 2) and words[1] == 1 << (64 % 63)
