@@ -1764,28 +1764,56 @@ def text_char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding), then H = SUM(c*t) div n is pure integer arithmetic; the
     2.5-nat flag threshold is applied to the integer.
 
-    Scale shape: one explode pass -> per-(doc, gram) counts fold
-    map-side; every subsequent relation is keyed by doc_id (the window
-    over counts rides one doc_id exchange); output is one row per doc,
-    never gram-sized."""
-    d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
-        ).alias("g"),
+    Scale shape: entropy is a PER-ROW property, so the whole
+    computation stays row-local — sort the gram array, mark run
+    starts, run-lengths are the counts, fold the entropy sum — one
+    narrow projection with ZERO shuffles (the explode -> groupBy(doc,
+    gram) form this replaced moved a gram-sized relation, ~200 rows
+    per doc, through an exchange and measured 9.9x/decade at sf1;
+    this form is O(L log L) per row inside codegen and the oracle,
+    which states counts declaratively, is unchanged).  The
+    single-element ``transform(array(x), x -> body)`` wrapper is
+    Spark's let-binding idiom — each intermediate (sorted grams, run
+    starts, run lengths) is computed once, not re-derived per
+    reference.
+
+    The one exchange below is deliberate: the fixture's documents
+    table is a single small parquet file = ONE input split, and an
+    expression this compute-dense (O(L log L) per row) on one task
+    wastes every other core — measured 36 s single-task at sf1 vs
+    ~2 s fanned out.  Repartitioning the NARROW (doc_id, text)
+    projection costs one pass over the text bytes and buys full-width
+    codegen; on a real multi-file corpus the scan already splits and
+    Catalyst can drop the exchange."""
+    # explicit width: AQE coalesces by BYTES, and this relation is
+    # byte-small but compute-dense — a bytes-advisory single partition
+    # re-serializes the work (measured: AQE folded the plain
+    # repartition back to 1 task at sf0.1)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    counts = counts.withColumn("n", F.sum("c").over(W.partitionBy("doc_id")))
-    t = F.round(F.log(F.col("n").cast("double") / F.col("c")) * 1000000).cast("long")
-    h = F.expr("CAST(SUM(c * t) AS BIGINT) div MAX(n)")
+    row_local = """
+    element_at(transform(
+      array(array_sort(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)))),
+      S -> element_at(transform(
+        array(filter(sequence(0, size(S) - 1), i -> i = 0 OR element_at(S, i + 1) != element_at(S, i))),
+        P -> element_at(transform(
+          array(zip_with(P, concat(slice(P, 2, size(P) - 1), array(size(S))), (a, b) -> b - a)),
+          C -> struct(
+            CAST(size(S) AS BIGINT) AS n_bigrams,
+            CAST(size(C) AS BIGINT) AS n_distinct,
+            CAST(aggregate(C, CAST(0 AS BIGINT),
+              (acc, c) -> acc + c * CAST(round(ln(CAST(size(S) AS DOUBLE) / c) * 1000000) AS BIGINT)
+            ) AS BIGINT) div CAST(size(S) AS BIGINT) AS entropy_micro_nats
+          )
+        ), 1)
+      ), 1)
+    ), 1)
+    """
     return (
-        counts.withColumn("t", t)
-        .groupBy("doc_id")
-        .agg(
-            F.max("n").cast("long").alias("n_bigrams"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            h.alias("entropy_micro_nats"),
-        )
+        d.select("doc_id", F.expr(row_local).alias("r"))
+        .select("doc_id", "r.*")
         .withColumn("flag_low_entropy", F.col("entropy_micro_nats") < 2500000)
     )
