@@ -3466,3 +3466,58 @@ def events_bloom_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h_uid").isNotNull().alias("is_returning"),
         )
     )
+
+
+# --- burst detection (rate-ratio screen) ------------------------------------
+
+BURST_RATIO = 2  # flag hours running at >= 2x the type's mean hourly rate
+
+
+@query(
+    "events_burst_hours",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM h GROUP BY 1
+    )
+    SELECT h.event_type, hr AS hour, n, total, n_hours
+    FROM h JOIN t USING (event_type)
+    WHERE n * n_hours >= {BURST_RATIO} * total
+    """,
+    tags=("events", "agg", "window"),
+)
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection, rate-ratio form: flag the hours in which an
+    event type ran at >= {BURST_RATIO}x its own mean hourly rate — the
+    first-line traffic-anomaly screen (spike alerting, bot-wave
+    triage) and the cheap stand-in for Kleinberg's state machine when
+    all you need is WHICH hours burst.
+
+    The test is pure integer cross-multiplication
+    (n * n_hours >= {BURST_RATIO} * total): no rate division, no float
+    threshold, so both engines agree exactly — the
+    ts_anomaly_rolling_zscore convention applied to rates.
+
+    Scale shape: events fold map-side to one row per (type, hour)
+    (bounded by the time span, not the event count); the per-type
+    totals relation is <= #types rows and broadcasts; flagged hours
+    are a filter over the already-bounded hour relation."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    return h.join(F.broadcast(t), "event_type").where(
+        F.col("n") * F.col("n_hours") >= BURST_RATIO * F.col("total")
+    ).select("event_type", "hour", "n", "total", "n_hours")

@@ -988,3 +988,69 @@ def pipeline_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         F.when(F.col("rn") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
     )
+
+
+# --- differentially-private release counts (seeded Laplace) -----------------
+
+DP_SCALE_MICRO = 1_000_000  # Laplace b = 1/eps with eps = 1, in micro-units
+
+
+@query(
+    "pipeline_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT lang, source, n,
+             CAST(('0x' || substring(md5(lang || '|' || source), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u01
+      FROM c
+    )
+    SELECT lang, source,
+           n * {DP_SCALE_MICRO} +
+           (CASE WHEN u01 < 0.5 THEN 1 ELSE -1 END) *
+           CAST(round(ln(1.0 - 2.0 * abs(u01 - 0.5)) * {DP_SCALE_MICRO}) AS BIGINT)
+             AS noisy_count_micro,
+           n AS true_n
+    FROM u
+    """,
+    tags=("pipeline", "agg", "privacy"),
+)
+def pipeline_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts: per (lang, source) cell,
+    the document count plus Laplace(1/eps) noise (eps = 1) — the
+    mechanism behind every DP dataset card / telemetry release, as an
+    engine query.  ``true_n`` is kept alongside because this is the
+    UTILITY EVALUATION of the mechanism (absolute error vs cell size),
+    the same ledger convention as events_bloom_returning_users; a
+    production release would drop it.
+
+    Determinism (seeded noise): the uniform draw is the cell key's
+    md5 prefix (15 hex digits / 2^60 — exact in a double), and the
+    inverse-CDF transform integerizes via the single-ln micro-nat
+    convention; output stays in exact micro-units so no second
+    rounding exists to diverge (noisy = n*1e6 + sign * round(ln(z)*1e6)).
+    Seeded-hash noise is how DP releases are made REPRODUCIBLE across
+    pipeline re-runs; swap the key for a secret salt in production.
+
+    Scale shape: one map-side fold to <= |lang x source| rows; the
+    noise transform is a per-row projection on that bounded relation."""
+    c = load_table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u01 = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "lang", "source").cast("binary")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    sign = F.when(u01 < 0.5, F.lit(1)).otherwise(F.lit(-1))
+    lap_micro = F.round(
+        F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u01 - F.lit(0.5))) * DP_SCALE_MICRO
+    ).cast("long")
+    return c.select(
+        "lang",
+        "source",
+        (F.col("n") * DP_SCALE_MICRO + sign * lap_micro).alias("noisy_count_micro"),
+        F.col("n").alias("true_n"),
+    )

@@ -1389,3 +1389,90 @@ def window_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("alloc_cents"),
     )
+
+
+# --- clamped running sum (inventory / budget balance with floor+cap) --------
+
+CLAMP_LO = 0
+CLAMP_HI = 100_000  # cents
+
+
+@query(
+    "window_clamped_running_sum",
+    oracle=f"""
+    WITH RECURSIVE rows_ AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    bal AS (
+      SELECT user_id, event_id, rn,
+             GREATEST(CAST({CLAMP_LO} AS BIGINT),
+                      LEAST(CAST({CLAMP_HI} AS BIGINT), delta)) AS balance
+      FROM rows_ WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_id, r.rn,
+             GREATEST(CAST({CLAMP_LO} AS BIGINT),
+                      LEAST(CAST({CLAMP_HI} AS BIGINT), b.balance + r.delta))
+      FROM rows_ r JOIN bal b ON r.user_id = b.user_id AND r.rn = b.rn + 1
+    )
+    SELECT user_id, event_id, balance AS balance_cents FROM bal
+    """,
+    tags=("window", "pandas_udf", "events"),
+)
+def window_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLAMPED running sum — per user, a running balance that saturates
+    at a floor and a cap (inventory on-hand, prepaid budget burn-down,
+    token-bucket rate limits): b_i = clamp(b_{i-1} + delta_i, LO, HI).
+
+    This is the canonical operator plain window functions CANNOT
+    express: the clamp makes the recurrence NON-ASSOCIATIVE (once a
+    prefix saturates, later rows depend on where it clipped, so no
+    prefix-sum decomposition exists — contrast window_running_sum).
+    It lands on rung (b) of the engine's custom-operator ladder
+    (SURVEY.md §7): a grouped ``applyInPandas`` fold, ordered within
+    each key.  The DuckDB twin states the same recurrence as a
+    RECURSIVE CTE stepping rn -> rn+1 — declarative, engine-checked,
+    and the reason this op is oracle-checkable at all.
+
+    Determinism: deltas are integerized to cents IN SPARK SQL
+    (F.round = HALF_UP, matching DuckDB round) BEFORE the kernel, so
+    the Python fold is pure integer arithmetic with no rounding mode
+    of its own; order is pinned by (ts, event_id).
+
+    Scale shape: one hash exchange on user_id, then each group folds
+    independently inside an Arrow batch — state is one long per key,
+    rows stream through; cost O(events/user) per task, the same
+    shape as every stateful-kernel twin in streaming/stateful.py."""
+    sign = F.when(F.col("event_type").isin("purchase", "signup"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (sign * F.round(F.col("value") * 100).cast("long")).alias("delta"),
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, out = 0, []
+        for d in pdf["delta"]:
+            bal = max(CLAMP_LO, min(CLAMP_HI, bal + int(d)))
+            out.append(bal)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "balance_cents": out,
+            }
+        )
+
+    return rows.groupBy("user_id").applyInPandas(
+        fold, "user_id long, event_id long, balance_cents long"
+    )

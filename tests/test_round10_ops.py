@@ -436,3 +436,86 @@ def test_bloom_returning_users_invariants(spark, sf_dir):
         ev.where(F.to_date("ts") == F.lit(last)).select("user_id").distinct().count()
     )
     assert len(rows) == 2 * actives
+
+
+def test_clamped_running_sum_planted(spark, tmp_path):
+    """Clamp engagement pinned: +50000, then +70000 clips at the
+    100000 cap, then -120000 clips at the 0 floor, then +350; a final
+    0.005-value view pins the HALF_UP cents rounding (0.5 -> 1)."""
+    from datetime import datetime as DT
+
+    rows = [
+        (1, DT(2024, 1, 1, 0), 7, "purchase", 500.0, "{}"),
+        (2, DT(2024, 1, 1, 1), 7, "purchase", 700.0, "{}"),
+        (3, DT(2024, 1, 1, 2), 7, "view", 1200.0, "{}"),
+        (4, DT(2024, 1, 1, 3), 7, "purchase", 3.5, "{}"),
+        (5, DT(2024, 1, 1, 4), 7, "view", 0.005, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.windows import (
+        window_clamped_running_sum,
+    )
+
+    got = {
+        r.event_id: r.balance_cents
+        for r in window_clamped_running_sum(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 50000, 2: 100000, 3: 0, 4: 350, 5: 349}
+
+
+def test_burst_hours_planted(spark, tmp_path):
+    """10 quiet hours of 1 event + 1 hour of 30: only the spike hour
+    satisfies n * n_hours >= 2 * total (330 >= 80; quiet hours 11 < 80)."""
+    from datetime import datetime as DT
+
+    rows = [(h, DT(2024, 1, 1, h), 1, "view", 1.0, "{}") for h in range(10)]
+    rows += [
+        (100 + i, DT(2024, 1, 1, 12, i % 60), 1, "view", 1.0, "{}")
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_burst_hours,
+    )
+
+    got = [tuple(r) for r in events_burst_hours(spark, str(tmp_path)).collect()]
+    assert len(got) == 1
+    et, hour, n, total, n_hours = got[0]
+    assert (et, n, total, n_hours) == ("view", 30, 40, 11)
+    assert hour.hour == 12
+
+
+def test_dp_noisy_counts_reproduces_seeded_laplace(spark, sf_dir):
+    """The noise must be exactly the seeded inverse-CDF value: recompute
+    one cell's Laplace term from md5 in Python and match; true_n must
+    fold back to the corpus size (the utility-ledger contract)."""
+    import hashlib
+    import math
+
+    from oracle_parquet_dumper_spark.operators.pipeline_prep import (
+        pipeline_dp_noisy_counts,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    rows = pipeline_dp_noisy_counts(spark, sf_dir).collect()
+    assert rows
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.true_n for r in rows) == total
+
+    r = min(rows, key=lambda r: (r.lang, r.source))
+    u01 = int(hashlib.md5(f"{r.lang}|{r.source}".encode()).hexdigest()[:15], 16) / 2**60
+    sign = 1 if u01 < 0.5 else -1
+    lap = round(math.log(1.0 - 2.0 * abs(u01 - 0.5)) * 1_000_000)
+    # Python round() is banker's; pin vs the engines' HALF_UP only when
+    # not on a tie (ties are measure-zero for md5-derived u01)
+    assert r.noisy_count_micro == r.true_n * 1_000_000 + sign * lap
