@@ -3521,3 +3521,108 @@ def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(F.broadcast(t), "event_type").where(
         F.col("n") * F.col("n_hours") >= BURST_RATIO * F.col("total")
     ).select("event_type", "hour", "n", "total", "n_hours")
+
+
+# --- seasonal decomposition (trend / weekday seasonal / residual) -----------
+
+DECOMP_HALF_WIN = 3  # centered 7-day trend window
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, d, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS wsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS wn
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {DECOMP_HALF_WIN} PRECEDING AND {DECOMP_HALF_WIN} FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, d, n, (1000 * wsum) // wn AS trend_milli,
+             1000 * n - (1000 * wsum) // wn AS detr_milli,
+             dayofweek(d) AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT event_type, dow, median(detr_milli) AS seasonal_milli
+      FROM det GROUP BY 1, 2
+    )
+    SELECT det.event_type, strftime(det.d, '%Y-%m-%d') AS day, n, trend_milli,
+           seasonal_milli, detr_milli - seasonal_milli AS residual_milli
+    FROM det JOIN seas ON det.event_type = seas.event_type AND det.dow = seas.dow
+    """,
+    tags=("events", "window", "agg", "timeseries"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the per-type daily event
+    series: trend = centered 7-day moving average, seasonal = per-
+    weekday MEDIAN of the detrended series (median, not mean, so one
+    outlier day cannot smear into the weekly profile — the robust
+    choice STL makes), residual = remainder.  The screen that turns
+    'traffic looks weird' into WHICH component moved.
+
+    Determinism: trend is integer milli-units via (1000*sum) div n;
+    the weekday median comes from global_index.weighted_quantiles over
+    the (type, dow, detr_milli)-count relation — Spark percentile()
+    cont semantics == DuckDB quantile_cont(0.5) == median, exact on
+    integer inputs (middle-pair average, representable at .5 in a
+    double), so seasonal/residual are bit-portable doubles while the
+    per-task state is a bucket of DISTINCT values, never raw rows
+    (the audit's exact-percentile rule).  Weekday keys differ in
+    convention between engines (Sun=1 vs Sun=0) but are
+    grouping-internal — only the partition STRUCTURE matters, and it
+    is identical.
+
+    Scale shape: events fold map-side to the (type, day) grid, and
+    every window/median/join after that runs on grid-sized relations
+    (<= types x days rows) — cost is bounded by the calendar, not the
+    event volume."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-DECOMP_HALF_WIN, DECOMP_HALF_WIN)
+    )
+    det = s.select(
+        "event_type",
+        "d",
+        "n",
+        F.expr(
+            f"CAST(1000 * sum(n) OVER (PARTITION BY event_type ORDER BY d "
+            f"ROWS BETWEEN {DECOMP_HALF_WIN} PRECEDING AND {DECOMP_HALF_WIN} FOLLOWING) AS BIGINT) div "
+            f"count(*) OVER (PARTITION BY event_type ORDER BY d "
+            f"ROWS BETWEEN {DECOMP_HALF_WIN} PRECEDING AND {DECOMP_HALF_WIN} FOLLOWING)"
+        ).alias("trend_milli"),
+        F.dayofweek("d").alias("dow"),
+    ).withColumn("detr_milli", 1000 * F.col("n") - F.col("trend_milli"))
+    from oracle_parquet_dumper_spark.operators.global_index import weighted_quantiles
+
+    vc = det.groupBy("event_type", "dow", "detr_milli").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    seas = weighted_quantiles(
+        vc,
+        "detr_milli",
+        "cnt",
+        group_cols=["event_type", "dow"],
+        cont={"seasonal_milli": 0.5},
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        "trend_milli",
+        "seasonal_milli",
+        (F.col("detr_milli") - F.col("seasonal_milli")).alias("residual_milli"),
+    )

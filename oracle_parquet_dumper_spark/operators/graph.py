@@ -820,3 +820,78 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= COPURCHASE_MIN_SUPPORT)
     )
+
+
+# --- BFS reachability (bounded-depth frontier expansion) --------------------
+
+BFS_DEPTH = 3
+
+
+def _bfs_oracle() -> str:
+    chain = []
+    prev_vis, prev_frontier = "v0", "f0"
+    for d in range(1, BFS_DEPTH + 1):
+        chain.append(
+            f"f{d} AS (SELECT DISTINCT e.dst AS node FROM edges e "
+            f"JOIN {prev_frontier} f ON e.src = f.node "
+            f"WHERE e.dst NOT IN (SELECT node FROM {prev_vis})), "
+            f"v{d} AS (SELECT node FROM {prev_vis} UNION ALL SELECT node FROM f{d})"
+        )
+        prev_vis, prev_frontier = f"v{d}", f"f{d}"
+    depth_union = " UNION ALL ".join(
+        f"SELECT node, {d} AS depth FROM f{d}" for d in range(1, BFS_DEPTH + 1)
+    )
+    return f"""
+    WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
+    ),
+    seed AS (SELECT MIN(src) AS node FROM edges),
+    f0 AS (SELECT node FROM seed),
+    v0 AS (SELECT node FROM seed),
+    {', '.join(chain)}
+    SELECT node, CAST(0 AS BIGINT) AS depth FROM f0
+    UNION ALL
+    SELECT node, CAST(depth AS BIGINT) FROM ({depth_union})
+    """
+
+
+@query(
+    "graph_bfs_reachability",
+    oracle=_bfs_oracle(),
+    tags=("graph", "iterative", "join"),
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from the smallest supplier over the order
+    co-occurrence graph: (node, depth of FIRST reach) for depth <=
+    {BFS_DEPTH} — single-source reachability, the primitive behind
+    blast-radius, fraud-ring expansion, and n-hop ego-network
+    extraction.  Completes the iterative-graph family (pagerank,
+    label-prop, k-core peel) with the frontier-expansion pattern.
+
+    Synchronous-frontier unroll, {BFS_DEPTH} rounds: each round joins
+    the (small) frontier against the edge list and anti-joins the
+    visited set, so the data-sized relation (edges) is only ever the
+    probe side of a frontier join — at 100 TB the edge list is the
+    bucketed round-invariant state (pagerank_edge_state's layout) and
+    the frontier/visited relations are node-sized.  The unroll keeps
+    the DuckDB twin reviewable, exactly like the pagerank CTE chain;
+    depths are exact integers (no convergence tolerance), so the
+    oracle hash-matches with no float convention."""
+    edges = supplier_edges(spark, sf_dir)
+    seed = edges.agg(F.min("src").alias("node"))
+    frontier = seed.localCheckpoint(eager=False)
+    visited = frontier
+    out = frontier.select("node", F.lit(0).cast("long").alias("depth"))
+    for d in range(1, BFS_DEPTH + 1):
+        frontier = (
+            edges.join(F.broadcast(frontier.select(F.col("node").alias("src"))), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=False)
+        out = out.unionAll(frontier.select("node", F.lit(d).cast("long").alias("depth")))
+    return out

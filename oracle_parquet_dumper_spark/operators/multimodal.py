@@ -701,3 +701,88 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(scene_cut_kernel, SCENE_CUT_SCHEMA)
+
+
+# --- tile-contrast screen (image uniformity proxy) --------------------------
+
+TILE_BYTES = 16
+
+TILE_CONTRAST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tiles", T.LongType()),
+        T.StructField("tile_sum_total", T.LongType()),
+        T.StructField("contrast_milli", T.LongType()),
+    ]
+)
+
+
+def tile_contrast_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB image-tile analyzer: payload bytes in {TILE_BYTES}-byte
+    tiles, per-tile 'brightness' = byte sum, doc-level contrast =
+    integer population variance of tile sums in milli-units — all
+    exact BIGINT arithmetic so the SQL twin replays it bit-for-bit.
+    A real codec slots in at the byte-decode step (multimodal.py
+    module note); the Spark-side plumbing is what's under test."""
+    for pdf in batches:
+        rows = {"doc_id": [], "n_tiles": [], "tile_sum_total": [], "contrast_milli": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if not b:
+                continue
+            sums = [
+                sum(b[i : i + TILE_BYTES])
+                for i in range(0, len(b), TILE_BYTES)
+            ]
+            n = len(sums)
+            s = sum(sums)
+            ss = sum(x * x for x in sums)
+            rows["doc_id"].append(doc_id)
+            rows["n_tiles"].append(n)
+            rows["tile_sum_total"].append(s)
+            rows["contrast_milli"].append((1000 * (n * ss - s * s)) // (n * n))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "mm_tile_contrast",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) > 0 AND length(text) = strlen(text)
+    ),
+    chars AS (
+      SELECT doc_id, (i - 1) // {TILE_BYTES} AS tile, ascii(substring(text, i, 1)) AS b
+      FROM d, unnest(generate_series(1, length(text))) AS t(i)
+    ),
+    tiles AS (SELECT doc_id, tile, CAST(SUM(b) AS BIGINT) AS s FROM chars GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS ssum,
+             CAST(SUM(s * s) AS BIGINT) AS ss
+      FROM tiles GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tiles, ssum AS tile_sum_total,
+           (1000 * (n * ss - ssum * ssum)) // (n * n) AS contrast_milli
+    FROM agg
+    """,
+    tags=("multimodal", "pandas_udf", "agg"),
+)
+def mm_tile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image TILE-CONTRAST screen via mapInPandas: decode the payload
+    (stubbed: utf-8 bytes), split into {TILE_BYTES}-byte tiles, score
+    each doc by the integer variance of tile brightness — the
+    uniformity proxy multimodal curation uses to drop blank / solid /
+    banner-dominated images before paying for a real model pass
+    (near-zero contrast = flat payload).  ASCII-only docs keep byte ==
+    codepoint so the SQL twin can replay the byte math with ascii();
+    a real image codec replaces only the bytes-in step.
+
+    Scale shape: pure mapInPandas projection — no shuffle at all; the
+    Arrow batch is the unit of work and output is one row per doc.
+    The oracle pays an explode to char rows (oracle cost, not engine
+    cost — the engine side never materializes per-byte rows)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
+    )
+    p = with_payload(d).select("doc_id", "payload")
+    return p.mapInPandas(tile_contrast_kernel, TILE_CONTRAST_SCHEMA)

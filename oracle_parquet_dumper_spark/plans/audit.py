@@ -300,6 +300,7 @@ QUERY_BOUNDED_DOMAIN_COLS: dict[str, dict[str, str]] = {
     "events_bloom_returning_users": {
         "w": "bloom word index, <= 2^20/63 = 16645 fixed",
     },
+    "events_seasonal_decompose": {"dow": "weekday alias, 7"},
     "pipeline_global_shuffle": {"b": "shuffle bucket, SHUF_BUCKETS fixed"},
     "events_dau_wau": {"day": "observed calendar days in the window"},
     "sample_stratified_neyman": {"flag": "3 (l_returnflag alias)"},

@@ -519,3 +519,74 @@ def test_dp_noisy_counts_reproduces_seeded_laplace(spark, sf_dir):
     # Python round() is banker's; pin vs the engines' HALF_UP only when
     # not on a tie (ties are measure-zero for md5-derived u01)
     assert r.noisy_count_micro == r.true_n * 1_000_000 + sign * lap
+
+
+def test_bfs_reachability_planted(spark, tmp_path):
+    """Path graph 1-2-3-4-5 plus isolated 8-9 (each edge = one
+    two-supplier order): seed = min supplier 1, depths pinned 0..3,
+    node 5 (depth 4) and the 8-9 component unreachable within
+    BFS_DEPTH=3."""
+    orders = [(10, 1, 2), (11, 2, 3), (12, 3, 4), (13, 4, 5), (14, 8, 9)]
+    rows = []
+    for o, a, b in orders:
+        rows += [(o, a, 1), (o, b, 2)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_linenumber int"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.graph import graph_bfs_reachability
+
+    got = sorted(
+        (r.node, r.depth) for r in graph_bfs_reachability(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 0), (2, 1), (3, 2), (4, 3)]
+
+
+def test_seasonal_decompose_identity_and_grid(spark, sf_dir):
+    """Decomposition identity: 1000*n == trend + seasonal + residual
+    exactly, on every grid row; output is one row per (type, active
+    day)."""
+    from pyspark.sql import functions as F
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_seasonal_decompose,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    rows = events_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1000 * r.n == r.trend_milli + r.seasonal_milli + r.residual_milli
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == grid
+
+
+def test_tile_contrast_planted(spark, tmp_path):
+    """Hand-computed: a flat 32-'a' payload has two identical tiles ->
+    contrast 0; 16 'a' + 16 'c' -> tiles (1552, 1584), population
+    variance 256 -> 256000 milli; a 17-char doc has a short tail tile."""
+    rows = [
+        (1, "a" * 32, "en", "s", 32),
+        (2, "a" * 16 + "c" * 16, "en", "s", 32),
+        (3, "b" * 17, "en", "s", 17),
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.multimodal import mm_tile_contrast
+
+    got = {
+        r.doc_id: (r.n_tiles, r.tile_sum_total, r.contrast_milli)
+        for r in mm_tile_contrast(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 2 * 16 * 97, 0)
+    s1, s2 = 16 * 97, 16 * 99
+    n, s, ss = 2, s1 + s2, s1 * s1 + s2 * s2
+    assert got[2] == (2, s, (1000 * (n * ss - s * s)) // (n * n))
+    t1, t2 = 16 * 98, 1 * 98
+    n, s, ss = 2, t1 + t2, t1 * t1 + t2 * t2
+    assert got[3] == (2, s, (1000 * (n * ss - s * s)) // (n * n))
