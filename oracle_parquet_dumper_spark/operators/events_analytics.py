@@ -3626,3 +3626,130 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_milli",
         (F.col("detr_milli") - F.col("seasonal_milli")).alias("residual_milli"),
     )
+
+
+# --- seasonal-residual anomaly alerts ---------------------------------------
+
+ANOM_K_MILLI = 3000  # flag |residual| > 3 x residual MAD (milli-scaled)
+MAD_FLOOR_MILLI = 1000  # scale floor: a near-constant series has MAD ~ 0,
+# and any epsilon residual would alert; floor the scale at one event
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, d, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS wsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS wn
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {DECOMP_HALF_WIN} PRECEDING AND {DECOMP_HALF_WIN} FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, d, n,
+             1000 * n - (1000 * wsum) // wn AS detr_milli,
+             dayofweek(d) AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT event_type, dow, median(detr_milli) AS seasonal_milli
+      FROM det GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT det.event_type, det.d, det.n,
+             det.detr_milli - seas.seasonal_milli AS residual_milli
+      FROM det JOIN seas ON det.event_type = seas.event_type AND det.dow = seas.dow
+    ),
+    mad AS (
+      SELECT event_type, median(abs(residual_milli)) AS mad_milli
+      FROM res GROUP BY 1
+    )
+    SELECT res.event_type, strftime(res.d, '%Y-%m-%d') AS day, n,
+           residual_milli, mad_milli
+    FROM res JOIN mad ON res.event_type = mad.event_type
+    WHERE abs(residual_milli) * 1000 > {ANOM_K_MILLI} * GREATEST(mad_milli, {MAD_FLOOR_MILLI})
+    """,
+    tags=("events", "window", "agg", "timeseries"),
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly alerts: the days whose DECOMPOSITION
+    residual (events_seasonal_decompose) exceeds {ANOM_K_MILLI}/1000 x
+    the per-type residual MAD — the alert rule that does not page on
+    Mondays for being Mondays (raw z-scores alarm on weekly structure;
+    subtracting trend + weekday seasonal first leaves only genuine
+    surprises, and MAD keeps one outlier from inflating its own
+    threshold).
+
+    Both medians ride global_index.weighted_quantiles over value-count
+    relations (exact, distinct-value state); the alert test is
+    |residual| * 1000 > K * MAD in exact milli-unit arithmetic
+    (doubles at worst x.5, cross-multiplied, no division).
+
+    Scale shape: identical to events_seasonal_decompose — everything
+    after the first fold is calendar-bounded."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    det = s.select(
+        "event_type",
+        "d",
+        "n",
+        (
+            1000 * F.col("n")
+            - F.expr(
+                f"CAST(1000 * sum(n) OVER (PARTITION BY event_type ORDER BY d "
+                f"ROWS BETWEEN {DECOMP_HALF_WIN} PRECEDING AND {DECOMP_HALF_WIN} FOLLOWING) AS BIGINT) div "
+                f"count(*) OVER (PARTITION BY event_type ORDER BY d "
+                f"ROWS BETWEEN {DECOMP_HALF_WIN} PRECEDING AND {DECOMP_HALF_WIN} FOLLOWING)"
+            )
+        ).alias("detr_milli"),
+        F.dayofweek("d").alias("dow"),
+    ).localCheckpoint(eager=False)  # grid-sized; feeds seas AND res
+    from oracle_parquet_dumper_spark.operators.global_index import weighted_quantiles
+
+    seas = weighted_quantiles(
+        det.groupBy("event_type", "dow", "detr_milli").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        "detr_milli",
+        "cnt",
+        group_cols=["event_type", "dow"],
+        cont={"seasonal_milli": 0.5},
+    )
+    res = det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("detr_milli") - F.col("seasonal_milli")).alias("residual_milli"),
+    ).localCheckpoint(eager=False)  # grid-sized; feeds mad AND the alert join
+    mad = weighted_quantiles(
+        res.select("event_type", F.abs("residual_milli").alias("a"))
+        .groupBy("event_type", "a")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "a",
+        "cnt",
+        group_cols=["event_type"],
+        cont={"mad_milli": 0.5},
+    )
+    return (
+        res.join(F.broadcast(mad), "event_type")
+        .where(
+            F.abs("residual_milli") * 1000
+            > ANOM_K_MILLI * F.greatest("mad_milli", F.lit(float(MAD_FLOOR_MILLI)))
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            "residual_milli",
+            "mad_milli",
+        )
+    )

@@ -1054,3 +1054,74 @@ def pipeline_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * DP_SCALE_MICRO + sign * lap_micro).alias("noisy_count_micro"),
         F.col("n").alias("true_n"),
     )
+
+
+# --- length-bucketed batching (padding-efficiency planner) ------------------
+
+BATCH_SIZE = 32
+
+
+@query(
+    "pipeline_length_bucket_batching",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CAST(length(bin(GREATEST(n_chars, 1))) - 1 AS BIGINT) AS bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_chars) AS BIGINT) AS max_len,
+             CAST(SUM(n_chars) AS BIGINT) AS tot_len
+      FROM b GROUP BY 1
+    )
+    SELECT bucket, n_docs, max_len, tot_len,
+           (n_docs + {BATCH_SIZE - 1}) // {BATCH_SIZE} AS n_batches,
+           ((n_docs + {BATCH_SIZE - 1}) // {BATCH_SIZE}) * {BATCH_SIZE} * max_len
+             - tot_len AS padding_waste
+    FROM g
+    """,
+    tags=("pipeline", "agg"),
+)
+def pipeline_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-BUCKETED batching plan: docs grouped into power-of-two
+    length buckets, per bucket the {BATCH_SIZE}-doc batch count and
+    the PADDING WASTE (batch slots x bucket max length minus real
+    tokens) — the planner behind bucketed batching in every training /
+    serving stack, where batching arbitrary lengths together pays the
+    longest sequence's cost for every row (padding ~ the length
+    spread; bucketing by log2 length caps within-batch spread at 2x).
+
+    Determinism: the bucket is the integer bit length
+    (length(bin(n)) - 1), never floor(log2) in floats — exact at every
+    power-of-two boundary on both engines; all stats are BIGINT.
+
+    Scale shape: one map-side fold to <= 64 buckets (log2 of any
+    length fits); every output column derives from that bounded
+    relation.  The plan is the SORT-FREE alternative to globally
+    length-sorting the corpus (a full-shuffle order) — at 100 TB the
+    bucket id is a partition column and each partition batches
+    independently."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "n_chars",
+        (F.length(F.bin(F.greatest("n_chars", F.lit(1)))) - 1)
+        .cast("long")
+        .alias("bucket"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_chars").cast("long").alias("max_len"),
+        F.sum("n_chars").cast("long").alias("tot_len"),
+    )
+    n_batches = F.expr(f"CAST((n_docs + {BATCH_SIZE - 1}) div {BATCH_SIZE} AS BIGINT)")
+    return g.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "tot_len",
+        n_batches.alias("n_batches"),
+        (n_batches * BATCH_SIZE * F.col("max_len") - F.col("tot_len")).alias(
+            "padding_waste"
+        ),
+    )

@@ -301,6 +301,15 @@ QUERY_BOUNDED_DOMAIN_COLS: dict[str, dict[str, str]] = {
         "w": "bloom word index, <= 2^20/63 = 16645 fixed",
     },
     "events_seasonal_decompose": {"dow": "weekday alias, 7"},
+    "events_seasonal_anomaly": {
+        "dow": "weekday alias, 7",
+        # |residual| values exist only per (type, day) grid row — the
+        # relation is calendar-bounded upstream (one residual per
+        # active day), so its value-count groupBy is grid-sized, never
+        # event-sized
+        "a": "abs residual milli over the (type, day) grid, <= types x days",
+        "detr_milli": "detrended milli over the (type, day) grid, <= types x days",
+    },
     "pipeline_global_shuffle": {"b": "shuffle bucket, SHUF_BUCKETS fixed"},
     "events_dau_wau": {"day": "observed calendar days in the window"},
     "sample_stratified_neyman": {"flag": "3 (l_returnflag alias)"},

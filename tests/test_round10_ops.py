@@ -590,3 +590,70 @@ def test_tile_contrast_planted(spark, tmp_path):
     t1, t2 = 16 * 98, 1 * 98
     n, s, ss = 2, t1 + t2, t1 * t1 + t2 * t2
     assert got[3] == (2, s, (1000 * (n * ss - s * s)) // (n * n))
+
+
+def test_length_bucket_batching_planted(spark, tmp_path):
+    """Power-of-two boundaries pinned via integer bit length: lengths
+    {7, 8, 15, 16} split buckets 2/3/3/4 exactly (a float floor(log2)
+    can misplace 8 or 16); waste arithmetic hand-checked for bucket 3."""
+    rows = [
+        (1, "x", "en", "s", 7),
+        (2, "x", "en", "s", 8),
+        (3, "x", "en", "s", 15),
+        (4, "x", "en", "s", 16),
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    from oracle_parquet_dumper_spark.operators.pipeline_prep import (
+        pipeline_length_bucket_batching,
+    )
+
+    got = {
+        r.bucket: (r.n_docs, r.max_len, r.tot_len, r.n_batches, r.padding_waste)
+        for r in pipeline_length_bucket_batching(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {2, 3, 4}
+    assert got[2] == (1, 7, 7, 1, 1 * 32 * 7 - 7)
+    assert got[3] == (2, 15, 23, 1, 1 * 32 * 15 - 23)  # 8 and 15 share bucket 3
+    assert got[4] == (1, 16, 16, 1, 1 * 32 * 16 - 16)
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark, tmp_path):
+    """A flat 4-weeks series (10/day) with ONE 80-event day: the spike
+    day must be flagged with the LARGEST positive residual; the only
+    other permissible alerts are its +-3 trend-window neighbors
+    (the centered MA absorbs the spike into their trend, pushing their
+    residuals negative — honest decomposition behavior, pinned rather
+    than hidden); nothing outside that window may alert, which is
+    exactly what the MAD scale floor guarantees on a flat series."""
+    from datetime import datetime as DT, timedelta as TD
+
+    rows = []
+    eid = 0
+    base = DT(2024, 3, 4)
+    for day in range(28):
+        n = 80 if day == 14 else 10
+        for i in range(n):
+            eid += 1
+            rows.append((eid, base + TD(days=day, minutes=i), 1 + eid % 5, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_seasonal_anomaly,
+    )
+
+    got = events_seasonal_anomaly(spark, str(tmp_path)).collect()
+    by_day = {r.day: r for r in got}
+    spike = by_day.get("2024-03-18")
+    assert spike is not None and spike.n == 80
+    assert spike.residual_milli > 0
+    assert spike.residual_milli == max(abs(r.residual_milli) for r in got)
+    window = {f"2024-03-{d:02d}" for d in range(15, 22)}  # spike +- 3 days
+    for r in got:
+        assert r.day in window, f"alert outside the spike's trend window: {r.day}"
+        if r.day != "2024-03-18":
+            assert r.residual_milli < 0  # trend contamination, not a real spike
