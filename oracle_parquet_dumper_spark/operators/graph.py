@@ -879,7 +879,11 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin reviewable, exactly like the pagerank CTE chain;
     depths are exact integers (no convergence tolerance), so the
     oracle hash-matches with no float convention."""
-    edges = supplier_edges(spark, sf_dir)
+    # materialize the edge list once: it is joined in every round plus
+    # the seed fold, and re-deriving the distinct self-join per round
+    # measured 18.9 s at sf1 vs 6.9 s checkpointed (the bucketed edge
+    # state of pagerank_edge_state is the stored-state equivalent)
+    edges = supplier_edges(spark, sf_dir).localCheckpoint(eager=False)
     seed = edges.agg(F.min("src").alias("node"))
     frontier = seed.localCheckpoint(eager=False)
     visited = frontier
