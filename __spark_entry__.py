@@ -39,7 +39,11 @@ def _sampled_before() -> tuple[int, frozenset[str], frozenset[str]]:
     OBTAINED a result (``err`` null) — a sample that crashed the
     harness (agg_approx r1, the one historical red, VERDICT r9 #1)
     never produced a signal and must rotate back into the
-    never-sampled window for a clean retry."""
+    never-sampled window for a clean retry.  ``err == "no_oracle"`` is
+    NOT a crash: it is the driver's record of a deliberately rows-only
+    query (the adjudicated sketch panels) whose sample RAN and returned
+    rows — those count as seen, or they would permanently squat the
+    retry tier's top slots (ADVICE r10)."""
     import glob
     import json
 
@@ -59,8 +63,14 @@ def _sampled_before() -> tuple[int, frozenset[str], frozenset[str]]:
         ):
             continue  # driver artifact format drifted — ignore, don't guess
         n_valid += 1
-        seen.update(k for k, v in data.items() if v.get("err") is None)
-        errored.update(k for k, v in data.items() if v.get("err") is not None)
+        seen.update(
+            k for k, v in data.items() if v.get("err") in (None, "no_oracle")
+        )
+        errored.update(
+            k
+            for k, v in data.items()
+            if v.get("err") is not None and v.get("err") != "no_oracle"
+        )
     return n_valid, frozenset(seen), frozenset(errored - seen)
 
 

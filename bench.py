@@ -129,6 +129,29 @@ def main() -> None:
         print(f"bench: state pre-build failed: {e}", file=sys.stderr)
     env["warm_state"] = warm_state
 
+    # Box-calibration probe (VERDICT r10 "Next" #4): two consecutive
+    # rounds argued about environment drift from untouched-query ratios
+    # (r8 slow box, r10's uniform 25-30% inflation on byte-identical
+    # plans).  Settle it mechanically: a FIXED pure-JVM workload — a
+    # single-partition whole-stage-codegen fold over spark.range (no
+    # I/O, no shuffle, no Python) — timed 3x, median stamped as
+    # rows/sec.  Cross-round comparisons divide by this to normalize
+    # per-core box speed; single-partition keeps scheduler noise out.
+    cal_rows = 500_000_000
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, cal_rows, 1, 1).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).collect()
+        cal_runs.append(time.perf_counter() - t0)
+    cal_sec = sorted(cal_runs)[1]
+    env["calibration"] = {
+        "range_rows": cal_rows,
+        "sec": round(cal_sec, 4),
+        "rows_per_sec": round(cal_rows / cal_sec),
+    }
+
     specs = plans.bench_queries()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}

@@ -3753,3 +3753,378 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_milli",
         )
     )
+
+
+# --- ratio-metric inference: delta method over user clusters (r11) ----------
+
+RM_NUM = "purchase"  # numerator event (value in cents)
+RM_DEN = "view"      # denominator event (exposure count)
+
+
+@query(
+    "events_ratio_metric_delta_method",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN event_type = '{RM_NUM}'
+                           THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+                  AS DECIMAL(38,0)) AS y,
+             CAST(SUM(CASE WHEN event_type = '{RM_DEN}' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS nv
+      FROM events WHERE event_type IN ('{RM_NUM}', '{RM_DEN}')
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(nv) AS DECIMAL(38,0)) AS sn,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(nv * nv) AS DECIMAL(38,0)) AS snn,
+             CAST(SUM(y * nv) AS DECIMAL(38,0)) AS syn
+      FROM per_user GROUP BY arm
+    ),
+    v AS (
+      SELECT arm, n,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(CAST(sn AS VARCHAR) AS DOUBLE) AS r,
+             CAST(CAST(sn AS VARCHAR) AS DOUBLE) / n AS nbar,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) AS vy,
+             CAST(CAST(n * snn - sn * sn AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) AS vn,
+             CAST(CAST(n * syn - sy * sn AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) AS vyn
+      FROM m
+    )
+    SELECT arm, n AS n_users, r AS ratio_cents_per_view,
+           sqrt((vy - 2 * r * vyn + r * r * vn) / (n * nbar * nbar)) AS se_delta
+    FROM v ORDER BY arm
+    """,
+    tags=("agg", "events", "stats", "experiment"),
+)
+def events_ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric A/B inference by the DELTA METHOD over user
+    clusters: revenue-per-view R = sum(purchase cents)/sum(views) per
+    arm (user_id % 2), with the standard error that accounts for
+    within-user correlation of numerator and denominator — the
+    variance formula every experimentation platform uses for ratio
+    metrics (Deng, Knoblich & Lu, KDD'18), where naive row-level
+    variance is WRONG because the randomization unit is the user, not
+    the event:
+
+        Var(R) = (var(Y) - 2 R cov(Y,N) + R^2 var(N)) / (n * Nbar^2)
+
+    Float portability (the events_welch_ttest recipe): all inputs are
+    EXACT per-user integer moments — per-arm n, and the five sums
+    SUM(Y), SUM(N), SUM(Y^2), SUM(N^2), SUM(Y*N) carried as
+    DECIMAL(38,0) — combined in one identical final op tree, each
+    decimal entering doubles through ONE correctly-rounded cast
+    (VARCHAR hop on DuckDB, the registry convention).
+
+    Scale shape: two map-side-partial aggregates — events -> per-user
+    (keyed on user_id, the natural high-cardinality key) -> per-arm
+    (2 groups); no window, no join, no Python.  At 100 TB the per-user
+    fold is the only real shuffle and it is exactly the metric's
+    clustering unit."""
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(RM_NUM, RM_DEN)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == RM_NUM, cents).otherwise(0))
+        .cast(d38)
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == RM_DEN, 1).otherwise(0))
+        .cast(d38)
+        .alias("nv"),
+    )
+    m = per_user.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum("nv").cast(d38).alias("sn"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+        F.sum(F.col("nv") * F.col("nv")).cast(d38).alias("snn"),
+        F.sum(F.col("y") * F.col("nv")).cast(d38).alias("syn"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    nD = F.col("n").cast("double")
+    v = m.select(
+        "arm",
+        "n",
+        (dbl(F.col("sy")) / dbl(F.col("sn"))).alias("r"),
+        (dbl(F.col("sn")) / F.col("n")).alias("nbar"),
+        (
+            dbl(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            / (nD * F.col("n") * (F.col("n") - 1))
+        ).alias("vy"),
+        (
+            dbl(F.col("n") * F.col("snn") - F.col("sn") * F.col("sn"))
+            / (nD * F.col("n") * (F.col("n") - 1))
+        ).alias("vn"),
+        (
+            dbl(F.col("n") * F.col("syn") - F.col("sy") * F.col("sn"))
+            / (nD * F.col("n") * (F.col("n") - 1))
+        ).alias("vyn"),
+    )
+    r = F.col("r")
+    return v.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        r.alias("ratio_cents_per_view"),
+        F.sqrt(
+            (F.col("vy") - F.lit(2.0) * r * F.col("vyn") + r * r * F.col("vn"))
+            / (F.col("n") * F.col("nbar") * F.col("nbar"))
+        ).alias("se_delta"),
+    ).orderBy("arm")
+
+
+# --- session bounce rate (30-min sessionization rollup) ---------------------
+
+BOUNCE_GAP_MIN = 30
+
+
+@query(
+    "events_bounce_rate_sessions",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) > {BOUNCE_GAP_MIN * 60} * 1000000::BIGINT
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    ),
+    per_sess AS (
+      SELECT user_id, sess, MIN(ts) AS t0, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT strftime(date_trunc('day', t0), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+             AS BIGINT) AS bounce_ppm
+    FROM per_sess GROUP BY 1 ORDER BY day
+    """,
+    tags=("events", "window", "agg"),
+)
+def events_bounce_rate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session BOUNCE RATE: sessionize each user's event stream
+    with a {BOUNCE_GAP_MIN}-minute inactivity gap, then report per
+    session-start day how many sessions contained exactly ONE event —
+    the engagement-quality headline metric next to DAU
+    (events_dau_wau) and session length (window_sessionize_30min,
+    which emits the sessions themselves; this is the bounded daily
+    rollup a dashboard reads).
+
+    Exact integers end to end: gap comparison in whole seconds, bounce
+    share as integer ppm (the div convention).  The (ts, event_id)
+    window order makes sessionization deterministic under same-second
+    events.
+
+    Scale shape: both windows (lag + running session counter) ride ONE
+    user-partitioned sort; the per-session fold reuses the same
+    user-keyed clustering (session key is user-local), then the final
+    day rollup is calendar-bounded.  No join, no Python."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+                > BOUNCE_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = o.select(
+        "user_id",
+        "ts",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("sess"),
+    )
+    per_sess = s.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("t0"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_sess.groupBy(
+            F.date_format(F.date_trunc("day", "t0"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounces.cast("long").alias("n_bounces"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- ingest out-of-order diagnostic (watermark sizing) ----------------------
+
+
+@query(
+    "events_out_of_order_lag",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(COALESCE(MAX(CASE WHEN ts < high_water
+                         THEN date_diff('microsecond', ts, high_water) // 1000000
+                         END), 0) AS BIGINT)
+             AS max_lag_s,
+           CAST((1000000 * SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END))
+             // COUNT(*) AS BIGINT) AS ooo_ppm
+    FROM o GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "window", "agg", "streaming"),
+)
+def events_out_of_order_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ARRIVAL diagnostic: treating event_id as the ingest
+    (arrival) order, how many events arrive with an event-time ts
+    EARLIER than the user's running high-water mark, and by how much —
+    exactly the distribution a streaming pipeline reads to size its
+    watermark (stream_* kernels here use 10-minute delays; this query
+    measures what the data actually needs).  Per event_type: event
+    count, out-of-order count/ppm, and the worst lag in seconds.
+
+    Exact integers (second-granularity lags, ppm div convention); the
+    running max is a ROWS window ending 1 PRECEDING so an event is
+    never compared against itself.
+
+    Scale shape: one user-partitioned window sort (user_id is the
+    high-cardinality key), then a map-side-partial fold to the
+    event-type domain (~12 rows).  No join, no Python."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late = F.col("ts") < F.col("high_water")
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_out_of_order"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        late,
+                        F.expr(
+                            "timestampdiff(MICROSECOND, ts, high_water) div 1000000"
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_lag_s"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("ooo_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- growth accounting: new / returning / resurrected (r11) -----------------
+
+RES_GAP_DAYS = 7
+
+
+@query(
+    "events_growth_accounting",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    lagged AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM days
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN prev_d IS NOT NULL
+                         AND date_diff('day', prev_d, d) <= {RES_GAP_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN prev_d IS NOT NULL
+                         AND date_diff('day', prev_d, d) > {RES_GAP_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+    FROM lagged GROUP BY d ORDER BY day
+    """,
+    tags=("events", "window", "agg"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING: each day's active users split into NEW (first
+    day ever), RETURNING (last active <= {RES_GAP_DAYS} days ago) and
+    RESURRECTED (a gap longer than {RES_GAP_DAYS} days) — the
+    DAU-decomposition every growth team tracks (the "growth accounting
+    identity" popularized by the a16z/Social Capital frameworks), and
+    the piece events_dau_wau (volume) and events_retention_cohorts
+    (fixed cohorts) don't give: WHY today's active count moved.
+
+    Exact integers: day-granularity dates, calendar-day differences,
+    counts — no floats anywhere.  The identity n_active = n_new +
+    n_returning + n_resurrected holds row-for-row (the three CASEs
+    partition the lag domain) and is pinned in tests.
+
+    Scale shape: one distinct on (user, day) — map-side partial over
+    the natural user-keyed shuffle; ONE lag window riding the same
+    user partitioning; then a calendar-bounded day rollup.  No join,
+    no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    lagged = days.select("user_id", "d", F.lag("d").over(w).alias("prev_d"))
+    gap = F.datediff("d", "prev_d")
+    return (
+        lagged.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("prev_d").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(
+                F.when(F.col("prev_d").isNotNull() & (gap <= RES_GAP_DAYS), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_returning"),
+            F.sum(
+                F.when(F.col("prev_d").isNotNull() & (gap > RES_GAP_DAYS), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .orderBy("day")
+    )

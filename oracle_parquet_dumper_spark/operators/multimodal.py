@@ -786,3 +786,70 @@ def mm_tile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(tile_contrast_kernel, TILE_CONTRAST_SCHEMA)
+
+
+# --- fixed-size chunk dedup over binary payloads (r11) ----------------------
+
+CHUNK_BYTES = 64
+
+
+@query(
+    "mm_chunk_dedup",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT md5(substring(text, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS dig
+      FROM documents,
+           LATERAL unnest(generate_series(0, length(text) // {CHUNK_BYTES} - 1)) AS u(i)
+      WHERE length(text) >= {CHUNK_BYTES}
+    ),
+    per AS (SELECT dig, CAST(COUNT(*) AS BIGINT) AS c FROM chunks GROUP BY dig)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(MAX(c) AS BIGINT) AS max_chunk_copies,
+           CAST((1000000 * (SUM(c) - COUNT(*))) // SUM(c) AS BIGINT) AS dup_ppm
+    FROM per
+    """,
+    tags=("multimodal", "binary", "dedup", "agg"),
+)
+def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level CHUNK dedup over binary payloads: split every
+    payload into fixed {CHUNK_BYTES}-byte chunks (tail fragment
+    dropped), digest each, and report corpus-wide chunk duplication —
+    total chunks, distinct chunks, the hottest chunk's copy count, and
+    the dedup-able fraction in ppm.  This is the content-addressable
+    storage estimate (how much would a CAS/chunk store save?) that
+    complements the DOCUMENT-level dedup family: media payloads often
+    share byte ranges (headers, silence, borders) without whole-file
+    duplication.  Fixed-size chunking is the deterministic baseline the
+    content-defined (rolling-hash) variant would refine at the cost of
+    boundary-shift resistance.
+
+    The Spark side chunks the BINARY payload column (the multimodal
+    plumbing contract — substring/md5 operate on byte slices); the
+    oracle chunks the text the payload encodes, byte-identical for the
+    fixtures' ASCII text (with_payload, multimodal.py:43-48).
+
+    Scale shape: chunk digests are a row-local explode (one md5 per
+    chunk, computed BEFORE any movement); the only shuffle is the
+    16-byte digest groupBy with map-side partial aggregation, then a
+    1-row fold.  Chunk rows = corpus bytes / {CHUNK_BYTES} — linear,
+    and never wider than a digest."""
+    d = load_table(spark, sf_dir, "documents")
+    p = with_payload(d).where(F.octet_length("payload") >= CHUNK_BYTES)
+    digs = p.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, octet_length(payload) div {CHUNK_BYTES} - 1), "
+                f"i -> md5(substring(payload, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})))"
+            )
+        ).alias("dig")
+    )
+    per = digs.groupBy("dig").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return per.agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.max("c").cast("long").alias("max_chunk_copies"),
+        F.expr(
+            "CAST((1000000 * (SUM(c) - COUNT(*))) div SUM(c) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

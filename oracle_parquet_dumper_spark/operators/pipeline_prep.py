@@ -1010,7 +1010,7 @@ DP_SCALE_MICRO = 1_000_000  # Laplace b = 1/eps with eps = 1, in micro-units
     SELECT lang, source,
            n * {DP_SCALE_MICRO} +
            (CASE WHEN u01 < 0.5 THEN 1 ELSE -1 END) *
-           CAST(round(ln(1.0 - 2.0 * abs(u01 - 0.5)) * {DP_SCALE_MICRO}) AS BIGINT)
+           CAST(round(ln(GREATEST(1.0 - 2.0 * abs(u01 - 0.5), 1e-12)) * {DP_SCALE_MICRO}) AS BIGINT)
              AS noisy_count_micro,
            n AS true_n
     FROM u
@@ -1027,10 +1027,17 @@ def pipeline_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     production release would drop it.
 
     Determinism (seeded noise): the uniform draw is the cell key's
-    md5 prefix (15 hex digits / 2^60 — exact in a double), and the
+    md5 prefix (15 hex digits / 2^60 — 60 bits exceed a double's 52-bit
+    mantissa, but BOTH engines perform the identical BIGINT->double
+    cast and division, so the rounded u01 matches bit-for-bit), and the
     inverse-CDF transform integerizes via the single-ln micro-nat
     convention; output stays in exact micro-units so no second
     rounding exists to diverge (noisy = n*1e6 + sign * round(ln(z)*1e6)).
+    The log argument is clamped at 1e-12 on both engines: a prefix that
+    rounds to exactly 2^60 (p ~ 1e-16/cell) would make z = 0, where
+    DuckDB's CAST(round(-inf)) raises while Spark returns Long.MIN_VALUE
+    (ADVICE r10) — the clamp caps |noise| at ~27.6 units, far beyond any
+    realistic draw, and changes no existing cell.
     Seeded-hash noise is how DP releases are made REPRODUCIBLE across
     pipeline re-runs; swap the key for a secret salt in production.
 
@@ -1046,7 +1053,12 @@ def pipeline_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sign = F.when(u01 < 0.5, F.lit(1)).otherwise(F.lit(-1))
     lap_micro = F.round(
-        F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u01 - F.lit(0.5))) * DP_SCALE_MICRO
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.lit(2.0) * F.abs(u01 - F.lit(0.5)), F.lit(1e-12)
+            )
+        )
+        * DP_SCALE_MICRO
     ).cast("long")
     return c.select(
         "lang",

@@ -3251,3 +3251,199 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("fact_id", "user_id", "version_id", "state_value")
     )
+
+
+# --- Theil inequality decomposition (r11) -----------------------------------
+
+
+@query(
+    "agg_theil_decomposition",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(cents) AS HUGEINT) AS xg
+      FROM x GROUP BY segment
+    ),
+    tot AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(xg) AS HUGEINT) AS xt
+      FROM g
+    ),
+    terms AS (
+      SELECT x.segment, cents,
+             CAST(round(ln(CAST(cents AS DOUBLE) * CAST(g.ng AS DOUBLE)
+                           / CAST(CAST(g.xg AS VARCHAR) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS t
+      FROM x JOIN g ON x.segment = g.segment
+    ),
+    within AS (
+      SELECT segment, CAST(SUM(CAST(cents AS DECIMAL(38,0)) * t) AS DECIMAL(38,0))
+               AS num
+      FROM terms GROUP BY segment
+    )
+    SELECT g.segment, g.ng AS n_orders,
+           CAST((1000000 * g.xg) // tot.xt AS BIGINT) AS share_ppm,
+           CAST(CAST(w.num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(g.xg AS VARCHAR) AS DOUBLE) / 1000000 AS theil_within,
+           ln(CAST(CAST(g.xg * tot.n AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(tot.xt * g.ng AS VARCHAR) AS DOUBLE)) AS between_term
+    FROM g JOIN within w ON g.segment = w.segment CROSS JOIN tot
+    ORDER BY g.segment
+    """,
+    tags=("agg", "join", "stats"),
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality DECOMPOSITION of order revenue across
+    customer market segments: per segment its revenue share, the
+    within-segment Theil index, and the between-segment term — the
+    additively decomposable inequality measure (Theil 1967; Gini is
+    NOT decomposable, which is why profile_gini_concentration cannot
+    answer "is the concentration BETWEEN segments or WITHIN them?").
+    T = sum_g share_g * T_g + sum_g share_g * ln(mean_g / mean); this
+    query emits each group's pieces.
+
+    Determinism: cents are exact BIGINT, group/global sums exact
+    DECIMAL(38,0).  Each row's ln enters through the single-ln
+    micro-nat convention (one correctly-rounded double ln, integerized
+    at 1e-6) so the per-group weighted sums are exact integer folds —
+    order-free; the final per-group divides and the between-term ln
+    are single IEEE ops over VARCHAR-hopped exact decimals (the
+    events_welch_ttest recipe).  ln arguments (cents * ng, xg * n) stay
+    below 2^53 through ~sf100 — exact in a double; past that the
+    micro-nat terms would need a decimal pre-scale.
+
+    Scale shape: one orders-customer equi-join (AQE picks broadcast vs
+    shuffle; customer is data-sized, so no forced hint), a per-segment
+    fold to 5 rows (c_mktsegment, a bounded catalog domain), a
+    row-local ln projection, and a second 5-row fold.  The group
+    relation joins back by segment — a bounded-domain groupBy, the
+    broadcast-lint's allow-pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = x.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("cents").cast(d38).alias("xg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"), F.sum("xg").cast(d38).alias("xt")
+    )
+    dbl = lambda col: col.cast("string").cast("double")  # noqa: E731
+    terms = x.join(F.broadcast(g), "segment").select(
+        "segment",
+        "cents",
+        F.round(
+            F.log(
+                F.col("cents").cast("double")
+                * F.col("ng").cast("double")
+                / dbl(F.col("xg"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    within = terms.groupBy("segment").agg(
+        F.sum(F.col("cents").cast(d38) * F.col("t")).cast(d38).alias("num")
+    )
+    return (
+        g.join(within, "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("ng").alias("n_orders"),
+            F.expr("CAST((1000000 * xg) div xt AS BIGINT)").alias("share_ppm"),
+            (dbl(F.col("num")) / dbl(F.col("xg")) / F.lit(1000000.0)).alias(
+                "theil_within"
+            ),
+            F.log(
+                dbl(F.col("xg") * F.col("n")) / dbl(F.col("xt") * F.col("ng"))
+            ).alias("between_term"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- empirical-Bayes rate shrinkage (fixed prior strength, r11) -------------
+
+EB_M = 20       # prior strength in pseudo-observations
+EB_TOP = 20
+
+
+@query(
+    "agg_rate_shrinkage_eb",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(x) AS HUGEINT) AS xx
+      FROM per
+    )
+    SELECT l_suppkey, n, x,
+           CAST((1000000 * x) // n AS BIGINT) AS raw_ppm,
+           CAST((1000000 * (CAST(x AS HUGEINT) * nn + {EB_M} * xx))
+                // (nn * (n + {EB_M})) AS BIGINT) AS shrunk_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY shrunk_ppm DESC, l_suppkey
+    LIMIT {EB_TOP}
+    """,
+    tags=("agg", "stats", "topk"),
+)
+def agg_rate_shrinkage_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes RATE SHRINKAGE: each supplier's lineitem return
+    rate pulled toward the global rate with a fixed prior strength of
+    {EB_M} pseudo-observations — shrunk = (x + M*p0) / (n + M) with
+    p0 = X/N — then the top-{EB_TOP} suppliers by SHRUNK rate.  This is
+    the standard fix for small-n leaderboards (a 2/2 supplier must not
+    outrank a 95/100 one); the beta-binomial posterior mean with a
+    Beta(M*p0, M*(1-p0)) prior.
+
+    Fully EXACT: substituting p0 = X/N makes the shrunk rate the
+    integer rational (x*N + M*X) / (N*(n + M)), integerized once as
+    ppm by decimal floor-division — no floats anywhere, so the ranking
+    and the tie-break (suppkey) are bit-deterministic.  DECIMAL(38,0)
+    keeps x*N exact past BIGINT at large SF.
+
+    Scale shape: one map-side-partial fold per supplier (the natural
+    key), a 1-row global fold broadcast back (bounded, the 1-row-
+    aggregate allow-pattern), a row-local rational, and a top-k heap
+    (TakeOrderedAndProject) — no global sort of the supplier
+    relation."""
+    d38 = "decimal(38,0)"
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    tot = per.agg(F.sum("n").cast(d38).alias("nn"), F.sum("x").cast(d38).alias("xx"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n",
+            "x",
+            F.expr("CAST((1000000 * x) div n AS BIGINT)").alias("raw_ppm"),
+            F.expr(
+                f"CAST((1000000 * (CAST(x AS DECIMAL(38,0)) * nn + {EB_M} * xx))"
+                f" div (nn * (n + {EB_M})) AS BIGINT)"
+            ).alias("shrunk_ppm"),
+        )
+        .orderBy(F.col("shrunk_ppm").desc(), "l_suppkey")
+        .limit(EB_TOP)
+    )

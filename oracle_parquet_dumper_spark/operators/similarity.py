@@ -1755,3 +1755,82 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+# --- cosine range search (radius query over LSH probes, r11) ----------------
+
+RANGE_RADIUS = 0.25
+
+
+@query(
+    "sim_range_search_radius",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {{bucket}} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT emb AS qvec, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id, b.bucket,
+           round(list_dot_product(b.emb, q.qvec) /
+                 (sqrt(list_dot_product(b.emb, b.emb)) *
+                  sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos
+    FROM b, q
+    WHERE hamming(b.bucket, q.qbucket) <= 1 AND b.vec_id != {QUERY_VEC_ID}
+      AND round(list_dot_product(b.emb, q.qvec) /
+                (sqrt(list_dot_product(b.emb, b.emb)) *
+                 sqrt(list_dot_product(q.qvec, q.qvec))), 6) >= {RANGE_RADIUS}
+    """.replace("{bucket}", _bucket_sql("embedding::DOUBLE[]")),
+    tags=("similarity", "lsh"),
+    band_bits=8,  # ruled: probe-style, 9/256 buckets per query
+)
+def sim_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search: every vector with cosine >=
+    {RANGE_RADIUS} to the query, found in the multiprobe LSH bucket set
+    (query bucket + all Hamming-1 neighbors, 9/256 buckets) — the
+    radius-query sibling of the top-k family (sim_ann_lsh_multiprobe).
+    Top-k answers "the 10 closest whatever their quality"; a range
+    query answers "everything actually similar", the semantics dedup
+    admission, near-dup blocklists, and RAG relevance floors need —
+    where k is unknowable in advance and a fixed k either truncates a
+    dense neighborhood or pads with junk.
+
+    Determinism: the cosine integerizes through the rounded-dot
+    convention (round 6) so the >= {RANGE_RADIUS} boundary is the same
+    set on both engines; the probe set is declarative in the oracle
+    (hamming <= 1).
+
+    Scale shape: identical to the multiprobe top-k — the 9-probe set
+    explodes from the single broadcast query row (bounded by protocol,
+    BROADCAST_BUILD_ALLOWLIST), the base table is scanned once with
+    bucket pruning at 100 TB (bucket = partition column); the only
+    difference is NO TakeOrdered cut, and consequently NO global sort
+    either: the result is the (unordered) in-radius SET.  A global
+    orderBy here would full-shuffle a relation whose size is
+    data-dependent (a dense neighborhood at extreme scale); consumers
+    wanting ranked output compose a top-k on top."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nbits = len(HYPERPLANES)
+    bucketed = e.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probes = [F.col("qbucket")] + [
+        F.concat(
+            F.substring("qbucket", 1, i),
+            F.when(F.substring("qbucket", i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring("qbucket", i + 2, nbits - i - 1),
+        )
+        for i in range(nbits)
+    ]
+    probe_df = q.select("qvec", F.explode(F.array(*probes)).alias("bucket"))
+    return (
+        bucketed.join(F.broadcast(probe_df), "bucket")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "bucket", cosine_rounded("embedding", "qvec").alias("cos"))
+        .where(F.col("cos") >= RANGE_RADIUS)
+    )

@@ -1734,7 +1734,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              unnest(list_transform(generate_series(1, length(text) - 1),
                                    i -> substring(text, i, 2))) AS g
-      FROM documents
+      FROM documents WHERE length(text) >= 2
     ),
     counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
     tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id),
@@ -1789,8 +1789,14 @@ def text_char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-small but compute-dense — a bytes-advisory single partition
     # re-serializes the work (measured: AQE folded the plain
     # repartition back to 1 task at sf0.1)
+    # length >= 2 on BOTH engines (the mm_tile_contrast convention):
+    # below two chars there are no bigrams, and Spark's
+    # sequence(1, length-1) would otherwise yield a DESCENDING [1, 0]
+    # array for a 1-char doc — a bogus output row the oracle's
+    # generate_series(1, 0) (empty) never emits (ADVICE r10).
     d = (
         load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 2)
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
@@ -1816,4 +1822,85 @@ def text_char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.expr(row_local).alias("r"))
         .select("doc_id", "r.*")
         .withColumn("flag_low_entropy", F.col("entropy_micro_nats") < 2500000)
+    )
+
+
+# --- MATTR moving-window lexical diversity (r11) ----------------------------
+
+MATTR_W = 20  # window width in tokens
+MATTR_S = 10  # stride
+
+
+@query(
+    "text_mattr_lexical_diversity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS tl
+      FROM documents
+    ),
+    g AS (SELECT doc_id, len(tl) AS n_tokens, tl FROM t WHERE len(tl) >= {MATTR_W}),
+    w AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST((n_tokens - {MATTR_W}) // {MATTR_S} + 1 AS BIGINT) AS n_windows,
+             CAST(list_sum(list_transform(
+                    generate_series(0, (n_tokens - {MATTR_W}) // {MATTR_S}),
+                    i -> len(list_distinct(
+                           list_slice(tl, i * {MATTR_S} + 1, i * {MATTR_S} + {MATTR_W})))
+                  )) AS BIGINT) AS sum_distinct
+      FROM g
+    )
+    SELECT doc_id, n_tokens, n_windows,
+           CAST((1000000 * sum_distinct) // (n_windows * {MATTR_W}) AS BIGINT)
+             AS mattr_ppm
+    FROM w
+    """,
+    tags=("text", "quality"),
+)
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — Moving-Average Type-Token Ratio (Covington & McFall
+    2010): mean distinct-token fraction over sliding {MATTR_W}-token
+    windows (stride {MATTR_S}), the lexical-diversity measure that,
+    unlike raw TTR, does NOT shrink with document length — so one
+    threshold works across a mixed-length corpus (raw TTR penalizes
+    long documents purely for being long; low MATTR genuinely means
+    repetitive vocabulary — template spam, keyword stuffing).
+
+    Exact integers: each window's distinct count is an integer, the
+    mean integerizes once as ppm (sum_distinct div (n_windows * W)) —
+    no float accumulation to diverge.  Docs shorter than {MATTR_W}
+    tokens are excluded on BOTH engines (the length(text) >= 2 guard
+    convention — below one window the statistic is undefined, and an
+    unguarded sequence(0, negative) would run DESCENDING on Spark).
+
+    Scale shape: a PER-ROW property — tokenize once (staged projection,
+    the minhash_signatures_df CollapseProject idiom), then one
+    row-local fold over window starts; zero shuffles, fully inside
+    codegen.  O(n_windows * W) per doc = O(n_tokens * W/S), linear in
+    corpus bytes."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    t1 = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= MATTR_W)
+    )
+    n = F.size("toks")
+    n_windows = F.expr(f"CAST((size(toks) - {MATTR_W}) div {MATTR_S} + 1 AS BIGINT)")
+    sum_distinct = F.expr(
+        f"CAST(aggregate(sequence(0, (size(toks) - {MATTR_W}) div {MATTR_S}), "
+        f"CAST(0 AS BIGINT), (acc, i) -> acc + size(array_distinct("
+        f"slice(toks, i * {MATTR_S} + 1, {MATTR_W})))) AS BIGINT)"
+    )
+    return t1.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_windows.alias("n_windows"),
+        sum_distinct.alias("sum_distinct"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.expr(
+            f"CAST((1000000 * sum_distinct) div (n_windows * {MATTR_W}) AS BIGINT)"
+        ).alias("mattr_ppm"),
     )

@@ -818,3 +818,88 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.cast("long").alias("lag_s"),
         (lag_s > FRESH_SLA_S).alias("stale"),
     )
+
+
+# --- cross-table reconciliation (orders vs lineitem roll-up, r11) -----------
+
+
+@query(
+    "dq_reconciliation_orders_lineitem",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 * 100) AS BIGINT)) AS BIGINT) AS li_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderstatus AS status,
+             ABS(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                 - COALESCE(li.li_cents, 0)) AS diff_cents
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN diff_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched,
+           CAST(MAX(diff_cents) AS BIGINT) AS max_abs_diff_cents,
+           CAST(SUM(diff_cents) AS BIGINT) AS total_abs_diff_cents
+    FROM j GROUP BY status ORDER BY status
+    """,
+    tags=("validation", "agg", "join"),
+)
+def dq_reconciliation_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table RECONCILIATION: does each order's header total match
+    the roll-up of its line items (extendedprice x (1-discount) x
+    (1+tax))?  Per order status: order count, mismatched count, worst
+    and total absolute drift in cents — the header-vs-detail balance
+    audit every financial/warehouse pipeline runs nightly, and the
+    missing sibling of dq_constraint_report's single-table checks
+    (referential integrity says the rows EXIST; reconciliation says
+    the AMOUNTS agree).
+
+    Determinism: both engines floor the identical double product to
+    cents per line (same op tree — IEEE multiply is correctly rounded)
+    and every aggregate after that is exact BIGINT.  Orders with no
+    line items reconcile against 0 via the left join, so they surface
+    as mismatches instead of disappearing.
+
+    Scale shape: one map-side-partial roll-up of lineitem keyed by
+    l_orderkey (the natural join key), one orderkey equi-join (both
+    sides data-sized — no forced hint, AQE chooses), then a fold to
+    the 3-value status domain."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("li_cents")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        F.col("o_orderstatus").alias("status"),
+        F.abs(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+            - F.coalesce(F.col("li_cents"), F.lit(0))
+        ).alias("diff_cents"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("diff_cents") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatched"),
+            F.max("diff_cents").cast("long").alias("max_abs_diff_cents"),
+            F.sum("diff_cents").cast("long").alias("total_abs_diff_cents"),
+        )
+        .orderBy("status")
+    )

@@ -16,6 +16,7 @@ text, main.py:144-146); this is Part B engine tooling.
 
 from __future__ import annotations
 
+import contextlib
 import re
 from dataclasses import dataclass, field
 
@@ -24,6 +25,7 @@ from dataclasses import dataclass, field
 class PlanAudit:
     name: str
     exchanges: int = 0
+    checkpoint_fragments: int = 0
     broadcast_exchanges: int = 0
     broadcast_joins: int = 0
     sort_merge_joins: int = 0
@@ -40,6 +42,7 @@ class PlanAudit:
     quantile_bucketers: int = 0
     exact_percentiles: int = 0
     hinted_broadcasts: int = 0
+    banded_joins: int = 0
     unbounded_broadcast_builds: list[str] = field(default_factory=list)
     aqe: bool = False
     warnings: list[str] = field(default_factory=list)
@@ -187,6 +190,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # curriculum phases: ungrouped global index (pass 1) offsets window
     # over <= 64 bucket counts; pass 2's windows partition by phase
     "pipeline_curriculum_order": (1, "bucket offsets, <= 64 rows"),
+    # systematic every-k sample: ungrouped global index over orders —
+    # the offsets window runs over the <= 64-row bucket counts only
+    "sample_systematic_interval": (1, "bucket offsets, <= 64 rows"),
 }
 
 # A FORCED F.broadcast()/hint("broadcast") overrides AQE's size
@@ -210,6 +216,7 @@ BROADCAST_BUILD_ALLOWLIST: dict[str, tuple[int, str]] = {
     # user's query payload, never the corpus.
     "sim_ann_lsh": (1, "1 query vector (vec_id = 0)"),
     "sim_ann_lsh_multiprobe": (1, "1 query vector (vec_id = 0)"),
+    "sim_range_search_radius": (1, "1 query vector (vec_id = 0)"),
     "sim_ivf_coarse": (1, "1 query vector (vec_id = 0)"),
     "sim_maxsim_multivector": (1, "8 query token vectors (vec_id < 8)"),
     "sim_reciprocal_rank_fusion": (4, "1 query vector x 2 rankers x 2 index passes"),
@@ -314,6 +321,15 @@ QUERY_BOUNDED_DOMAIN_COLS: dict[str, dict[str, str]] = {
     "events_dau_wau": {"day": "observed calendar days in the window"},
     "sample_stratified_neyman": {"flag": "3 (l_returnflag alias)"},
     "agg_winsorized_trimmed_mean": {"status": "3 (o_orderstatus alias)"},
+    # the checkpointed 1-row node-count fold (truncate_lineage'd
+    # Aggregate, graph.py): surfaces as LogicalRDD [nn] inside each
+    # round's checkpoint fragment — visible only since the r11
+    # capture_checkpoints fix made fragments lintable
+    "graph_pagerank_bucketed": {"nn": "1-row node-count fold (checkpointed)"},
+    # per-segment stats relation: grouped on the 5-value c_mktsegment
+    # domain (aliased), broadcast back onto the fact rows for the
+    # row-local ln term
+    "agg_theil_decomposition": {"segment": "5 (c_mktsegment alias)"},
 }
 
 
@@ -337,6 +353,34 @@ EXCHANGE_BUDGET: dict[str, tuple[int, str]] = {
     # table, unioned — exchanges scale with #candidates, not data
     "dq_functional_dependencies": (16, "5 FD probes x groupBy+fold"),
 }
+
+
+# A banded candidate join's plan signature: a logical Join whose
+# condition equi-matches BOTH a band and a bucket column (the shared
+# (band, bucket) key every LSH/banding helper in this repo emits —
+# functions/lsh.py banded_buckets, dedup.minhash_band_rows, the pHash
+# 16-bit blocks).  The registry-level band-domain rule (VERDICT r9 #2,
+# plans/registry.py) keys off self-declared lsh-family TAGS; this
+# plan-level detector closes the escape hatch VERDICT r10 #5 names — a
+# future bucketed operator that banding-joins WITHOUT self-tagging now
+# trips the lint instead of silently skipping domain review.
+# expr-ids print with an optional type suffix (band#1L for long), so
+# the id pattern is #\d+\w*
+_BANDED_JOIN_RE = re.compile(
+    r"^Join\b(?=.*\bband#\d+\w* = band#\d+\w*)(?=.*\bbucket#\d+\w* = bucket#\d+\w*)"
+)
+
+# Queries allowed to carry a (band, bucket) equi-join WITHOUT an
+# lsh-family tag.  Every entry is a written waiver, the
+# LSH_BAND_DOMAIN_RULINGS convention: adding a name here without
+# justification is a review-visible act.
+BANDED_JOIN_WAIVERS: dict[str, str] = {}
+
+
+def _banded_join_count(logical: str) -> int:
+    return sum(
+        1 for _, text in _nodes(logical) if _BANDED_JOIN_RE.search(text)
+    )
 
 
 _JOIN_HINT_RE = re.compile(r"\bJoin\b.*\b(?:leftHint|rightHint)=\(")
@@ -603,6 +647,20 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
     budget = EXCHANGE_BUDGET.get(a.name, (10, ""))[0]
     if a.exchanges > budget and not (t & {"iterative", "graph", "pipeline"}):
         w.append(f"{a.exchanges} exchanges — audit for a reusable partitioning")
+    # a (band, bucket) candidate join without an lsh-family tag escapes
+    # the registry's band-domain declaration rule (plans/registry.py) —
+    # the VERDICT r10 #5 escape hatch
+    if (
+        a.banded_joins
+        and not (t & {"lsh", "simhash"})
+        and a.name not in BANDED_JOIN_WAIVERS
+    ):
+        w.append(
+            f"{a.banded_joins} (band, bucket) equi-join(s) in a query with "
+            "no lsh/simhash tag — tag it so the band-domain rule "
+            "(band_bits declaration, plans/registry.py) applies, or record "
+            "a written waiver in BANDED_JOIN_WAIVERS"
+        )
     b_allowed, b_reason = BROADCAST_BUILD_ALLOWLIST.get(a.name, (0, ""))
     if len(a.unbounded_broadcast_builds) > b_allowed and not (t & EXEMPT["demo"]):
         w.append(
@@ -617,22 +675,98 @@ def lint(a: PlanAudit, tags: tuple[str, ...] = ()) -> list[str]:
     return w
 
 
+@contextlib.contextmanager
+def capture_checkpoints():
+    """Record the PRE-checkpoint optimized logical plan of every
+    relation that gets ``localCheckpoint``-ed / ``checkpoint``-ed while
+    the context is active.
+
+    This closes the audit's one structural blind spot (VERDICT r10 #1):
+    a checkpoint truncates lineage to ``LogicalRDD``, so any forced
+    broadcast hint INSIDE the materialized relation's build plan is
+    invisible to the final optimized plan the broadcast-boundedness
+    lint reads — graph_triangle_count audited ``fbcast=0`` for three
+    rounds while its source carried two forced node-sized broadcasts.
+    Patching ``DataFrame.localCheckpoint`` (the engine's single lineage
+    -truncation primitive, whether called directly or via
+    dedup.truncate_lineage) captures each fragment at exactly the
+    moment it disappears from downstream plans; ``audit_query`` then
+    lints every fragment with the same rule as the final plan.
+
+    The patch is audit-scoped and behavior-preserving: the original
+    method runs unconditionally, and plan stringification is
+    driver-side analysis only (no job)."""
+    # patch the CONCRETE class: in PySpark 4 `pyspark.sql.DataFrame` is
+    # the unified-API base and classic instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which OVERRIDES
+    # localCheckpoint — patching only the base silently captures
+    # nothing (measured: ckpt=0 across the registry)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: one concrete class
+        from pyspark.sql import DataFrame
+
+    frags: list[str] = []
+    originals = {
+        n: getattr(DataFrame, n) for n in ("localCheckpoint", "checkpoint")
+    }
+
+    def _wrap(orig):
+        def inner(self, *args, **kwargs):
+            try:
+                frags.append(self._jdf.queryExecution().optimizedPlan().toString())
+            except Exception:
+                # never let capture change behavior; a genuinely broken
+                # plan fails identically in the original call below
+                pass
+            return orig(self, *args, **kwargs)
+
+        return inner
+
+    for n, orig in originals.items():
+        setattr(DataFrame, n, _wrap(orig))
+    try:
+        yield frags
+    finally:
+        for n, orig in originals.items():
+            setattr(DataFrame, n, orig)
+
+
 def audit_query(spark, sf_dir: str, name: str, df=None) -> PlanAudit:
     """Audit one registered query.  Pass ``df`` to reuse an
     already-built DataFrame instead of re-running the query function
-    (planning a query twice doubles the tool's wall-clock)."""
+    (planning a query twice doubles the tool's wall-clock) — note a
+    pre-built df was planned OUTSIDE capture_checkpoints, so the
+    checkpoint-fragment lint only runs when the audit builds the query
+    itself (df=None, the --all path and the test suite's default)."""
     from oracle_parquet_dumper_spark.plans import REGISTRY
 
     spec = REGISTRY[name]
+    frags: list[str] = []
     if df is None:
-        df = spec.fn(spark, sf_dir)
+        with capture_checkpoints() as frags:
+            df = spec.fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     a = audit_text(name, plan)
+    bounded = _bounded_cols(name)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     a.hinted_broadcasts, a.unbounded_broadcast_builds = _unbounded_broadcast_builds(
-        logical, _bounded_cols(name)
+        logical, bounded
     )
+    a.banded_joins = _banded_join_count(logical)
+    # lint each checkpointed relation's build plan with the SAME rules:
+    # a hint (or banded join) that vanished behind a LogicalRDD is
+    # still there at runtime (VERDICT r10 #1)
+    a.checkpoint_fragments = len(frags)
+    for frag in frags:
+        h, bad = _unbounded_broadcast_builds(frag, bounded)
+        a.hinted_broadcasts += h
+        a.unbounded_broadcast_builds.extend(
+            b + " [behind a checkpoint]" for b in bad
+        )
+        a.banded_joins += _banded_join_count(frag)
     lint(a, spec.tags)
+    a._df = df  # for --explain; dataclass instances accept attributes
     return a
 
 
@@ -647,6 +781,7 @@ def _fmt(a: PlanAudit) -> str:
         f"gsort={a.global_sorts}(raw={a.raw_global_sorts})",
         f"upwin={a.unpartitioned_windows}",
         f"fbcast={a.hinted_broadcasts}(unb={len(a.unbounded_broadcast_builds)})",
+        f"ckpt={a.checkpoint_fragments}",
         f"py={a.python_eval}",
     ]
     return " ".join(parts)
@@ -677,8 +812,11 @@ def main(argv: list[str] | None = None) -> int:
         if name not in plans.REGISTRY:
             print(f"unknown query: {name}")
             return 2
-        df = plans.REGISTRY[name].fn(spark, args.sf_dir)
-        a = audit_query(spark, args.sf_dir, name, df=df)
+        # build INSIDE audit_query so capture_checkpoints sees every
+        # lineage truncation (the r10 blind spot); the df is planned
+        # exactly once either way
+        a = audit_query(spark, args.sf_dir, name)
+        df = a._df
         status = "WARN" if a.warnings else "ok"
         print(f"{name:40s} {status:4s} {_fmt(a)}")
         for msg in a.warnings:

@@ -126,6 +126,11 @@ LSH_BAND_DOMAIN_RULINGS: dict[str, str] = {
         "cost O(9N/256) per query, no pair self-join; recall floor "
         "regression-pinned in tests/test_ann_recall_sf1.py."
     ),
+    "sim_range_search_radius": (
+        "probe-style radius query over the same 9/256 multiprobe bucket "
+        "set as sim_ann_lsh_multiprobe — O(9N/256) per query, no pair "
+        "self-join; output bounded by the in-radius set, not by k."
+    ),
     "sim_recall_eval": (
         "evaluation query over the multiprobe index's candidates for a "
         "bounded query batch — same probe-style cost model as "
