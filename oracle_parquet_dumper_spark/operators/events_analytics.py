@@ -4128,3 +4128,86 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- DAU/MAU stickiness (rolling 28-day distinct actives, r11) --------------
+
+MAU_WINDOW_DAYS = 28
+
+
+@query(
+    "events_stickiness_dau_mau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    obs AS (SELECT DISTINCT d FROM ud),
+    support AS (
+      SELECT ud.user_id, ud.d + CAST(i.i AS INTEGER) AS day_at
+      FROM ud, LATERAL unnest(generate_series(0, {MAU_WINDOW_DAYS - 1})) AS i(i)
+    ),
+    mau AS (
+      SELECT s.day_at AS d, CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS mau
+      FROM support s JOIN obs ON obs.d = s.day_at
+      GROUP BY s.day_at
+    ),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+           CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN mau ON dau.d = mau.d
+    ORDER BY day
+    """,
+    tags=("events", "agg", "join"),
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per day: daily actives over trailing
+    {MAU_WINDOW_DAYS}-day actives — the engagement-quality ratio (a
+    product whose users show up 20 of 28 days has stickiness ~0.7; a
+    monthly-bill checker ~0.04) that events_dau_wau's fixed-window
+    counts don't normalize into.
+
+    The rolling DISTINCT is the hard part at scale: a naive sliding
+    window would re-scan {MAU_WINDOW_DAYS} days of events per output
+    day.  Here each (user, active-day) row SUPPORTS the
+    {MAU_WINDOW_DAYS} calendar days it counts toward — a bounded
+    explode (constant x{MAU_WINDOW_DAYS} amplification of the
+    user-day relation, NOT of events) — and one distinct-count per
+    day closes the window.  Supported days outside the observed
+    calendar are semi-joined away so both engines emit the same day
+    set.  Exact integers; ppm by integer division.
+
+    Scale shape: events fold to user-days once (map-side partial on
+    the user-day key); the x{MAU_WINDOW_DAYS} support explode is
+    row-local; the per-day distinct shuffles (day, user) pairs — the
+    same order of magnitude as the user-day relation itself.  No
+    window function, no per-day rescans."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    obs = ud.select("d").distinct()
+    support = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {MAU_WINDOW_DAYS - 1}),"
+                " i -> date_add(d, i))"
+            )
+        ).alias("day_at"),
+    )
+    mau = (
+        support.join(obs.withColumnRenamed("d", "day_at"), "day_at", "left_semi")
+        .groupBy("day_at")
+        .agg(F.count_distinct("user_id").cast("long").alias("mau"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        dau.join(mau, dau.d == mau.day_at)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("CAST((1000000 * dau) div mau AS BIGINT)").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -388,3 +388,90 @@ def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scan_amplification"
         ),
     )
+
+
+# --- partition-size advisor (target-file planning, r11) ---------------------
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the HDFS-block-aligned sweet spot
+
+
+@query(
+    "layout_partition_size_advisor",
+    oracle=f"""
+    WITH b AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(8 + 8 + 8 + 8
+                  + strlen(o_orderstatus) + strlen(o_orderpriority)
+                  AS BIGINT) AS row_bytes
+      FROM orders
+    ),
+    g AS (
+      SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(row_bytes) AS BIGINT) AS est_bytes
+      FROM b GROUP BY month
+    )
+    SELECT month, n_rows, est_bytes,
+           CAST((est_bytes + {TARGET_FILE_BYTES - 1}) // {TARGET_FILE_BYTES}
+                AS BIGINT) AS n_files_recommended,
+           CAST(n_rows // ((est_bytes + {TARGET_FILE_BYTES - 1}) // {TARGET_FILE_BYTES})
+                AS BIGINT) AS rows_per_file
+    FROM g ORDER BY month
+    """,
+    tags=("layout", "agg"),
+)
+def layout_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SIZE ADVISOR: per o_orderdate month (the natural
+    partition column), the estimated uncompressed bytes and the file
+    count that lands each partition at the {TARGET_FILE_BYTES // (1 << 20)} MiB
+    target — the planning query behind every `repartition(n)` /
+    `maxRecordsPerFile` decision, and the engine-side answer to the
+    small-files problem the exporter's byte-targeted rolling
+    (exporter.py A12) solves at write time: this computes the SAME
+    budget declaratively from the data so the writer's n is chosen,
+    not guessed.
+
+    The byte estimate is exact and engine-portable by construction:
+    fixed widths for the fixed-width columns (3 BIGINTs + 1 DOUBLE +
+    timestamp folded into 8) plus octet_length of each varchar —
+    deliberately the UNCOMPRESSED logical width (codec ratios are
+    data- and codec-dependent; the advisor's contract is "bytes
+    before compression", which is also what Spark's
+    maxPartitionBytes reasons about).  All integers, ceiling division
+    by integer arithmetic.
+
+    Scale shape: one scan with a row-local byte projection, one
+    map-side-partial fold to the calendar-month domain.  The advisor
+    output is itself the partitionBy plan: month -> n_files is
+    exactly the repartitionByRange spec a writer would apply."""
+    o = load_table(spark, sf_dir, "orders")
+    row_bytes = (
+        F.lit(8 + 8 + 8 + 8)
+        + F.octet_length("o_orderstatus")
+        + F.octet_length("o_orderpriority")
+    ).cast("long")
+    g = (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            row_bytes.alias("row_bytes"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("row_bytes").cast("long").alias("est_bytes"),
+        )
+    )
+    n_files = F.expr(
+        f"CAST((est_bytes + {TARGET_FILE_BYTES - 1}) div {TARGET_FILE_BYTES} AS BIGINT)"
+    )
+    return g.select(
+        "month",
+        "n_rows",
+        "est_bytes",
+        n_files.alias("n_files_recommended"),
+        F.expr(
+            f"CAST(n_rows div ((est_bytes + {TARGET_FILE_BYTES - 1})"
+            f" div {TARGET_FILE_BYTES}) AS BIGINT)"
+        ).alias("rows_per_file"),
+    ).orderBy("month")

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -852,4 +853,110 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((1000000 * (SUM(c) - COUNT(*))) div SUM(c) AS BIGINT)"
         ).alias("dup_ppm"),
+    )
+
+
+# --- silence-run analysis over audio frames (r11) ---------------------------
+
+SILENCE_ENERGY_PER_SAMPLE = 16  # mean squared deviation < 16 (RMS < 4) = silent
+
+
+@query(
+    "mm_audio_silence_ratio",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS v
+      FROM (SELECT doc_id, list_transform(split(text, ''), c -> ascii(c)) AS s
+            FROM documents
+            WHERE length(text) > 0 AND length(text) = strlen(text))
+    ),
+    frames AS (
+      SELECT doc_id, pos // {AUDIO_FRAME} AS frame_id,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy
+      FROM samples GROUP BY doc_id, pos // {AUDIO_FRAME}
+    ),
+    marked AS (
+      SELECT doc_id, frame_id,
+             energy < n_samples * {SILENCE_ENERGY_PER_SAMPLE} AS silent
+      FROM frames
+    ),
+    runs AS (
+      SELECT doc_id,
+             frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_id)
+               AS island,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS _dummy
+      FROM marked WHERE silent
+    ),
+    longest AS (
+      SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS longest_silence_frames
+      FROM (SELECT doc_id, island, COUNT(*) AS run_len FROM runs GROUP BY doc_id, island)
+      GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+      FROM marked GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_frames, b.n_silent,
+           CAST((1000000 * b.n_silent) // b.n_frames AS BIGINT) AS silence_ppm,
+           COALESCE(l.longest_silence_frames, 0) AS longest_silence_frames
+    FROM base b LEFT JOIN longest l ON b.doc_id = l.doc_id
+    """,
+    tags=("multimodal", "pandas_udf", "audio", "window"),
+)
+def mm_audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILENCE analysis over the stub-decoded audio frames: per doc,
+    the silent-frame fraction (frame energy below
+    {SILENCE_ENERGY_PER_SAMPLE} mean-squared units, RMS < 4) and the
+    LONGEST consecutive silent run — the two numbers a speech pipeline
+    reads to decide trimming (leading/trailing silence) and splitting
+    (long internal pauses).  Composes the mm_audio_frame_energy kernel
+    (same Arrow-batched mapInPandas stub decode, same ASCII-exactness
+    restriction) with a gaps-and-islands run-length pass — the
+    window_gaps_islands pattern applied to frames instead of days.
+
+    Exact integers end to end; docs with no silent frames report run
+    length 0 via the left join rather than vanishing.
+
+    Scale shape: the kernel is O(batch) map work; the islands
+    (row_number) and both folds all key on doc_id — ONE doc-partitioned
+    exchange of the frame relation (frames = bytes/{AUDIO_FRAME},
+    narrower than the corpus); the run-length groupBy reuses the same
+    clustering."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
+    )
+    p = with_payload(d).select("doc_id", "payload")
+    frames = p.mapInPandas(audio_frame_features, AUDIO_FRAME_SCHEMA)
+    marked = frames.select(
+        "doc_id",
+        "frame_id",
+        (F.col("energy") < F.col("n_samples") * SILENCE_ENERGY_PER_SAMPLE).alias(
+            "silent"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_id")
+    runs = (
+        marked.where("silent")
+        .select("doc_id", (F.col("frame_id") - F.row_number().over(w)).alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").cast("long").alias("longest_silence_frames"))
+    )
+    base = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.when(F.col("silent"), 1).otherwise(0)).cast("long").alias("n_silent"),
+    )
+    return base.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_silent",
+        F.expr("CAST((1000000 * n_silent) div n_frames AS BIGINT)").alias(
+            "silence_ppm"
+        ),
+        F.coalesce("longest_silence_frames", F.lit(0))
+        .cast("long")
+        .alias("longest_silence_frames"),
     )

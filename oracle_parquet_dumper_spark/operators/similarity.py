@@ -1834,3 +1834,74 @@ def sim_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "bucket", cosine_rounded("embedding", "qvec").alias("cos"))
         .where(F.col("cos") >= RANGE_RADIUS)
     )
+
+
+# --- kNN majority-vote classification (r11) ---------------------------------
+
+KNN_CLASSIFY_K = 10
+
+
+@query(
+    "sim_knn_classify_majority",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {cosine_rounded_sql('e.embedding', 'q.qvec')} AS cos
+      FROM embeddings e, q WHERE e.vec_id != {QUERY_VEC_ID}
+    ),
+    topk AS (
+      SELECT * FROM scored ORDER BY cos DESC, vec_id LIMIT {KNN_CLASSIFY_K}
+    ),
+    votes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_votes,
+             MAX(cos) AS best_cos
+      FROM topk GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS predicted_label, n_votes, best_cos
+    FROM votes ORDER BY n_votes DESC, label LIMIT 1
+    """,
+    tags=("similarity", "topk", "agg"),
+)
+def sim_knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NEAREST-NEIGHBOR CLASSIFICATION: the query vector's label by
+    majority vote of its {KNN_CLASSIFY_K} nearest neighbors (exact
+    cosine) — the lazy-learner baseline every embedding-space labeler
+    is measured against, and the missing inference sibling of
+    sim_centroid_classify (parametric centroids) and sim_knn_join (the
+    bulk pairing).  Ties break to the smaller label id,
+    deterministically.
+
+    Exactness: cosine through the rounded-dot convention; votes are
+    integers; the top-k cut is rank-stable ((cos DESC, vec_id) total
+    order).
+
+    Scale shape: the brute-force scan is the baseline path (one pass,
+    TakeOrderedAndProject heap for the k-cut, <= #labels-row vote
+    fold); the production path at 100 TB composes the SAME vote stage
+    onto the multiprobe candidate set (sim_ann_lsh_multiprobe) —
+    bucket-pruned scan instead of full scan, vote logic unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine_rounded("embedding", "qvec").alias("cos"))
+    )
+    topk = scored.orderBy(F.col("cos").desc(), "vec_id").limit(KNN_CLASSIFY_K)
+    votes = topk.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes"),
+        F.max("cos").alias("best_cos"),
+    )
+    return (
+        votes.select(
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+            "best_cos",
+        )
+        .orderBy(F.col("n_votes").desc(), "predicted_label")
+        .limit(1)
+    )

@@ -298,3 +298,98 @@ def stream_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_users"),
         )
     )
+
+
+@query(
+    "stream_closed_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) > 1800 * 1000000::BIGINT
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    ),
+    per AS (
+      SELECT user_id, sess, MIN(ts) AS t0, MAX(ts) AS t1,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(sess) OVER (PARTITION BY user_id) AS last_sess
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start,
+           n_events,
+           CAST(date_diff('microsecond', t0, t1) // 1000000 AS BIGINT) AS duration_s
+    FROM per WHERE sess < last_sess
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED sessions per user — 30-minute-gap sessionization emitting
+    only sessions PROVEN over by a later event, i.e. every session
+    except each user's last.  This is the batch twin of the stateful
+    streaming sessionizer (streaming/stateful.py:
+    closed_sessions_monitor, 3 longs of state per user): a stream
+    cannot emit a session it doesn't yet know has ended, so the honest
+    shared contract drops the trailing session on BOTH sides — making
+    the stateful kernel's emitted rows bit-identical to this query
+    (pinned in tests/test_streaming.py).  Complements
+    events_bounce_rate_sessions (the daily rollup) with the session
+    RELATION itself.
+
+    Exact integers: microsecond-exact gap comparisons (the engines'
+    shared convention), whole-second durations by floored division,
+    wall-clock session_start strings.
+
+    Scale shape: lag + running session counter + the per-user
+    last-session max all ride ONE user-partitioned sort; the session
+    fold reuses the same clustering.  No join, no Python (the Python
+    kernel is the STREAMING side's job)."""
+    from pyspark.sql import Window as W
+
+    gap_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(gap_w).isNull()
+            | (
+                F.timestamp_diff("MICROSECOND", F.lag("ts").over(gap_w), F.col("ts"))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = o.select(
+        "user_id",
+        "ts",
+        F.sum("new_s").over(gap_w.rowsBetween(W.unboundedPreceding, 0)).alias("sess"),
+    )
+    per = s.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    per = per.withColumn(
+        "last_sess", F.max("sess").over(W.partitionBy("user_id"))
+    )
+    return per.where(F.col("sess") < F.col("last_sess")).select(
+        "user_id",
+        F.date_format("t0", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.expr("timestampdiff(MICROSECOND, t0, t1) div 1000000")
+        .cast("long")
+        .alias("duration_s"),
+    )

@@ -903,3 +903,120 @@ def dq_reconciliation_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("status")
     )
+
+
+# --- numeric distribution drift: exact 1-Wasserstein / EMD (r11) ------------
+
+EMD_PACK = 1 << 31  # packs (cntA, cntB) into one weight: w = cntA*PACK + cntB
+
+
+@query(
+    "dq_drift_emd_numeric",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT cents,
+             CAST(SUM(ca) OVER (ORDER BY cents) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY cents) AS BIGINT) AS cumb,
+             LEAD(cents) OVER (ORDER BY cents) AS nxt
+      FROM v
+    ),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM v)
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(CAST(CAST(SUM(CAST(ABS(cuma * t.nb - cumb * t.na) AS HUGEINT)
+                               * (nxt - cents)) AS HUGEINT) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(t.na AS HUGEINT) * t.nb AS VARCHAR) AS DOUBLE)
+             AS emd_cents
+    FROM c CROSS JOIN t WHERE nxt IS NOT NULL
+    GROUP BY t.na, t.nb
+    """,
+    tags=("validation", "agg", "stats", "skew-source"),
+)
+def dq_drift_emd_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two numeric
+    distributions — even-keyed vs odd-keyed orders' total price — the
+    NUMERIC drift measure that complements the categorical pair
+    (events_psi_category_drift / events_jsd_drift): PSI and JSD need
+    binning and go blind to WITHIN-bin shift; EMD is the integral of
+    |CDF_A - CDF_B| and sees every cent of displacement, in the
+    metric's own units (cents of price moved per unit mass).
+
+    Exactness: over the value-aggregated domain, EMD = sum_v
+    |cumA(v)*nB - cumB(v)*nA| * gap(v) / (nA*nB) — an integer rational
+    (HUGEINT / DECIMAL(38,0) numerator, one VARCHAR-hopped double
+    divide at the end).  No binning, no float accumulation.
+
+    Scale shape: ONE fold to the value domain (cents -> conditional
+    counts, map-side partial), then the two-pass global-index
+    machinery (operators/global_index.py) for the ordered cumulative
+    — both side's running counts ride a SINGLE weighted cum by packing
+    (cntA, cntB) into one weight word (w = cntA * 2^31 + cntB; exact
+    while each side stays below 2^31 rows — document/repack at
+    larger scale), quantile-bucketed because price is heavy-tailed
+    user data (the skew-source rule).  The neighbor gap joins on the
+    dense index (equi-join on _gidx+1, shuffle-partitionable).  The
+    final fold is 1 row."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    d38 = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders")
+    v = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % 2).alias("side"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+        .withColumn("w", F.col("ca") * EMD_PACK + F.col("cb"))
+    )
+    # the index relation feeds BOTH sides of the neighbor-gap self-join
+    # — checkpoint once or Catalyst re-derives the whole two-pass
+    # machinery per reference (the triangle-count 109-exchange lesson)
+    idx = with_global_index(
+        v, "cents", [], weight_col="w", bucketer="quantile"
+    ).localCheckpoint(eager=False)
+    idx = idx.select(
+        "cents",
+        F.expr(f"_gcum div {EMD_PACK}").alias("cuma"),
+        F.expr(f"_gcum % {EMD_PACK}").alias("cumb"),
+        "_gidx",
+        F.expr(f"_gwtot div {EMD_PACK}").alias("na"),
+        F.expr(f"_gwtot % {EMD_PACK}").alias("nb"),
+    )
+    nxt = idx.select(
+        (F.col("_gidx") - 1).alias("_gidx"), F.col("cents").alias("nxt")
+    )
+    terms = idx.join(nxt, "_gidx").select(
+        "na",
+        "nb",
+        (
+            F.abs(
+                F.col("cuma").cast(d38) * F.col("nb")
+                - F.col("cumb").cast(d38) * F.col("na")
+            )
+            * (F.col("nxt") - F.col("cents"))
+        )
+        .cast(d38)
+        .alias("term"),
+    )
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        terms.groupBy("na", "nb")
+        .agg(F.sum("term").cast(d38).alias("emd_num"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (
+                dbl(F.col("emd_num"))
+                / dbl((F.col("na").cast(d38) * F.col("nb")).cast(d38))
+            ).alias("emd_cents"),
+        )
+    )

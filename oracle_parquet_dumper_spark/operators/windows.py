@@ -1476,3 +1476,102 @@ def window_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.groupBy("user_id").applyInPandas(
         fold, "user_id long, event_id long, balance_cents long"
     )
+
+
+# --- rolling correlation (value vs inter-arrival gap, r11) ------------------
+
+CORR_WIN = 8
+
+
+@query(
+    "window_rolling_corr",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y,
+             COALESCE(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+                        ts) // 1000000, 0) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN {CORR_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST({CORR_WIN} * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST({CORR_WIN} * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST({CORR_WIN} * syy - sy * sy AS DOUBLE))) AS corr8
+    FROM m
+    WHERE rn >= {CORR_WIN}
+      AND {CORR_WIN} * sxx - sx * sx > 0 AND {CORR_WIN} * syy - sy * sy > 0
+    """,
+    tags=("window", "events", "stats"),
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling PEARSON CORRELATION per user between event value and the
+    inter-arrival gap, over the trailing {CORR_WIN} events — "do big
+    values cluster after short gaps?"  The normalized companion to
+    window_rolling_slope (a slope has units and scale; r is bounded
+    [-1, 1] and comparable across users), and the windowed form of
+    agg_corr_regr's global correlation.
+
+    Exactness: gaps in whole seconds (floor of the exact microsecond
+    diff — the engines' shared convention), values in cents; all five
+    windowed moments (sx, sy, sxx, syy, sxy) are exact BIGINT sums
+    over the frame, and r is ONE identical float expression per row
+    (two correctly-rounded sqrts, one divide).  Zero-variance windows
+    (constant gaps or values) are excluded on both engines rather
+    than emitting 0/0.
+
+    Scale shape: the lag, row_number and all five moment windows ride
+    ONE user-partitioned sort; output is row-per-event past the
+    warm-up, no join, no Python."""
+    w = W.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(-(CORR_WIN - 1), 0)
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+        F.coalesce(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " lag(ts) OVER (PARTITION BY user_id ORDER BY event_id), ts)"
+                " div 1000000"
+            ),
+            F.lit(0),
+        ).alias("x"),
+    )
+    m = g.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(wf).cast("long").alias("sx"),
+        F.sum("y").over(wf).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(wf).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).cast("long").alias("sxy"),
+    )
+    n = F.lit(CORR_WIN)
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.where((F.col("rn") >= CORR_WIN) & (varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            "event_id",
+            (
+                (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+            ).alias("corr8"),
+        )
+    )

@@ -193,6 +193,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # systematic every-k sample: ungrouped global index over orders —
     # the offsets window runs over the <= 64-row bucket counts only
     "sample_systematic_interval": (1, "bucket offsets, <= 64 rows"),
+    # exact EMD: ungrouped WEIGHTED global index (cumulative CDF) —
+    # offsets + weight-totals windows, both over <= 64 bucket rows
+    "dq_drift_emd_numeric": (2, "bucket offsets + weight totals, <= 64 rows each"),
 }
 
 # A FORCED F.broadcast()/hint("broadcast") overrides AQE's size
@@ -217,6 +220,7 @@ BROADCAST_BUILD_ALLOWLIST: dict[str, tuple[int, str]] = {
     "sim_ann_lsh": (1, "1 query vector (vec_id = 0)"),
     "sim_ann_lsh_multiprobe": (1, "1 query vector (vec_id = 0)"),
     "sim_range_search_radius": (1, "1 query vector (vec_id = 0)"),
+    "sim_knn_classify_majority": (1, "1 query vector (vec_id = 0)"),
     "sim_ivf_coarse": (1, "1 query vector (vec_id = 0)"),
     "sim_maxsim_multivector": (1, "8 query token vectors (vec_id < 8)"),
     "sim_reciprocal_rank_fusion": (4, "1 query vector x 2 rankers x 2 index passes"),
@@ -765,6 +769,10 @@ def audit_query(spark, sf_dir: str, name: str, df=None) -> PlanAudit:
             b + " [behind a checkpoint]" for b in bad
         )
         a.banded_joins += _banded_join_count(frag)
+        # the quantile-bucketer projection (skew-source marker) can sit
+        # inside a checkpointed relation too (dq_drift_emd_numeric's
+        # indexed CDF) — count it there as well
+        a.quantile_bucketers += len(set(re.findall(r"(_qb#\d+)\[", frag)))
     lint(a, spec.tags)
     a._df = df  # for --explain; dataclass instances accept attributes
     return a

@@ -479,3 +479,86 @@ def cumulative_distinct_monitor(events: DataFrame, watermark: str = "1 hour") ->
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- closed-session emitter (streaming sessionization, r11) -----------------
+
+SESS_GAP_US = 30 * 60 * 1_000_000  # the events_bounce_rate_sessions gap
+
+CSESS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+CSESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_s", T.LongType()),
+    ]
+)
+
+
+def _us_to_str(us: int) -> str:
+    import datetime as dt
+
+    return dt.datetime.utcfromtimestamp(us / 1_000_000).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def closed_sessions_kernel(key, pdfs, state):
+    """Per-user sessionizer emitting CLOSED sessions only: a session is
+    proven over when a later event arrives more than {SESS_GAP_US} us
+    after its last event — until then it lives in state (3 longs per
+    user, bounded regardless of volume).  This is the honest streaming
+    contract: the trailing session of a user is NOT emitted, because
+    the stream cannot know it ended (the batch twin
+    stream_closed_sessions drops each user's last session for exactly
+    this reason, making the two BIT-IDENTICAL).  In-batch rows fold in
+    (ts, event_id) order — the batch twin's window order."""
+    cur = (
+        [state.get[0], state.get[1], state.get[2]] if state.exists else None
+    )
+    rows = []
+    for pdf in pdfs:
+        for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+            rows.append((int(pd.Timestamp(ts).value) // 1000, int(eid)))
+    rows.sort()
+    out = {c.name: [] for c in CSESS_OUT.fields}
+    for us, _eid in rows:
+        if cur is None:
+            cur = [us, us, 1]
+        elif us - cur[1] > SESS_GAP_US:
+            out["user_id"].append(int(key[0]))
+            out["session_start"].append(_us_to_str(cur[0]))
+            out["n_events"].append(cur[2])
+            out["duration_s"].append((cur[1] - cur[0]) // 1_000_000)
+            cur = [us, us, 1]
+        else:
+            cur[1] = us
+            cur[2] += 1
+    state.update((cur[0], cur[1], cur[2]))
+    yield pd.DataFrame(out)
+
+
+def closed_sessions_monitor(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization with closed-session semantics — the
+    stateful twin of stream_closed_sessions (operators/
+    streaming_batch.py): per-user state is (start, last, count), three
+    longs; sessions are emitted the moment a gap proves them over."""
+    from pyspark.sql import functions as F
+
+    rows = events.withWatermark("ts", watermark).select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    return rows.groupBy("user_id").applyInPandasWithState(
+        closed_sessions_kernel,
+        outputStructType=CSESS_OUT,
+        stateStructType=CSESS_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

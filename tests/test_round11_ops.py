@@ -524,3 +524,174 @@ def test_growth_accounting_planted(spark, tmp_path):
     assert (got["2024-03-12"].n_resurrected, got["2024-03-12"].n_active) == (1, 1)
     for r in got.values():
         assert r.n_active == r.n_new + r.n_returning + r.n_resurrected
+
+
+# --- batch-3 planted tests -------------------------------------------------
+
+
+def test_emd_numeric_planted(spark, tmp_path):
+    """Side A at {100, 200}, side B at {200, 300} (one order each):
+    EMD = integral of |CDF_A - CDF_B| = 100 cents exactly."""
+    orders = [(0, 1.00), (2, 2.00), (1, 2.00), (3, 3.00)]
+    _write(spark, tmp_path, "orders", orders, "o_orderkey long, o_totalprice double")
+
+    from oracle_parquet_dumper_spark.operators.validation import dq_drift_emd_numeric
+
+    [r] = dq_drift_emd_numeric(spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert abs(r.emd_cents - 100.0) < 1e-9
+
+
+def test_stickiness_planted(spark, tmp_path):
+    """User 1 active both days, user 2 only day 2: day-1 DAU/MAU = 1/1,
+    day-2 DAU 2 over MAU 2 (day-1 actives still in the 28-day
+    window)."""
+    t = lambda d: _dt.datetime(2024, 3, d, 12, 0, 0)  # noqa: E731
+    rows = [
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "view", 0.0, "{}"),
+        (3, t(2), 2, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_stickiness_dau_mau,
+    )
+
+    got = {r.day: r for r in events_stickiness_dau_mau(spark, str(tmp_path)).collect()}
+    assert (got["2024-03-01"].dau, got["2024-03-01"].mau) == (1, 1)
+    assert (got["2024-03-02"].dau, got["2024-03-02"].mau) == (2, 2)
+    assert got["2024-03-02"].stickiness_ppm == 1000000
+
+
+def test_rolling_corr_planted(spark, tmp_path):
+    """Value is an exact affine function of the inter-arrival gap —
+    y = x/100 dollars for user 1 (corr exactly +1 in every full
+    window), y = (500 - x)/100 for user 2 (exactly -1).  Event 0's
+    zero gap participates too: its value follows the same line, so
+    even the first full window is perfectly correlated."""
+    rows = []
+    eid = 0
+    for uid, sign in ((1, +1), (2, -1)):
+        t = _dt.datetime(2024, 3, 1, 10, 0, 0)
+        for i in range(9):
+            gap = 0 if i == 0 else 60 + 10 * i  # varying -> nonzero variance
+            t = t + _dt.timedelta(seconds=gap)
+            val = gap / 100.0 if sign > 0 else (500 - gap) / 100.0
+            rows.append((eid, t, uid, "view", val, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.windows import window_rolling_corr
+
+    got = window_rolling_corr(spark, str(tmp_path)).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r.corr8)
+    # exact expectation replayed in Python with the SAME cent flooring
+    import math
+
+    def corr(pairs):
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+    for uid, sign in ((1, +1), (2, -1)):
+        xs = [0] + [60 + 10 * i for i in range(1, 9)]
+        vals = [
+            (x / 100.0 if sign > 0 else (500 - x) / 100.0) for x in xs
+        ]
+        ys = [math.floor(v * 100) for v in vals]
+        pts = list(zip(xs, ys))
+        expect = [corr(pts[0:8]), corr(pts[1:9])]
+        assert len(by_user[uid]) == 2
+        for gotc, expc in zip(by_user[uid], expect):
+            assert abs(gotc - expc) < 1e-12
+        # and the directional contract holds despite cent flooring
+        assert all((c > 0.99) if sign > 0 else (c < -0.99) for c in by_user[uid])
+
+
+def test_knn_classify_planted(spark, tmp_path):
+    """Seven near-copies of the query labeled 5 and three labeled 9
+    inside the top-10: majority label 5 with 7 votes."""
+    import random
+
+    import pyspark.sql.types as T
+
+    rnd = random.Random(11)
+    qv = [rnd.uniform(-1, 1) for _ in range(64)]
+
+    def near(seed, eps):
+        r2 = random.Random(seed)
+        return [x + r2.uniform(-eps, eps) for x in qv]
+
+    rows = [(0, qv, 0)]
+    for i in range(7):
+        rows.append((1 + i, near(i, 0.01), 5))
+    for i in range(3):
+        rows.append((10 + i, near(100 + i, 0.02), 9))
+    rows.append((20, [-x for x in qv], 3))  # far away, outside top-10
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    from oracle_parquet_dumper_spark.operators.similarity import sim_knn_classify_majority
+
+    [r] = sim_knn_classify_majority(spark, str(tmp_path)).collect()
+    assert (r.predicted_label, r.n_votes) == (5, 7)
+
+
+def test_audio_silence_planted(spark, tmp_path):
+    """256 'a' samples per frame: frames of constant bytes are silent
+    (zero deviation energy... 'a'=97 -> (97-128)^2 per sample, NOT
+    silent); frames of alternating high-contrast bytes even less so.
+    A doc of 3 silent frames (byte 128 = chr(128) is non-ASCII, so use
+    ' ' padding trick: values near 128 aren't reachable in ASCII) —
+    instead pin the RELATIVE contract: constant-'~' frames (126,
+    (126-128)^2=4 < 16) are silent, 'a' frames (961) are not, and the
+    longest run counts consecutive silent frames."""
+    silent_frame = "~" * 256
+    loud_frame = "a" * 256
+    rows = [
+        (1, silent_frame * 2 + loud_frame + silent_frame, "en", "web", 1024),
+        (2, loud_frame, "en", "web", 256),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+
+    from oracle_parquet_dumper_spark.operators.multimodal import mm_audio_silence_ratio
+
+    got = {r.doc_id: r for r in mm_audio_silence_ratio(spark, str(tmp_path)).collect()}
+    assert (got[1].n_frames, got[1].n_silent, got[1].longest_silence_frames) == (4, 3, 2)
+    assert got[1].silence_ppm == 750000
+    assert (got[2].n_silent, got[2].longest_silence_frames) == (0, 0)
+
+
+def test_partition_advisor_planted(spark, tmp_path):
+    """Two months, one tiny: both recommend 1 file; the byte estimate
+    is the exact fixed+varchar sum (32 + status + priority)."""
+    t = _dt.datetime(2024, 1, 15)
+    t2 = _dt.datetime(2024, 2, 15)
+    orders = [(1, 10, "O", 1.0, t, "1-URGENT"), (2, 11, "F", 2.0, t2, "5-LOW")]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+
+    from oracle_parquet_dumper_spark.operators.layout_queries import (
+        layout_partition_size_advisor,
+    )
+
+    got = {r.month: r for r in layout_partition_size_advisor(spark, str(tmp_path)).collect()}
+    assert got["2024-01"].est_bytes == 32 + 1 + len("1-URGENT")
+    assert got["2024-02"].est_bytes == 32 + 1 + len("5-LOW")
+    assert all(r.n_files_recommended == 1 and r.rows_per_file == 1 for r in got.values())

@@ -478,3 +478,62 @@ def test_cumd_kernel_state_is_bitmap_words(spark, smoke_sf_dir):
     idxs, words = st.get
     assert list(idxs) == [0, 1]  # users 1,2 -> word 0; user 64 -> word 1
     assert words[0] == (1 << 1) | (1 << 2) and words[1] == 1 << (64 % 63)
+
+
+def test_stream_closed_sessions_equals_batch(spark, smoke_sf_dir):
+    """The stateful per-user sessionizer must emit BIT-IDENTICAL
+    closed-session rows to the batch twin stream_closed_sessions —
+    both sides drop each user's trailing (unproven) session, the
+    honest streaming contract."""
+    from oracle_parquet_dumper_spark.operators.streaming_batch import (
+        stream_closed_sessions,
+    )
+    from oracle_parquet_dumper_spark.streaming import stateful
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = stateful.closed_sessions_monitor(events)
+    ops.run_to_memory(stream, "t_csess", output_mode="update")
+    got = _normalize(spark.table("t_csess"))
+    want = _normalize(stream_closed_sessions(spark, smoke_sf_dir))
+    assert got == want and len(got) > 0
+
+
+def test_closed_sessions_kernel_batch_boundary(spark):
+    """State contract: a session spanning TWO micro-batches must close
+    exactly once, when the gap-proving event arrives in the second
+    batch — no double emit, no lost events."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from oracle_parquet_dumper_spark.streaming.stateful import (
+        CSESS_OUT,
+        closed_sessions_kernel,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    st = FakeState()
+    # batch 1: two events 5 min apart — session stays OPEN in state
+    b1 = pd.DataFrame(
+        {"ts": [t0, t0 + dt.timedelta(minutes=5)], "event_id": [1, 2]}
+    )
+    out1 = pd.concat(list(closed_sessions_kernel((7,), iter([b1]), st)))
+    assert len(out1) == 0 and st.exists and st.get[2] == 2
+    # batch 2: one event 40 min later — closes the first session
+    b2 = pd.DataFrame({"ts": [t0 + dt.timedelta(minutes=45)], "event_id": [3]})
+    out2 = pd.concat(list(closed_sessions_kernel((7,), iter([b2]), st)))
+    assert list(out2.columns) == [c.name for c in CSESS_OUT.fields]
+    assert len(out2) == 1
+    r = out2.iloc[0]
+    assert (r.user_id, r.n_events, r.duration_s) == (7, 2, 300)
+    assert r.session_start == "2024-03-01 10:00:00"
+    assert st.get == (None, None, None) or st.get[2] == 1  # new open session
