@@ -3078,3 +3078,77 @@ def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     idx = with_global_index(o, "o_orderkey", [])
     return idx.where(F.col("_gidx") % SYS_K == 0).select("o_orderkey", "o_totalprice")
+
+
+# --- cross-source duplication matrix (provenance analysis, r11) -------------
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    {_minhash_pairs_sql()},
+    keep AS (SELECT a, b FROM mh_pairs WHERE est_jaccard >= 0.5),
+    lab AS (
+      SELECT k.a, k.b, da.source AS sa, db.source AS sb
+      FROM keep k
+      JOIN documents da ON da.doc_id = k.a
+      JOIN documents db ON db.doc_id = k.b
+    )
+    SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "lsh", "agg", "pipeline"),
+    band_bits=124,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source DUPLICATION MATRIX: near-duplicate pairs (the
+    flagship minhash candidates at est-Jaccard >= 0.5) rolled up by
+    unordered source pair — WHICH sources copy from WHICH.  The
+    provenance view every corpus curator wants before setting
+    per-source keep priorities (pipeline_canonical_keeper) or mixture
+    weights (pipeline_domain_mixture): a heavy (web, web) diagonal
+    means internal crawl dup; a heavy (curated, web) off-diagonal
+    means the curated set leaked into the crawl (or vice versa).
+
+    Exact integers; the unordered-pair key (LEAST/GREATEST over the
+    source names) makes the matrix symmetric-upper on both engines.
+
+    Scale shape: identical candidate machinery to dedup_minhash_lsh
+    (zero-shuffle signatures, ONE (band, bucket) exchange, row-local
+    verification); the two source lookups join back on doc_id (the
+    natural key — AQE sizes them), then a fold to the <=
+    (#sources choose 2) matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_df(d)
+    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
+    a = bands.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
+    ) / F.lit(float(N_MINHASH))
+    keep = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .where(est >= 0.5)
+        .select("a", "b")
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        keep.join(src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")), "a")
+        .join(src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")), "b")
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -4158,6 +4158,7 @@ MAU_WINDOW_DAYS = 28
     ORDER BY day
     """,
     tags=("events", "agg", "join"),
+    bench=True,  # standing number for the bounded support-explode rolling distinct
 )
 def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU STICKINESS per day: daily actives over trailing

@@ -400,3 +400,82 @@ def profile_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .select("pattern", "n_rows", "n_missing")
     )
+
+
+# --- FK coverage profile (join planning, r11) -------------------------------
+
+
+@query(
+    "profile_join_key_coverage",
+    oracle="""
+    SELECT 'lineitem.l_partkey -> part' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+           CAST(SUM(CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST((1000000 * SUM(CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST((1000000 * SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST((1000000 * SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY fk
+    """,
+    tags=("profiling", "join", "agg"),
+)
+def profile_join_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK COVERAGE profile: for each declared fact->dimension key, how
+    many fact rows find their dimension row — the pre-join audit that
+    tells you whether an inner join will silently drop data (coverage
+    < 1e6 ppm) and whether a left join will null-fan (the missing
+    rows' share).  Complements dq_constraint_report's single
+    existence check with the full multi-FK coverage sweep, and
+    dq_reconciliation's amount check with the row-level one.
+
+    Exact integers end to end.  Scale shape: each probe is one keyed
+    left join (dimension side data-sized -> NO forced hint, AQE
+    chooses broadcast vs shuffle) folded to 1 row map-side; the three
+    1-row results union to a 3-row report.  At 100 TB each probe reads
+    the fact table once with only its key column (column pruning
+    pushed to the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def probe(fact, fk_col, dim, pk_col, name):
+        j = fact.select(fk_col).join(
+            dim.select(pk_col), fact[fk_col] == dim[pk_col], "left"
+        )
+        matched = F.sum(F.when(F.col(pk_col).isNotNull(), 1).otherwise(0))
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_fact_rows"),
+            matched.cast("long").alias("n_matched"),
+            F.expr(
+                f"CAST((1000000 * SUM(CASE WHEN {pk_col} IS NOT NULL THEN 1 ELSE 0 END))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+
+    return (
+        probe(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey -> part")
+        .unionByName(
+            probe(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey -> supplier")
+        )
+        .unionByName(
+            probe(o, "o_custkey", c, "c_custkey", "orders.o_custkey -> customer")
+        )
+        .orderBy("fk")
+    )

@@ -936,6 +936,7 @@ EMD_PACK = 1 << 31  # packs (cntA, cntB) into one weight: w = cntA*PACK + cntB
     GROUP BY t.na, t.nb
     """,
     tags=("validation", "agg", "stats", "skew-source"),
+    bench=True,  # standing number for the packed-weight global-index CDF path
 )
 def dq_drift_emd_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-Wasserstein (earth-mover) distance between two numeric

@@ -695,3 +695,49 @@ def test_partition_advisor_planted(spark, tmp_path):
     assert got["2024-01"].est_bytes == 32 + 1 + len("1-URGENT")
     assert got["2024-02"].est_bytes == 32 + 1 + len("5-LOW")
     assert all(r.n_files_recommended == 1 and r.rows_per_file == 1 for r in got.values())
+
+
+def test_cross_source_matrix_planted(spark, tmp_path):
+    """Identical docs planted web<->curated and web<->web: the matrix
+    reports one off-diagonal and one diagonal pair, unordered keys."""
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, dup, "en", "web", len(dup)),
+        (2, dup, "en", "curated", len(dup)),
+        (3, dup, "en", "web", len(dup)),
+        (4, "completely different vocabulary in this one here", "en", "web", 48),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+
+    from oracle_parquet_dumper_spark.operators.dedup import dedup_cross_source_matrix
+
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in dedup_cross_source_matrix(spark, str(tmp_path)).collect()
+    }
+    # pairs among {1,2,3}: (1,2) web-curated, (1,3) web-web, (2,3) curated-web
+    assert got == {("curated", "web"): 2, ("web", "web"): 1}
+
+
+def test_join_key_coverage_planted(spark, tmp_path):
+    """One orphan per FK: coverage ppm floors exactly."""
+    _write(spark, tmp_path, "lineitem", [(1, 10), (2, 10), (3, 99)][:3],
+           "l_partkey long, l_suppkey long")
+    # rebuild with distinct keys: partkeys {1,2,3}, suppkeys {10,10,99}
+    _write(spark, tmp_path, "part", [(1,), (2,)], "p_partkey long")
+    _write(spark, tmp_path, "supplier", [(10,)], "s_suppkey long")
+    _write(spark, tmp_path, "orders", [(5,), (6,)], "o_custkey long")
+    _write(spark, tmp_path, "customer", [(5,)], "c_custkey long")
+
+    from oracle_parquet_dumper_spark.operators.profiling import (
+        profile_join_key_coverage,
+    )
+
+    got = {r.fk: r for r in profile_join_key_coverage(spark, str(tmp_path)).collect()}
+    part = got["lineitem.l_partkey -> part"]
+    assert (part.n_fact_rows, part.n_matched, part.coverage_ppm) == (3, 2, 666666)
+    supp = got["lineitem.l_suppkey -> supplier"]
+    assert (supp.n_fact_rows, supp.n_matched) == (3, 2)
+    cust = got["orders.o_custkey -> customer"]
+    assert (cust.n_matched, cust.coverage_ppm) == (1, 500000)
