@@ -946,3 +946,124 @@ def graph_bfs_reachability_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     edges = spark.table(table).select("src", "dst")
     seed = edges.agg(F.min("src").alias("node"))
     return _bfs_rounds(edges, seed)
+
+
+# --- DOULION sampled triangle count (r11) -----------------------------------
+
+TRI_SAMPLE_MOD = 4  # keep each undirected edge w.p. 1/4 -> estimate x 64
+
+
+def _tri_sampled_oracle() -> str:
+    keep = (
+        "CAST(('0x' || substring(md5(CAST(LEAST(src, dst) AS VARCHAR) || '_' || "
+        "CAST(GREATEST(src, dst) AS VARCHAR)), 1, 8)) AS BIGINT) "
+        f"% {TRI_SAMPLE_MOD} = 0"
+    )
+    return f"""
+    WITH su AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    edges0 AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
+    ),
+    edges AS MATERIALIZED (SELECT src, dst FROM edges0 WHERE {keep}),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    o AS MATERIALIZED (
+      SELECT e.src AS u, e.dst AS v
+      FROM edges e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node
+      WHERE (du.d, e.src) < (dv.d, e.dst)
+    ),
+    tri AS (
+      SELECT p.u AS a, p.v AS b, q.v AS c
+      FROM o p JOIN o q ON p.v = q.u
+               JOIN o r ON r.u = p.u AND r.v = q.v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_triangles,
+           CAST(COUNT(*) * {TRI_SAMPLE_MOD ** 3} AS BIGINT) AS est_total_triangles
+    FROM tri
+    """
+
+
+@query(
+    "graph_triangle_count_sampled",
+    oracle=_tri_sampled_oracle(),
+    tags=("graph", "join", "sketch"),
+)
+def graph_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle count (Tsourakakis et al., KDD'09):
+    keep each UNDIRECTED edge with probability 1/{TRI_SAMPLE_MOD}
+    (deterministic pair-hash, so both directions of a symmetric edge
+    survive or drop together — sampling directions independently would
+    destroy triangle structure), count triangles exactly on the
+    sampled graph, scale by {TRI_SAMPLE_MOD}^3.  This is the published
+    escape hatch for graph_triangle_count's superlinear decade curve
+    (SCALING.md round-11: 6.12x/decade is the O(m^1.5) wedge bound on
+    a densifying graph): the wedge stage shrinks ~p^2 and the closing
+    joins ~p^3 — a 64x work reduction here — while the estimator stays
+    unbiased with variance that VANISHES as triangle counts grow,
+    exactly the 100 TB regime.
+
+    Deterministic, hence still ORACLE-CHECKED: the 'coin' is the edge
+    pair's md5 — both engines sample the identical subgraph, and the
+    exact count on it is an integer.  (A true random DOULION run is
+    this query with the hash swapped for a seeded RNG.)
+
+    Scale shape: identical plan skeleton to graph_triangle_count
+    (window degrees would also work; the deg join here stays UNHINTED
+    — AQE sizes it), on a 1/{TRI_SAMPLE_MOD}-sized edge relation;
+    output is a 1-row fold."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    a = su.select("o", F.col("s").alias("src"))
+    b = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.least("src", "dst").cast("string"),
+                        F.greatest("src", "dst").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % TRI_SAMPLE_MOD
+        == 0
+    )
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .where(keep)
+    )
+    oriented = (
+        edges.withColumn("du", F.count(F.lit(1)).over(W.partitionBy("src")))
+        .withColumn("dv", F.count(F.lit(1)).over(W.partitionBy("dst")))
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+
+    oriented = truncate_lineage(oriented)
+    paths = (
+        oriented.alias("p")
+        .join(oriented.alias("q"), F.col("p.v") == F.col("q.u"))
+        .select(F.col("p.u").alias("a"), F.col("p.v").alias("b"), F.col("q.v").alias("c"))
+    )
+    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = paths.join(closing, ["a", "c"], "left_semi")
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled_triangles"),
+        (F.count(F.lit(1)) * TRI_SAMPLE_MOD**3)
+        .cast("long")
+        .alias("est_total_triangles"),
+    )

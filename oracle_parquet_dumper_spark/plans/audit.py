@@ -773,6 +773,21 @@ def audit_query(spark, sf_dir: str, name: str, df=None) -> PlanAudit:
         # inside a checkpointed relation too (dq_drift_emd_numeric's
         # indexed CDF) — count it there as well
         a.quantile_bucketers += len(set(re.findall(r"(_qb#\d+)\[", frag)))
+        # the same blind-spot argument covers the OTHER single-task /
+        # single-node hazards: an unpartitioned Window or an exact
+        # percentile() buffer aggregate hidden inside a checkpointed
+        # relation still executes when the checkpoint materializes —
+        # logical Window nodes print the same bracket-group shape as
+        # physical ones, so the one detector covers both.  (Cartesian
+        # joins are NOT fragment-linted: a logical `Join Cross` may
+        # legally become a broadcast nested-loop over a 1-row fold —
+        # only the physical plan knows.)
+        a.unpartitioned_windows += sum(
+            1 for _, text in _nodes(frag) if _is_unpartitioned_window(text)
+        )
+        a.exact_percentiles += len(
+            re.findall(r"\b(?:percentile|percentile_disc|median)\(", frag)
+        )
     lint(a, spec.tags)
     a._df = df  # for --explain; dataclass instances accept attributes
     return a

@@ -741,3 +741,74 @@ def test_join_key_coverage_planted(spark, tmp_path):
     assert (supp.n_fact_rows, supp.n_matched) == (3, 2)
     cust = got["orders.o_custkey -> customer"]
     assert (cust.n_matched, cust.coverage_ppm) == (1, 500000)
+
+
+def test_triangle_sampled_planted(spark, tmp_path):
+    """DOULION on a planted graph: sampling is deterministic (pair
+    md5), the sampled count is exact on the surviving subgraph, and
+    the estimate is count * 64.  Cross-checked against a Python replay
+    of the same hash coin."""
+    import hashlib
+
+    # a 6-clique on parts 1..6 in one order: C(6,3) = 20 triangles
+    rows = [(100, p, 1) for p in range(1, 7)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    def kept(u, v):
+        lo, hi = min(u, v), max(u, v)
+        h = int(hashlib.md5(f"{lo}_{hi}".encode()).hexdigest()[:8], 16)
+        return h % 4 == 0
+
+    edges = {(u, v) for u in range(1, 7) for v in range(1, 7)
+             if u != v and kept(u, v)}
+    expect = sum(
+        1
+        for a in range(1, 7)
+        for b in range(a + 1, 7)
+        for c in range(b + 1, 7)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+
+    from oracle_parquet_dumper_spark.operators.graph import (
+        graph_triangle_count_sampled,
+    )
+
+    [r] = graph_triangle_count_sampled(spark, str(tmp_path)).collect()
+    assert r.n_sampled_triangles == expect
+    assert r.est_total_triangles == expect * 64
+
+
+def test_fragment_lint_covers_windows_and_percentiles(spark):
+    """The r11 fragment lint extension: an unpartitioned Window or an
+    exact percentile() hidden behind a localCheckpoint is still
+    counted.  (audit_query path exercised via a synthetic registry-free
+    replay of its fragment loop.)"""
+    import re
+
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.plans.audit import (
+        _is_unpartitioned_window,
+        _nodes,
+        capture_checkpoints,
+    )
+
+    d = spark.createDataFrame([(i, i % 3) for i in range(20)], "v long, g long")
+    with capture_checkpoints() as frags:
+        d.select(
+            "v", F.sum("v").over(W.orderBy("v")).alias("cum")
+        ).localCheckpoint(eager=False)
+        d.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("p50")).localCheckpoint(
+            eager=False
+        )
+    assert len(frags) == 2
+    upwin = sum(
+        1 for f in frags for _, t in _nodes(f) if _is_unpartitioned_window(t)
+    )
+    pct = sum(
+        len(re.findall(r"\b(?:percentile|percentile_disc|median)\(", f))
+        for f in frags
+    )
+    assert upwin >= 1 and pct >= 1
