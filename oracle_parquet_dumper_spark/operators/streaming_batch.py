@@ -393,3 +393,53 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("duration_s"),
     )
+
+
+@query(
+    "stream_user_day_class",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    lagged AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM days
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CASE WHEN prev_d IS NULL THEN 'new'
+                WHEN date_diff('day', prev_d, d) <= 7 THEN 'returning'
+                ELSE 'resurrected' END AS user_class
+    FROM lagged
+    """,
+    tags=("streaming", "events", "window"),
+)
+def stream_user_day_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, active day) growth classification — new / returning /
+    resurrected (7-day gap) — the ROW-LEVEL relation under
+    events_growth_accounting's daily rollup, and the batch twin of the
+    stateful streaming classifier (streaming/stateful.py:
+    growth_class_monitor, ONE date string of state per user, emitted
+    rows bit-identical — pinned in tests/test_streaming.py).  A
+    realtime audience pipeline keys campaigns off exactly this stream
+    ("resurrected this morning -> send the win-back survey").
+
+    Scale shape: one distinct to user-days (map-side partial), one lag
+    window on the same user clustering, a row-local CASE.  No join,
+    no Python on the batch side."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    lagged = days.select("user_id", "d", F.lag("d").over(w).alias("prev_d"))
+    return lagged.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("prev_d").isNull(), "new")
+        .when(F.datediff("d", "prev_d") <= 7, "returning")
+        .otherwise("resurrected")
+        .alias("user_class"),
+    )

@@ -562,3 +562,70 @@ def closed_sessions_monitor(events: DataFrame, watermark: str = "1 hour") -> Dat
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- growth-accounting classifier (new/returning/resurrected, r11) ----------
+
+GROWTH_GAP_DAYS = 7  # events_growth_accounting's resurrection gap
+
+GROWTH_STATE = T.StructType([T.StructField("last_day", T.StringType())])
+GROWTH_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("user_class", T.StringType()),
+    ]
+)
+
+
+def growth_class_kernel(key, pdfs, state):
+    """Per-user growth-accounting classifier: each NEW active day is
+    labeled new (never seen), returning (last active <=
+    {GROWTH_GAP_DAYS} days ago) or resurrected (longer gap) — ONE
+    date string of state per user, folded in day order within the
+    batch.  The realtime feed under the events_growth_accounting
+    dashboard: day-level rollups are that batch query; this emits the
+    per-user classification stream the moment the user shows up."""
+    import datetime as dt
+
+    last = state.get[0] if state.exists else None
+    days = set()
+    for pdf in pdfs:
+        days.update(pdf["day"])
+    out = {c.name: [] for c in GROWTH_OUT.fields}
+    for d in sorted(days):
+        if last is None:
+            cls = "new"
+        elif d == last:
+            continue  # same-day re-delivery: already classified
+        else:
+            gap = (
+                dt.date.fromisoformat(d) - dt.date.fromisoformat(last)
+            ).days
+            cls = "returning" if gap <= GROWTH_GAP_DAYS else "resurrected"
+        out["user_id"].append(int(key[0]))
+        out["day"].append(d)
+        out["user_class"].append(cls)
+        last = d
+    state.update((last,))
+    yield pd.DataFrame(out)
+
+
+def growth_class_monitor(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of stream_user_day_class (operators/
+    streaming_batch.py): per-user state is ONE date string; emitted
+    rows are bit-identical to the batch classification."""
+    from pyspark.sql import functions as F
+
+    rows = events.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("ts"),
+    )
+    return rows.groupBy("user_id").applyInPandasWithState(
+        growth_class_kernel,
+        outputStructType=GROWTH_OUT,
+        stateStructType=GROWTH_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -537,3 +537,50 @@ def test_closed_sessions_kernel_batch_boundary(spark):
     assert (r.user_id, r.n_events, r.duration_s) == (7, 2, 300)
     assert r.session_start == "2024-03-01 10:00:00"
     assert st.get == (None, None, None) or st.get[2] == 1  # new open session
+
+
+def test_stream_growth_class_equals_batch(spark, smoke_sf_dir):
+    """The stateful growth classifier must emit BIT-IDENTICAL
+    (user_id, day, class) rows to the batch twin
+    stream_user_day_class."""
+    from oracle_parquet_dumper_spark.operators.streaming_batch import (
+        stream_user_day_class,
+    )
+    from oracle_parquet_dumper_spark.streaming import stateful
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = stateful.growth_class_monitor(events)
+    ops.run_to_memory(stream, "t_growth", output_mode="update")
+    got = _normalize(spark.table("t_growth"))
+    want = _normalize(stream_user_day_class(spark, smoke_sf_dir))
+    assert got == want and len(got) > 0
+
+
+def test_growth_class_kernel_batch_boundary():
+    """State contract: a user's day in batch 2 classifies against the
+    last day carried in state from batch 1; a redelivered same day
+    emits nothing."""
+    import pandas as pd
+
+    from oracle_parquet_dumper_spark.streaming.stateful import growth_class_kernel
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    st = FakeState()
+    b1 = pd.DataFrame({"day": ["2024-03-01"]})
+    out1 = pd.concat(list(growth_class_kernel((5,), iter([b1]), st)))
+    assert list(out1.user_class) == ["new"] and st.get == ("2024-03-01",)
+    # redelivery of the same day: nothing new
+    out1b = pd.concat(list(growth_class_kernel((5,), iter([b1]), st)))
+    assert len(out1b) == 0
+    b2 = pd.DataFrame({"day": ["2024-03-05", "2024-03-20"]})
+    out2 = pd.concat(list(growth_class_kernel((5,), iter([b2]), st)))
+    assert list(out2.user_class) == ["returning", "resurrected"]
+    assert st.get == ("2024-03-20",)
