@@ -1575,3 +1575,90 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr8"),
         )
     )
+
+
+# --- Hampel despike filter (rolling median +- MAD, r11) ---------------------
+
+HAMPEL_WIN = 7   # trailing window, odd so the median is an element
+HAMPEL_K = 3     # flag if |v - med| > K * MAD
+HAMPEL_MAD_FLOOR = 50  # cents; flat windows would otherwise flag everything
+
+
+@query(
+    "window_hampel_despike",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER w AS rn,
+             list(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN {HAMPEL_WIN - 1} PRECEDING AND CURRENT ROW) AS win
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    m AS (
+      SELECT user_id, event_id, v,
+             list_sort(win)[{HAMPEL_WIN // 2 + 1}] AS med,
+             list_sort(list_transform(win,
+               x -> ABS(x - list_sort(win)[{HAMPEL_WIN // 2 + 1}])
+             ))[{HAMPEL_WIN // 2 + 1}] AS mad
+      FROM g WHERE rn >= {HAMPEL_WIN}
+    )
+    SELECT user_id, event_id, v AS value_cents, med AS median_cents,
+           mad AS mad_cents
+    FROM m
+    WHERE ABS(v - med) > {HAMPEL_K} * GREATEST(mad, {HAMPEL_MAD_FLOOR})
+    """,
+    tags=("window", "events", "validation"),
+)
+def window_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL outlier filter: flag events whose value deviates from the
+    trailing-{HAMPEL_WIN} rolling MEDIAN by more than {HAMPEL_K}x the
+    rolling MAD — the robust despiking standard for sensor/metric
+    streams (a z-score filter corrupts its own mean and stddev with
+    the spike it is trying to catch; median/MAD have a 50% breakdown
+    point).  Emits the flagged rows with their window median and MAD.
+
+    Exactness: values in cents; the window is an ODD fixed length so
+    both order statistics are ELEMENTS (position {HAMPEL_WIN // 2 + 1}
+    of the sorted window array) — exact integers, no interpolation, no
+    float convention.  The MAD floor ({HAMPEL_MAD_FLOOR} cents) keeps
+    flat windows (MAD 0) from flagging every tiny wiggle — the
+    events_seasonal_anomaly convention.
+
+    Scale shape: ONE user-partitioned sort carries the row_number and
+    the collect_list frame; the per-row sort of a {HAMPEL_WIN}-element
+    array is O(1) inside codegen.  This is NOT the exact-percentile
+    buffer hazard the audit bans: the window is a FIXED-length frame
+    (bounded state per row), not a per-group sort of all values."""
+    wo = W.partitionBy("user_id").orderBy("event_id")
+    wf = wo.rowsBetween(-(HAMPEL_WIN - 1), 0)
+    mid = HAMPEL_WIN // 2 + 1
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.row_number().over(wo).alias("rn"),
+        F.collect_list(F.floor(F.col("value") * 100).cast("long")).over(wf).alias("win"),
+    )
+    med = F.element_at(F.array_sort("win"), mid)
+    m = g.where(F.col("rn") >= HAMPEL_WIN).select(
+        "user_id",
+        "event_id",
+        "v",
+        med.alias("med"),
+        F.element_at(
+            F.array_sort(F.transform("win", lambda x: F.abs(x - med))), mid
+        ).alias("mad"),
+    )
+    return m.where(
+        F.abs(F.col("v") - F.col("med"))
+        > HAMPEL_K * F.greatest("mad", F.lit(HAMPEL_MAD_FLOOR))
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("v").alias("value_cents"),
+        F.col("med").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+    )

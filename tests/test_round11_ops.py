@@ -812,3 +812,23 @@ def test_fragment_lint_covers_windows_and_percentiles(spark):
         for f in frags
     )
     assert upwin >= 1 and pct >= 1
+
+
+def test_hampel_despike_planted(spark, tmp_path):
+    """A flat $1.00 stream with one $50 spike: the spike (and only the
+    spike) is flagged once it has a full trailing window; the window
+    median stays at the flat level and the MAD floors."""
+    rows = []
+    t0 = _dt.datetime(2024, 3, 1, 10, 0, 0)
+    for i in range(12):
+        val = 50.0 if i == 8 else 1.0
+        rows.append((i, t0 + _dt.timedelta(minutes=i), 1, "view", val, "{}"))
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.windows import window_hampel_despike
+
+    got = window_hampel_despike(spark, str(tmp_path)).collect()
+    assert [(r.event_id, r.value_cents, r.median_cents, r.mad_cents) for r in got] == [
+        (8, 5000, 100, 0)
+    ]
