@@ -137,6 +137,11 @@ def main() -> None:
     # I/O, no shuffle, no Python) — timed 3x, median stamped as
     # rows/sec.  Cross-round comparisons divide by this to normalize
     # per-core box speed; single-partition keeps scheduler noise out.
+    # Median-of-3 with the spread stamped (VERDICT r11 #3): the probe's
+    # single-shot resolution is ~±20% — bigger than any real per-query
+    # movement between recent rounds — so cross-round normalization
+    # divides by `median` and treats `spread` as the comparison's error
+    # bar (a per-query ratio inside 1 ± spread is box drift, not code).
     cal_rows = 500_000_000
     cal_runs = []
     for _ in range(3):
@@ -145,11 +150,15 @@ def main() -> None:
             "sum(id * 3 + 1) AS s"
         ).collect()
         cal_runs.append(time.perf_counter() - t0)
-    cal_sec = sorted(cal_runs)[1]
+    cal_runs.sort()
+    cal_sec = cal_runs[1]
     env["calibration"] = {
         "range_rows": cal_rows,
         "sec": round(cal_sec, 4),
         "rows_per_sec": round(cal_rows / cal_sec),
+        "median": round(cal_rows / cal_sec),  # rows/sec, = rows_per_sec
+        "spread": round((cal_runs[-1] - cal_runs[0]) / cal_sec, 4),
+        "runs_sec": [round(r, 4) for r in cal_runs],
     }
 
     specs = plans.bench_queries()

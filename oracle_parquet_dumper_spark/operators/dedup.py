@@ -2996,6 +2996,10 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "lsh", "agg"),
     band_bits=124,
+    # standing bench row (VERDICT r11 #2): measured 6.34x/decade in the
+    # round-11 sweep — the steepest member of the minhash candidate-
+    # growth family, so it carries the family's regression watch.
+    bench=True,
 )
 def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold SENSITIVITY of the minhash candidate set: the banded

@@ -987,6 +987,10 @@ def _tri_sampled_oracle() -> str:
     "graph_triangle_count_sampled",
     oracle=_tri_sampled_oracle(),
     tags=("graph", "join", "sketch"),
+    # standing bench row (VERDICT r11 #2): this is the candidate-growth
+    # family's published scale path — a regression here must show up in
+    # BENCH_r{N}.json, not only in an ad-hoc sweep.
+    bench=True,
 )
 def graph_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sampled triangle count (Tsourakakis et al., KDD'09):
