@@ -3156,3 +3156,153 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --- one-permutation-hashing signature accuracy (r12) ------------------------
+
+OPH_BINS = 16
+
+
+def _oph_oracle() -> str:
+    o_mins = ",\n             ".join(
+        f"MIN(CASE WHEN s % {OPH_BINS} = {i} THEN s END) AS o{i}"
+        for i in range(OPH_BINS)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN oa.o{i} = ob.o{i} THEN 1 ELSE 0 END)" for i in range(OPH_BINS)
+    )
+    n_empty = " + ".join(
+        f"(CASE WHEN oa.o{i} IS NULL AND ob.o{i} IS NULL THEN 1 ELSE 0 END)"
+        for i in range(OPH_BINS)
+    )
+    return f"""
+    WITH {_minhash_sig_sql()},
+    oph AS MATERIALIZED (
+      SELECT doc_id,
+             {o_mins}
+      FROM mh_sh GROUP BY doc_id
+    ),
+    oph_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM mh_sig a JOIN mh_sig b ON a.doc_id < b.doc_id AND ({_band_eq_sql()})
+    ),
+    oph_sets AS (
+      SELECT doc_id, list_distinct(list(s)) AS ss FROM mh_sh GROUP BY doc_id
+    ),
+    oph_scored AS (
+      SELECT p.a, p.b,
+             ({n_match}) AS n_match,
+             ({n_empty}) AS n_both_empty,
+             len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
+             len(sa.ss) + len(sb.ss)
+               - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS nu
+      FROM oph_pairs p
+      JOIN oph oa ON oa.doc_id = p.a
+      JOIN oph ob ON ob.doc_id = p.b
+      JOIN oph_sets sa ON sa.doc_id = p.a
+      JOIN oph_sets sb ON sb.doc_id = p.b
+    )
+    SELECT a, b, CAST(n_match AS BIGINT) AS n_match,
+           CAST(n_both_empty AS BIGINT) AS n_both_empty,
+           CAST(inter AS BIGINT) AS inter, CAST(nu AS BIGINT) AS nu,
+           CAST((n_match * 1000000) // ({OPH_BINS} - n_both_empty) AS BIGINT) AS est_ppm,
+           CAST((inter * 1000000) // nu AS BIGINT) AS true_ppm,
+           CAST((1000000 * abs(n_match * nu - ({OPH_BINS} - n_both_empty) * inter))
+                // (({OPH_BINS} - n_both_empty) * nu) AS BIGINT) AS err_ppm
+    FROM oph_scored
+    """
+
+
+@query(
+    "dedup_minhash_oph_eval",
+    oracle=_oph_oracle(),
+    tags=("dedup", "lsh", "eval"),
+    band_bits=124,
+)
+def dedup_minhash_oph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing signature accuracy (Li, Owen & Zhang,
+    NIPS'12): hash every shingle ONCE, partition the hash space into
+    {OPH_BINS} bins (bin = s mod {OPH_BINS}), keep the min per bin —
+    versus classic minhash's {OPH_BINS} independent affine hashes per
+    shingle.  At 100 TB the shingle stage dominates dedup cost, so OPH's
+    {OPH_BINS}x cut of per-shingle hash work is the scale path this eval
+    qualifies: per LSH candidate pair, the OPH estimate
+    matches/({OPH_BINS} − both-empty) — the paper's unbiased form
+    without densification; one-sided empty bins count as mismatch —
+    against the EXACT shingle Jaccard, with absolute error.
+
+    All ratios are exact integer ppm (floor division, cross-multiplied
+    error) — no floating point anywhere, bit-exact oracle.
+
+    Scale shape: signatures and bins are per-row array work on the
+    SAME single shingle relation (no extra scan); exact verification is
+    joined only for LSH-surviving candidates, O(candidates) like
+    dedup_minhash_accuracy_eval (dedup.py:~2485)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    sig = minhash_signatures_df(d)
+
+    bands = minhash_band_rows(sig).repartition("band", "bucket")
+    left = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    ss = F.array_distinct(
+        F.transform(shingles(F.col("text")), lambda s: _md5_long(s))
+    )
+    oph = F.transform(
+        F.sequence(F.lit(0), F.lit(OPH_BINS - 1)),
+        lambda k: F.array_min(F.filter(F.col("ss"), lambda s: s % OPH_BINS == k)),
+    )
+    sets = d.select("doc_id", ss.alias("ss")).select(
+        "doc_id", "ss", oph.alias("oph")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("a"), F.col("ss").alias("ss_a"), F.col("oph").alias("oph_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b"), F.col("ss").alias("ss_b"), F.col("oph").alias("oph_b")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("oph_a", "oph_b", lambda x, y: F.coalesce(x == y, F.lit(False))),
+            lambda m: m,
+        )
+    ).cast("long")
+    n_both_empty = F.size(
+        F.filter(
+            F.zip_with("oph_a", "oph_b", lambda x, y: x.isNull() & y.isNull()),
+            lambda m: m,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
+    nu = (F.size("ss_a") + F.size("ss_b")).cast("long") - inter
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            n_match.alias("n_match"),
+            n_both_empty.alias("n_both_empty"),
+            inter.alias("inter"),
+            nu.alias("nu"),
+        )
+        .select(
+            "a",
+            "b",
+            "n_match",
+            "n_both_empty",
+            "inter",
+            "nu",
+            F.expr(f"(n_match * 1000000) div ({OPH_BINS} - n_both_empty)").alias("est_ppm"),
+            F.expr("(inter * 1000000) div nu").alias("true_ppm"),
+            F.expr(
+                f"(1000000 * abs(n_match * nu - ({OPH_BINS} - n_both_empty) * inter))"
+                f" div (({OPH_BINS} - n_both_empty) * nu)"
+            ).alias("err_ppm"),
+        )
+    )

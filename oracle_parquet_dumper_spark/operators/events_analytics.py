@@ -13,6 +13,8 @@ harness convention: no date-typed output columns).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -4211,4 +4213,232 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * dau) div mau AS BIGINT)").alias("stickiness_ppm"),
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid periodogram (round 12)
+# ---------------------------------------------------------------------------
+
+# Candidate cycle lengths in HOURS (quarter-day, half-day, daily, weekly):
+# spectral power at the fundamental frequency of each tells an analyst
+# which seasonality actually dominates the event stream.
+PERIODOGRAM_PERIODS = (6, 12, 24, 168)
+# cos/sin are quantized to integer MICRO-UNITS before any aggregation —
+# the PR_SCALE convention (graph.py): libm cos/sin may differ in the
+# last ulp across engines, and summing doubles is order-dependent, so
+# the only portable form is ROUND(trig * 1e6) -> exact integer sums.
+# A 1-ulp libm disagreement flips the rounded integer only if cos*1e6
+# sits within 1 ulp of a .5 boundary (measure-zero; the angle grid has
+# < 200 distinct values, swept green at 4 SFs).
+TRIG_SCALE = 1_000_000
+
+_PERIODOGRAM_SQL = f"""
+    WITH hrs AS MATERIALIZED (
+      SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    terms AS (
+      SELECT p.p, h.x,
+             CAST(ROUND(cos(2 * pi() * (h.t % p.p) / p.p) * {TRIG_SCALE})
+                  AS BIGINT) AS c6,
+             CAST(ROUND(sin(2 * pi() * (h.t % p.p) / p.p) * {TRIG_SCALE})
+                  AS BIGINT) AS s6
+      FROM hrs h CROSS JOIN (VALUES (6), (12), (24), (168)) p(p)
+    ),
+    agg AS (
+      SELECT p AS period_hours,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(x) AS BIGINT) AS total_events,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(c6 AS DECIMAL(8,0))) AS sc,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(s6 AS DECIMAL(8,0))) AS ss
+      FROM terms GROUP BY 1
+    )
+    SELECT period_hours, n_hours, total_events,
+           CAST(sc AS BIGINT) AS s_cos6, CAST(ss AS BIGINT) AS s_sin6,
+           ((CAST(CAST(sc AS VARCHAR) AS DOUBLE) / {TRIG_SCALE})
+              * (CAST(CAST(sc AS VARCHAR) AS DOUBLE) / {TRIG_SCALE})
+            + (CAST(CAST(ss AS VARCHAR) AS DOUBLE) / {TRIG_SCALE})
+              * (CAST(CAST(ss AS VARCHAR) AS DOUBLE) / {TRIG_SCALE}))
+           / n_hours AS power
+    FROM agg ORDER BY period_hours
+    """
+
+
+@query(
+    "ts_periodogram_fixed_grid",
+    oracle=_PERIODOGRAM_SQL,
+    tags=("timeseries", "agg", "stats"),
+)
+def ts_periodogram_fixed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier spectral power of the hourly event-count series
+    at a FIXED grid of candidate cycle lengths (6 h, 12 h, 24 h, 1 week)
+    — the classical periodogram P(f) = (Σx·cos + Σx·sin)²/N restricted
+    to the periods an analyst actually asks about, which is what makes
+    it both scale-safe (4 output rows regardless of data size) and
+    oracle-checkable (the trig inputs 2πj/p come from < 200 distinct
+    rational angles, quantized to exact integer micro-units — see
+    TRIG_SCALE note; every aggregation is then exact DECIMAL).
+
+    Scale shape: ONE map-side-partial groupBy to hourly counts (the
+    calendar-bounded relation every ts_* query reduces to), a 4-way
+    constant explode, and a 4-group aggregate — no window, no join
+    against data-sized relations.  At 100 TB the hourly rollup is the
+    only shuffle and its cardinality is the calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    hrs = (
+        ev.select(
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', "
+                "date_trunc('hour', ts))"
+            ).cast("long").alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    periods = F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS])
+    terms = hrs.select(
+        "t", "x", F.explode(periods).alias("p")
+    ).select(
+        "p",
+        "x",
+        F.round(
+            F.cos(F.lit(2.0) * F.lit(math.pi) * (F.col("t") % F.col("p")) / F.col("p"))
+            * TRIG_SCALE
+        ).cast("long").alias("c6"),
+        F.round(
+            F.sin(F.lit(2.0) * F.lit(math.pi) * (F.col("t") % F.col("p")) / F.col("p"))
+            * TRIG_SCALE
+        ).cast("long").alias("s6"),
+    )
+    agg = terms.groupBy(F.col("p").alias("period_hours")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("c6").cast("decimal(8,0)")).alias("sc"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("s6").cast("decimal(8,0)")).alias("ss"),
+    )
+    scd = F.col("sc").cast("double") / TRIG_SCALE
+    ssd = F.col("ss").cast("double") / TRIG_SCALE
+    return agg.select(
+        "period_hours",
+        "n_hours",
+        "total_events",
+        F.col("sc").cast("long").alias("s_cos6"),
+        F.col("ss").cast("long").alias("s_sin6"),
+        ((scd * scd + ssd * ssd) / F.col("n_hours")).alias("power"),
+    ).orderBy("period_hours")
+
+
+# ---------------------------------------------------------------------------
+# Engagement concentration — Lorenz top-share points (round 12)
+# ---------------------------------------------------------------------------
+
+CONC_TIERS = ((1, "top_1pct"), (10, "top_10pct"), (50, "top_50pct"))
+
+
+@query(
+    "events_engagement_concentration",
+    oracle=f"""
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, user_id) AS r,
+             SUM(c) OVER (PARTITION BY event_type
+                          ORDER BY c DESC, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM uc
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(c) AS BIGINT) AS total_events
+      FROM uc GROUP BY 1
+    ),
+    tiers AS (
+      SELECT s.event_type, s.n_users, s.total_events, t.pct, t.tier,
+             GREATEST(1, (s.n_users * t.pct) // 100) AS k
+      FROM stats s CROSS JOIN (VALUES {", ".join(f"({p}, '{name}')" for p, name in CONC_TIERS)}) t(pct, tier)
+    )
+    SELECT t.event_type, t.tier, t.n_users, CAST(t.k AS BIGINT) AS k_users,
+           t.total_events, CAST(r.cum AS BIGINT) AS events_from_top,
+           CAST(r.cum * 1000000 // t.total_events AS BIGINT) AS share_ppm
+    FROM tiers t JOIN ranked r ON r.event_type = t.event_type AND r.r = t.k
+    ORDER BY t.event_type, t.tier
+    """,
+    tags=("events", "window", "agg"),
+)
+def events_engagement_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz top-share points per event type: what share of the type's
+    volume comes from its top 1% / 10% / 50% most-active users — the
+    concentration diagnostic behind both abuse review (one user = half
+    the traffic?) and skew planning (these ARE the hot keys a salted
+    aggregate defends against).
+
+    Exact integers end to end: per-user counts, a (count DESC, user_id)
+    rank + running sum INSIDE each event_type partition, tier cutoffs
+    by floor division, and a ppm share by integer floor division — no
+    float anywhere, bit-exact oracle.
+
+    Scale shape: the map-side-partial (type, user) groupBy is the only
+    data-sized shuffle; the rank/cumsum windows are PARTITIONED by
+    event_type (the profile_gini shape — never a single-task global
+    window); tiers is a bounded 3-way constant explode over the ~12-row
+    stats relation, and the final join keys on (type, rank) against
+    exactly 3 ranks per type."""
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wo = W.partitionBy("event_type").orderBy(F.col("c").desc(), "user_id")
+    ranked = uc.select(
+        "event_type",
+        "c",
+        F.row_number().over(wo).alias("r"),
+        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+    stats = uc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("total_events"),
+    )
+    tiers_arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("pct"), F.lit(name).alias("tier"))
+            for p, name in CONC_TIERS
+        ]
+    )
+    tiers = stats.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.explode(tiers_arr).alias("t"),
+    ).select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.col("t.tier").alias("tier"),
+        F.greatest(F.lit(1).cast("long"), F.expr("(n_users * t.pct) div 100")).alias("k_users"),
+    )
+    r2 = ranked.select(
+        F.col("event_type").alias("r_type"), F.col("r").alias("rr"), "cum"
+    )
+    return (
+        tiers.join(
+            r2,
+            (F.col("event_type") == F.col("r_type")) & (F.col("rr") == F.col("k_users")),
+        )
+        .select(
+            "event_type",
+            "tier",
+            "n_users",
+            "k_users",
+            "total_events",
+            F.col("cum").cast("long").alias("events_from_top"),
+            F.expr("cum * 1000000 div total_events").cast("long").alias("share_ppm"),
+        )
+        .orderBy("event_type", "tier")
     )

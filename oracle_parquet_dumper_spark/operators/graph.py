@@ -1071,3 +1071,108 @@ def graph_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_total_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (round 12)
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = """
+    WITH su AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
+    ),
+    j AS (
+      SELECT CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS du,
+             CAST(COUNT(*) OVER (PARTITION BY dst) AS BIGINT) AS dv
+      FROM edges
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+             SUM(CAST(du AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(dv AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(du AS DECIMAL(18,0)) * CAST(dv AS DECIMAL(18,0))) AS sxy,
+             SUM(CAST(du AS DECIMAL(18,0)) * CAST(du AS DECIMAL(18,0))) AS sxx,
+             SUM(CAST(dv AS DECIMAL(18,0)) * CAST(dv AS DECIMAL(18,0))) AS syy
+      FROM j
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes FROM edges)
+    SELECT m_edges, n_nodes,
+           (CAST(m_edges AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / sqrt((CAST(m_edges AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                  * (CAST(m_edges AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+             AS assortativity
+    FROM a CROSS JOIN n
+    """
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=_ASSORT_SQL,
+    tags=("graph", "join", "agg"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of endpoint degrees over the symmetric PART
+    co-occurrence edge list — positive means hubs link to hubs
+    (assortative mixing), negative means hub-to-leaf.  The part graph,
+    not the supplier graph, for the same reason the triangle family
+    uses it: the supplier graph is ~91% complete at sf0.1 (near-clique
+    ⇒ all degrees equal ⇒ zero degree variance, and the coefficient is
+    0/0 — measured at sf0.01 where it IS complete), while the part
+    graph keeps constant average degree as SF grows.
+
+    Determinism: degrees and all five moment sums are exact integers
+    carried as DECIMAL (du*dv products stay in DECIMAL(37,0) headroom,
+    so the sums never overflow at any SF); each exact sum crosses to
+    double through ONE correctly-rounded cast (the varchar-hop
+    convention on the DuckDB side), and the Pearson formula is then an
+    identical IEEE op tree on both engines.
+
+    Scale shape: edge build is keyed by l_orderkey (pair count bounded
+    by order size — never quadratic in table size); endpoint degrees
+    are count() windows riding the edge relation's own src/dst
+    exchanges — NO node-sized degree relation is joined or broadcast
+    anywhere (the r11 de-hinted triangle pattern, graph.py:1051);
+    the moment fold is a 1-row global aggregate."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    ea = su.select("o", F.col("s").alias("src"))
+    eb = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    edges = (
+        ea.join(eb, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    j = edges.select(
+        F.count(F.lit(1)).over(W.partitionBy("src")).cast("decimal(18,0)").alias("du"),
+        F.count(F.lit(1)).over(W.partitionBy("dst")).cast("decimal(18,0)").alias("dv"),
+    )
+    a = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).alias("syy"),
+    )
+    n = edges.agg(F.countDistinct("src").cast("long").alias("n_nodes"))  # 1-row fold
+    md = F.col("m_edges").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return a.crossJoin(n).select(
+        "m_edges",
+        "n_nodes",
+        (
+            (md * F.col("sxy").cast("double") - sxd * syd)
+            / F.sqrt(
+                (md * F.col("sxx").cast("double") - sxd * sxd)
+                * (md * F.col("syy").cast("double") - syd * syd)
+            )
+        ).alias("assortativity"),
+    )

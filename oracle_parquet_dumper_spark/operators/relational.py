@@ -3447,3 +3447,75 @@ def agg_rate_shrinkage_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shrunk_ppm").desc(), "l_suppkey")
         .limit(EB_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index (round 12)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_herfindahl_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_orderpriority AS priority, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(18,4)) AS c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS total_rev,
+           -- c is cast to width 19 (not 18) ONLY to force DuckDB's int128
+           -- multiply path: at width <= 18 DuckDB 1.0 multiplies the int64
+           -- payloads and overflows at runtime (seen at sf0.01); the
+           -- (19,4)x(19,4) product is DECIMAL(38,8), same values as
+           -- Spark's (18,4)x(18,4) -> (37,8)
+           CAST(CAST(SUM(CAST(c AS DECIMAL(19,4)) * CAST(c AS DECIMAL(19,4)))
+                     AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE)) AS hhi,
+           CAST(CAST(SUM(CAST(c AS DECIMAL(19,4)) * CAST(c AS DECIMAL(19,4)))
+                     AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE)) * COUNT(*) AS hhi_norm
+    FROM cust GROUP BY priority ORDER BY priority
+    """,
+    tags=("agg", "stats"),
+)
+def agg_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of customer revenue concentration per
+    order priority: HHI = Σᵢ shareᵢ² where shareᵢ is customer i's slice
+    of the priority's revenue — the standard market-concentration
+    measure (1/n = perfectly even, 1 = monopoly); hhi_norm = HHI·n
+    rescales out the customer count so priorities are comparable.
+
+    Determinism: Σ share² is algebraically Σc²/(Σc)² — the division is
+    hoisted OUT of the sum, so no order-dependent double accumulation
+    exists.  Per-customer totals are exact decimals (2-decimal money);
+    the (18,4) recast is exact (values have ≤2 decimals, far below the
+    14-digit headroom) and keeps c·c inside DECIMAL(37,8).  Both exact
+    sums cross to double once (varchar hop on DuckDB), then one
+    division.
+
+    Scale shape: two-level aggregation — map-side partial groupBy on
+    (priority, custkey), then a bounded-domain (5-priority) rollup;
+    the second shuffle carries one row per customer-priority.  No
+    window, no join, no broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("decimal(18,4)")
+        .alias("c")
+    )
+    sum_c = F.sum("c").cast("double")
+    sum_c2 = F.sum(F.col("c") * F.col("c")).cast("double")
+    return (
+        cust.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            sum_c.alias("total_rev"),
+            (sum_c2 / (sum_c * sum_c)).alias("hhi"),
+            (sum_c2 / (sum_c * sum_c) * F.count(F.lit(1))).alias("hhi_norm"),
+        )
+        .orderBy("priority")
+    )

@@ -874,3 +874,69 @@ def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             url, r"^[a-z]+://(?:[^/?#.]+\.)*([^/?#.]+\.[^/?#.]+)", 1
         ).alias("registered_domain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar arithmetic: months_between / add_months / last_day (round 12)
+# ---------------------------------------------------------------------------
+@query(
+    "fn_date_calendar",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))
+                 + CASE WHEN day(o_orderdate) = 1 THEN 0.0
+                        ELSE (1 - day(o_orderdate)) / 31.0 END, 8) AS mb_anchor,
+           CAST((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))
+                AS DOUBLE) AS mb_monthstart,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_in_month,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+             AS days_to_month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+             AS quarter_start,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def fn_date_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic — the one SURVEY §2B scalar example that had
+    no dedicated query (VERDICT r11 #6): ``months_between`` with its
+    day-of-month fraction rule, ``add_months`` end-of-month clamping,
+    ``last_day``, quarter truncation, and day-of-week.
+
+    months_between portability: DuckDB has no months_between, so the
+    oracle reimplements Spark's published formula (month delta, plus
+    (day1-day2)/31 unless the days match or both dates are month-ends;
+    the anchor 1998-12-01 is day 1 and never a month-end, so only the
+    day(d)=1 branch applies) and rounds to 8 decimals exactly as
+    Spark's roundOff=true does.  The fraction k/31 never lands on an
+    8-decimal rounding tie (that would need the double to BE a 9-digit
+    decimal), so HALF_UP-vs-binary rounding differences cannot appear.
+    mb_monthstart pins the day-equality branch: months_between against
+    trunc(month) has day 1 = day 1, an exact integer double.
+
+    Day-of-week convention: Spark dayofweek is 1=Sunday..7, DuckDB's is
+    0=Sunday..6 — the oracle shifts by +1 (same boundary-convention
+    class as the documented date_diff note in SCALING.md).
+
+    Scale shape: pure per-row projection — one scan, zero shuffles,
+    whole-stage codegen end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    anchor = F.lit("1998-12-01").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.months_between(anchor, d).alias("mb_anchor"),
+        F.months_between(anchor, F.trunc(d, "month")).alias("mb_monthstart"),
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.dayofmonth(F.last_day(d)).cast("long").alias("days_in_month"),
+        F.datediff(F.last_day(d), d).cast("long").alias("days_to_month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.trunc(d, "quarter").cast("timestamp_ntz").alias("quarter_start"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+    )

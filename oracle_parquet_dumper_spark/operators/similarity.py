@@ -1905,3 +1905,154 @@ def sim_knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_votes").desc(), "predicted_label")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking-quality evaluation (round 12)
+# ---------------------------------------------------------------------------
+
+# Integer DCG position weights: W[i] = round(1e12 / log2(i+2)) for rank
+# i+1, PRECOMPUTED and inlined as literals into BOTH engines' plans —
+# log2 is libm territory (a 1-ulp disagreement could flip a
+# round-to-integer), so neither engine computes a logarithm at query
+# time; the fold over weight*relevance is then exact BIGINT arithmetic
+# end to end (the PR_SCALE convention).
+import math as _math
+
+NDCG_W: list[int] = [round(1e12 / _math.log2(i + 2)) for i in range(TOP_K)]
+# Ideal DCG: the truth list replayed in order — relevance K-i at rank i+1.
+NDCG_IDEAL: int = sum(w * (TOP_K - i) for i, w in enumerate(NDCG_W))
+
+
+def _ndcg_eval_oracle() -> str:
+    bucket = _bucket_sql("embedding::DOUBLE[]")
+    w_list = "[" + ", ".join(str(w) for w in NDCG_W) + "]"
+    return f"""
+    WITH b AS MATERIALIZED (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket FROM b
+          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {KNN_QUERY_SET_SIZE}),
+    truth AS (
+      SELECT qid, vec_id, rn AS tr FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {cosine_rounded_sql('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e JOIN q ON e.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    ann AS (
+      SELECT qid, vec_id, rn AS ar FROM (
+        SELECT q.qid, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {cosine_rounded_sql('b.embedding', 'q.qvec')} DESC, b.vec_id) AS rn
+        FROM b JOIN q ON hamming(b.bucket, q.qbucket) <= 1 AND b.vec_id != q.qid
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT a.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+           CAST(COUNT(t.tr) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN t.tr IS NULL THEN 0
+                         ELSE ({w_list})[a.ar] * ({TOP_K} - t.tr + 1) END)
+                AS BIGINT) AS dcg_int,
+           CAST(SUM(CASE WHEN t.tr IS NULL THEN 0
+                         ELSE ({w_list})[a.ar] * ({TOP_K} - t.tr + 1) END)
+                AS DOUBLE) / {NDCG_IDEAL} AS ndcg
+    FROM ann a LEFT JOIN truth t ON a.qid = t.qid AND a.vec_id = t.vec_id
+    GROUP BY a.qid
+    """
+
+
+@query(
+    "sim_ndcg_eval",
+    oracle=_ndcg_eval_oracle(),
+    tags=("similarity", "lsh", "eval"),
+    band_bits=8,  # same ruling as sim_recall_eval: probe-style eval batch
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{TOP_K} of the multi-probe sign-LSH index against exact
+    brute-force ground truth — the POSITION-AWARE companion to
+    sim_recall_eval: recall treats a hit at rank 1 and rank 10 the
+    same; NDCG discounts by log2(rank+1) and grades relevance by how
+    high the truth ranking placed the hit (rel = K − truth_rank + 1),
+    which is what a retrieval deployment actually tunes against.
+
+    Determinism: the log2 position weights are precomputed INTEGER
+    micro-units inlined as literals into both plans (see NDCG_W note —
+    no runtime logarithm, no float fold); DCG is then an exact BIGINT
+    sum and NDCG one double division by the constant ideal DCG.
+
+    Scale shape: identical to sim_recall_eval — truth is one broadcast
+    query batch vs one base scan with a per-qid top-k window; ANN side
+    probes 9 of 256 buckets per query.  The extra work over recall is
+    O(|retrieved|) bookkeeping."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.functions.vectors import (
+        as_double,
+        cosine_prenormed,
+        norm,
+    )
+
+    nbits = len(HYPERPLANES)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        as_double("embedding").alias("v"),
+        norm("embedding").alias("nv"),
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    q = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(KNN_QUERY_SET_SIZE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos"))
+        .withColumn("tr", F.row_number().over(w))
+        .where(F.col("tr") <= TOP_K)
+        .select("qid", "vec_id", "tr")
+    )
+    probes = [F.col("qbucket")] + [
+        F.concat(
+            F.substring("qbucket", 1, i),
+            F.when(F.substring("qbucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring("qbucket", i + 2, nbits - i - 1),
+        )
+        for i in range(nbits)
+    ]
+    probe_df = q.select("qid", "qv", "nq", F.explode(F.array(*probes)).alias("bucket"))
+    ann = (
+        e.join(F.broadcast(probe_df), "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_prenormed("v", "qv", "nv", "nq").alias("cos"))
+        .withColumn("ar", F.row_number().over(w))
+        .where(F.col("ar") <= TOP_K)
+        # rename join keys: both sides derive from the same scan (see
+        # sim_recall_eval note on the trivially-true-equals heuristic)
+        .select(F.col("qid").alias("a_qid"), F.col("vec_id").alias("hit_id"), "ar")
+    )
+    w_arr = F.array(*[F.lit(x) for x in NDCG_W])
+    gain = F.when(
+        F.col("tr").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.element_at(w_arr, F.col("ar")) * (F.lit(TOP_K) - F.col("tr") + 1))
+    j = ann.join(
+        truth,
+        (F.col("a_qid") == F.col("qid")) & (F.col("hit_id") == F.col("vec_id")),
+        "left",
+    ).select(F.col("a_qid").alias("out_qid"), "ar", "tr")
+    return (
+        j.groupBy(F.col("out_qid").alias("qid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            F.count("tr").cast("long").alias("n_hits"),
+            F.sum(gain).cast("long").alias("dcg_int"),
+            (F.sum(gain).cast("double") / F.lit(NDCG_IDEAL)).alias("ndcg"),
+        )
+    )

@@ -443,3 +443,55 @@ def stream_user_day_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("resurrected")
         .alias("user_class"),
     )
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT strftime(time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rank
+      FROM c
+    ) WHERE rank <= 3
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 event types per tumbling 6h window — the
+    heavy-hitters dashboard's batch form: one (window, type) groupBy
+    (map-side partial; the rank window's partitions hold ≤ |type
+    domain| ~12 rows, never data-sized).
+
+    The STREAMING twin (streaming/stateful.py:heavy_hitters_monitor)
+    keys applyInPandasWithState by window start and holds the bounded
+    per-type count table as state — EXACT counting, not a Misra–Gries
+    sketch, precisely so its final emission is BIT-IDENTICAL to this
+    query (pinned in tests/test_round12_ops.py, with a FakeState
+    batch-boundary redelivery test alongside).  window_start is emitted
+    as a formatted string on both paths because the state key crosses
+    the Arrow boundary; F.window and DuckDB's time_bucket share the
+    epoch-aligned origin for hour multiples."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(
+            F.date_format(F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n")
+    )

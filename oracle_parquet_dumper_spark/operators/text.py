@@ -1904,3 +1904,184 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((1000000 * sum_distinct) div (n_windows * {MATTR_W}) AS BIGINT)"
         ).alias("mattr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (round 12)
+# ---------------------------------------------------------------------------
+
+BURSTINESS_MIN_TOTAL = 40  # floor: VMR of a rare term is noise
+BURSTINESS_TOP = 30
+
+
+@query(
+    "text_burstiness_vmr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> length(t) > 0)) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    td AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(c) AS BIGINT) AS total_cnt,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM td GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus
+          FROM documents WHERE length(text) > 0)
+    SELECT token, n_docs, total_cnt, sum_sq,
+           CAST(sum_sq AS DOUBLE) / CAST(total_cnt AS DOUBLE)
+             - CAST(total_cnt AS DOUBLE) / n_corpus AS vmr
+    FROM per CROSS JOIN n
+    WHERE total_cnt >= {BURSTINESS_MIN_TOTAL}
+    ORDER BY vmr DESC, token LIMIT {BURSTINESS_TOP}
+    """,
+    tags=("text", "tokenize", "agg"),
+)
+def text_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness as the variance-to-mean ratio of per-document
+    counts over the WHOLE corpus (zeros included) — Church & Gale's
+    observation that content words arrive in bursts (VMR >> 1) while
+    function words arrive ~Poisson (VMR ≈ 1); a quality signal for
+    LLM-data curation (templated/spammy corpora show extreme VMR).
+
+    Zeros without materializing them: with N docs, mean = T/N and
+    E[x²] = SS/N over all docs, so VMR = var/mean = SS/T − T/N — only
+    the nonzero (token, doc) counts are ever touched, and the three
+    moments are exact integers; the two divisions are the only float
+    ops (identical IEEE trees both engines).
+
+    Scale shape: explode → (token, doc) groupBy (map-side partial) →
+    token-keyed rollup → 1-row corpus-count fold crossed in; top-{BURSTINESS_TOP}
+    by VMR is a TakeOrdered, never a global sort."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+        ).alias("token"),
+    )
+    td = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per = td.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("total_cnt"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    n1 = d.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))  # 1-row fold
+    return (
+        per.crossJoin(F.broadcast(n1))
+        .where(F.col("total_cnt") >= BURSTINESS_MIN_TOTAL)
+        .select(
+            "token",
+            "n_docs",
+            "total_cnt",
+            "sum_sq",
+            (
+                F.col("sum_sq").cast("double") / F.col("total_cnt").cast("double")
+                - F.col("total_cnt").cast("double") / F.col("n_corpus")
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), "token")
+        .limit(BURSTINESS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram novelty by arrival batch (round 12)
+# ---------------------------------------------------------------------------
+
+NOVELTY_BATCH = 50  # docs per ingestion batch (doc_id is arrival order)
+
+
+@query(
+    "text_ngram_novelty_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id // {NOVELTY_BATCH} AS batch,
+             list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    tg AS (
+      SELECT DISTINCT batch,
+             unnest(list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      FROM toks WHERE len(w) >= 3
+    ),
+    first_seen AS (
+      SELECT g, MIN(batch) AS fb FROM tg GROUP BY g
+    ),
+    present AS (
+      SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_present FROM tg GROUP BY batch
+    ),
+    novel AS (
+      SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM first_seen GROUP BY fb
+    )
+    SELECT p.batch, p.n_present, COALESCE(n.n_novel, 0) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) * 1000000 // p.n_present AS BIGINT)
+             AS novelty_ppm
+    FROM present p LEFT JOIN novel n ON p.batch = n.batch
+    ORDER BY p.batch
+    """,
+    tags=("text", "ngram", "dedup", "agg"),
+)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus freshness curve: per {NOVELTY_BATCH}-document ingestion
+    batch (doc_id is arrival order), the share of the batch's DISTINCT
+    word trigrams never seen in ANY earlier batch — the
+    diminishing-returns signal a crawl/curation pipeline watches to
+    decide when a source is mined out (novelty decays toward the
+    template floor as the corpus saturates).
+
+    No per-batch re-scan of history: each trigram's first-seen batch is
+    ONE global min-aggregate, so novelty for every batch falls out of a
+    single pass — the same first-occurrence trick as
+    stream_cumulative_distinct's batch twin.  Counts and the ppm floor
+    division are exact integers.
+
+    Scale shape: explode → (batch, gram) DISTINCT (the one data-sized
+    shuffle, map-side combinable) → gram-keyed min + two batch-keyed
+    rollups whose cardinality is corpus/{NOVELTY_BATCH}."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = d.select(
+        F.expr(f"doc_id div {NOVELTY_BATCH}").alias("batch"),
+        F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0).alias("w"),
+    ).where(F.size("w") >= 3)
+    tg = toks.select(
+        "batch",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + F.lit(1)),
+                    F.element_at("w", i + F.lit(2)),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = tg.groupBy("g").agg(F.min("batch").alias("fb"))
+    present = tg.groupBy("batch").agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+    novel = first_seen.groupBy(F.col("fb").alias("batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return (
+        present.join(novel, "batch", "left")
+        .select(
+            "batch",
+            "n_present",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "coalesce(n_novel, 0) * 1000000 div n_present"
+            ).cast("long").alias("novelty_ppm"),
+        )
+        .orderBy("batch")
+    )

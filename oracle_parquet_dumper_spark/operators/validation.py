@@ -1021,3 +1021,152 @@ def dq_drift_emd_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emd_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association matrix (round 12)
+# ---------------------------------------------------------------------------
+
+def _cramers_pair_sql(idx: int, table: str, rcol: str, ccol: str) -> str:
+    """One pair's chi-square CTE chain, suffixed with ``idx`` so two
+    pairs share a single flat WITH (DuckDB 1.0 miscompiles parenthesized
+    WITH subqueries under UNION ALL — "query node type mismatch" — so
+    the composition must stay one statement-level WITH).  chi2 folds
+    the per-cell contributions LEFT-TO-RIGHT in (rl, cl) order via
+    list_reduce — the exact same sequential fold as the Spark side's
+    aggregate() over an array_sort'ed collect_list, so the otherwise
+    order-dependent double sum is bit-identical."""
+    return f"""
+    cells{idx} AS MATERIALIZED (
+      SELECT {rcol} AS rl, {ccol} AS cl, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM {table} GROUP BY 1, 2
+    ),
+    r{idx} AS (SELECT rl, CAST(SUM(n_obs) AS BIGINT) AS n_row FROM cells{idx} GROUP BY 1),
+    c{idx} AS (SELECT cl, CAST(SUM(n_obs) AS BIGINT) AS n_col FROM cells{idx} GROUP BY 1),
+    t{idx} AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM cells{idx}),
+    e{idx} AS (
+      SELECT rl, cl, COALESCE(n_obs, 0) AS n_obs, n_row, n_col, n_tot,
+             CAST(CAST(CAST(n_row AS DECIMAL(38,0)) * n_col AS VARCHAR) AS DOUBLE)
+               / n_tot AS expected
+      FROM r{idx} CROSS JOIN c{idx}
+      LEFT JOIN cells{idx} USING (rl, cl)
+      CROSS JOIN t{idx}
+    ),
+    s{idx} AS (
+      SELECT MAX(n_tot) AS n,
+             CAST(COUNT(DISTINCT rl) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT cl) AS BIGINT) AS nc,
+             list_reduce(
+               list((CAST(n_obs AS DOUBLE) - expected)
+                    * (CAST(n_obs AS DOUBLE) - expected) / expected
+                    ORDER BY rl, cl),
+               (acc, v) -> acc + v) AS chi2
+      FROM e{idx}
+    )"""
+
+
+def _cramers_select(idx: int, pair: str) -> str:
+    return f"""
+    SELECT '{pair}' AS pair, n, nr AS r_levels, nc AS c_levels, chi2,
+           sqrt(chi2 / (n * (least(nr, nc) - 1))) AS cramers_v
+    FROM s{idx}"""
+
+
+@query(
+    "dq_association_cramers_v",
+    oracle=(
+        "WITH "
+        + _cramers_pair_sql(1, "orders", "o_orderpriority", "o_orderstatus")
+        + ", "
+        + _cramers_pair_sql(2, "lineitem", "l_returnflag", "l_linestatus")
+        + _cramers_select(1, "orders:priority~status")
+        + " UNION ALL "
+        + _cramers_select(2, "lineitem:returnflag~linestatus")
+        + " ORDER BY pair"
+    ),
+    tags=("dq", "agg", "stats"),
+)
+def dq_association_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between categorical column pairs
+    — the DQ profiler's answer to "are these two dimensions redundant?"
+    (V≈0 independent, V≈1 one determines the other).  V = sqrt(chi2 /
+    (n·(min(r,c)−1))) over the zero-filled contingency grid; extends
+    agg_chi_square_independence (which deliberately leaves the per-cell
+    contributions unsummed) with a portable SUMMED statistic.
+
+    Determinism of the chi2 sum: summing IEEE doubles in engine order
+    is non-portable, so both engines fold the per-cell contributions
+    sequentially in canonical (rl, cl) order — Spark aggregate() over
+    an array_sort'ed collect_list (bounded: the grid is ≤ r·c ≤ 15
+    cells), DuckDB list_reduce over list(... ORDER BY rl, cl); a left
+    fold from 0.0 and a first-element fold agree exactly because
+    0.0 + x == x in IEEE.  Counts, margins and expected follow the
+    chi-square query's conventions (DECIMAL(38,0) margin product, one
+    correctly-rounded double crossing).
+
+    Scale shape (per pair): one map-side-partial groupBy on the two
+    bounded-domain columns, then margins/grid/fold over ≤15-row
+    relations — the grid join sides are checkpointed bounded
+    aggregates, declared in QUERY_BOUNDED_DOMAIN_COLS."""
+    d38 = "decimal(38,0)"
+
+    def pair(table: str, rcol: str, ccol: str, name: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        cells = (
+            df.groupBy(F.col(rcol).alias("rl"), F.col(ccol).alias("cl"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+            .localCheckpoint(eager=False)
+        )
+        r = cells.groupBy("rl").agg(F.sum("n_obs").cast("long").alias("n_row"))
+        c = cells.groupBy("cl").agg(F.sum("n_obs").cast("long").alias("n_col"))
+        t = cells.agg(F.sum("n_obs").cast("long").alias("n_tot"))
+        expected = (
+            (F.col("n_row").cast(d38) * F.col("n_col")).cast(d38)
+            .cast("string")
+            .cast("double")
+            / F.col("n_tot")
+        )
+        diff = F.col("n_obs").cast("double") - F.col("expected")
+        e = (
+            r.crossJoin(F.broadcast(c))
+            .join(F.broadcast(cells), ["rl", "cl"], "left")
+            .crossJoin(F.broadcast(t))
+            .select(
+                "rl",
+                "cl",
+                F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+                "n_tot",
+                expected.alias("expected"),
+            )
+            .select("rl", "cl", "n_tot", (diff * diff / F.col("expected")).alias("contrib"))
+        )
+        s = e.agg(
+            F.max("n_tot").alias("n"),
+            F.countDistinct("rl").cast("long").alias("r_levels"),
+            F.countDistinct("cl").cast("long").alias("c_levels"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rl", "cl", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("chi2"),
+        )
+        return s.select(
+            F.lit(name).alias("pair"),
+            "n",
+            "r_levels",
+            "c_levels",
+            "chi2",
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("r_levels", "c_levels") - F.lit(1)))
+            ).alias("cramers_v"),
+        )
+
+    return (
+        pair("orders", "o_orderpriority", "o_orderstatus", "orders:priority~status")
+        .unionByName(
+            pair("lineitem", "l_returnflag", "l_linestatus",
+                 "lineitem:returnflag~linestatus")
+        )
+        .orderBy("pair")
+    )

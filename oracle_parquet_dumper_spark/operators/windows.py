@@ -1662,3 +1662,95 @@ def window_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med").alias("median_cents"),
         F.col("mad").alias("mad_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger-band breakout screen (round 12)
+# ---------------------------------------------------------------------------
+
+BOLL_W = 19  # trailing frame length (current row excluded)
+BOLL_K = 2.0  # band half-width in standard deviations
+
+
+@query(
+    "window_bollinger_breakout",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, v,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(v) OVER w AS BIGINT) AS s,
+             CAST(SUM(v * v) OVER w AS BIGINT) AS ss
+      FROM cents
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {BOLL_W} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, v AS value_cents,
+           CAST(s AS DOUBLE) / n AS mid,
+           CAST(s AS DOUBLE) / n
+             + {BOLL_K} * sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * (n - 1))) AS upper_band,
+           CAST(s AS DOUBLE) / n
+             - {BOLL_K} * sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * (n - 1))) AS lower_band,
+           v > CAST(s AS DOUBLE) / n
+             + {BOLL_K} * sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * (n - 1))) AS breakout_up
+    FROM framed WHERE n = {BOLL_W}
+    """,
+    tags=("window", "events"),
+)
+def window_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout screen: per user, flag values above the
+    trailing {BOLL_W}-observation mean + {BOLL_K}σ band (current row
+    EXCLUDED from its own baseline, so a spike can't mask itself — the
+    same leakage rule as window_hampel_despike's trailing frame).
+    Emits only rows with a FULL trailing frame: a band from 3 points is
+    an alert-storm generator, not a baseline.
+
+    Determinism: values are integer cents; the frame's Σv and Σv² are
+    exact integer window sums, so mean and the sample-variance identity
+    (nΣv² − (Σv)²)/(n(n−1)) are identical IEEE trees on both engines —
+    no order-dependent float accumulation (the window_moving_avg
+    convention, taken further: ints instead of decimals).
+
+    Scale shape: one user-keyed sort window, frame state O({BOLL_W})
+    per row; no join, no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-BOLL_W, -1)
+    )
+    framed = cents.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("ss"),
+    ).where(F.col("n") == BOLL_W)
+    mid = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        F.col("v").alias("value_cents"),
+        mid.alias("mid"),
+        (mid + BOLL_K * sd).alias("upper_band"),
+        (mid - BOLL_K * sd).alias("lower_band"),
+        (F.col("v") > mid + BOLL_K * sd).alias("breakout_up"),
+    )

@@ -137,6 +137,12 @@ LSH_BAND_DOMAIN_RULINGS: dict[str, str] = {
         "sim_ann_lsh_multiprobe, plus a brute-force term that is "
         "explicitly the ground-truth cost being measured."
     ),
+    "sim_ndcg_eval": (
+        "same ruling as sim_recall_eval: position-aware evaluation over "
+        "the identical multiprobe candidate set for the same bounded "
+        "query batch — probe-style cost, brute-force term IS the ground "
+        "truth being measured."
+    ),
 }
 
 

@@ -629,3 +629,70 @@ def growth_class_monitor(events: DataFrame, watermark: str = "1 hour") -> DataFr
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- exact heavy-hitters monitor (r12) --------------------------------------
+
+HH_TOP = 3
+
+HH_STATE = T.StructType(
+    [
+        T.StructField("types", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+HH_OUT = T.StructType(
+    [
+        T.StructField("window_start", T.StringType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters_kernel(key, pdfs, state):
+    """Fold the window's rows into per-type counts held as state (the
+    event-type domain is bounded ~12, so state is O(domain) per window
+    — EXACT counting, not a Misra–Gries sketch, which keeps the twin
+    bit-checkable) and emit the current top-{HH_TOP} with (count DESC,
+    type) ranking.  Re-emitted with corrected ranks every time a batch
+    touches the window — update-mode semantics."""
+    counts: dict[str, int] = (
+        dict(zip(state.get[0], state.get[1])) if state.exists else {}
+    )
+    for pdf in pdfs:
+        for t in pdf["event_type"]:
+            counts[t] = counts.get(t, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_TOP]
+    out = {c.name: [] for c in HH_OUT.fields}
+    for i, (t, n) in enumerate(top, start=1):
+        out["window_start"].append(key[0])
+        out["rank"].append(i)
+        out["event_type"].append(t)
+        out["n"].append(n)
+    types = sorted(counts)
+    state.update((types, [counts[t] for t in types]))
+    yield pd.DataFrame(out)
+
+
+def heavy_hitters_monitor(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per tumbling 6h window, the exact top-{HH_TOP} event types by
+    count as a stateful stream — the heavy-hitters dashboard.  Keyed by
+    window start; state per key is the bounded type-count table."""
+    from pyspark.sql import functions as F
+
+    rows = events.withWatermark("ts", watermark).select(
+        F.date_format(
+            F.window("ts", "6 hours").start, "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        "event_type",
+        "ts",
+    )
+    return rows.groupBy("window_start").applyInPandasWithState(
+        heavy_hitters_kernel,
+        outputStructType=HH_OUT,
+        stateStructType=HH_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,467 @@
+"""Round-12 structural fixes: the two residual checkpoint-fragment
+lint gaps (VERDICT r11 #4) — Python eval and unbounded cartesians
+hidden behind a localCheckpoint — plus the round's new operators'
+planted by-name tests (appended as they land)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- fragment gap 1: Python eval behind a checkpoint ----------------------
+
+
+def test_fragment_python_eval_is_counted(spark):
+    """A mapInPandas hidden behind a localCheckpoint: the final
+    optimized plan is a bare LogicalRDD (blind — that IS the gap), the
+    captured fragment carries the MapInPandas node, and the shared
+    _PY_EVAL_RE sees it there."""
+    from oracle_parquet_dumper_spark.plans.audit import (
+        _PY_EVAL_RE,
+        capture_checkpoints,
+    )
+
+    df = spark.range(20).withColumn("v", F.col("id") * 2)
+
+    def ident(it):
+        yield from it
+
+    with capture_checkpoints() as frags:
+        chk = df.mapInPandas(ident, df.schema).localCheckpoint(eager=False)
+    assert len(frags) == 1
+    assert len(_PY_EVAL_RE.findall(frags[0])) == 1  # the fragment sees it
+
+    final = chk.select("id")._jdf.queryExecution().optimizedPlan().toString()
+    assert not _PY_EVAL_RE.findall(final)  # the final plan alone is blind
+
+
+def test_fragment_python_eval_raises_audit_py_count(spark):
+    """End-to-end through audit_query's fragment loop: the same hidden
+    mapInPandas must land in PlanAudit.python_eval so the registry-wide
+    Python-policy lint applies to fragments too.  Exercised via the
+    fragment-accumulation code path itself (audit_text on the final
+    plan scores 0; the loop adds the fragment's 1)."""
+    from oracle_parquet_dumper_spark.plans.audit import (
+        _PY_EVAL_RE,
+        audit_text,
+        capture_checkpoints,
+    )
+
+    df = spark.range(20).withColumn("v", F.col("id") * 2)
+
+    def ident(it):
+        yield from it
+
+    with capture_checkpoints() as frags:
+        chk = df.mapInPandas(ident, df.schema).localCheckpoint(eager=False)
+    out = chk.groupBy("v").count()
+    a = audit_text("planted", out._jdf.queryExecution().executedPlan().toString())
+    assert a.python_eval == 0
+    a.python_eval += sum(len(_PY_EVAL_RE.findall(f)) for f in frags)
+    assert a.python_eval == 1
+
+
+# --- fragment gap 2: unbounded Join Cross behind a checkpoint -------------
+
+
+def test_fragment_unbounded_cross_fires(spark):
+    """Two unbounded relations crossed inside a checkpointed fragment:
+    the boundedness proof fails on both sides, so the new rule flags
+    it — the physical CartesianProduct counter never could (the final
+    plan is a LogicalRDD scan)."""
+    from oracle_parquet_dumper_spark.plans.audit import (
+        _unbounded_cross_joins,
+        capture_checkpoints,
+    )
+
+    a = spark.createDataFrame([(i, "x") for i in range(40)], "k long, s string")
+    b = spark.createDataFrame([(i, 1.0) for i in range(40)], "j long, w double")
+    with capture_checkpoints() as frags:
+        a.crossJoin(b).localCheckpoint(eager=False)
+    assert len(frags) == 1
+    viol = _unbounded_cross_joins(frags[0])
+    assert len(viol) == 1 and "both sides unbounded" in viol[0]
+
+
+def test_fragment_bounded_cross_passes(spark):
+    """The legal shape the old global waiver existed for: a cross
+    against a 1-row global fold (a scalar broadcastable at any scale).
+    The per-join boundedness proof clears it, so closing the gap does
+    not outlaw the engine's scalar-fold crossJoins."""
+    from oracle_parquet_dumper_spark.plans.audit import (
+        _unbounded_cross_joins,
+        capture_checkpoints,
+    )
+
+    big = spark.createDataFrame([(i, float(i)) for i in range(40)], "k long, v double")
+    fold = big.agg(F.sum("v").alias("total"))
+    with capture_checkpoints() as frags:
+        big.crossJoin(fold).localCheckpoint(eager=False)
+    assert len(frags) == 1
+    assert _unbounded_cross_joins(frags[0]) == []
+
+
+def test_fragment_cross_lint_warns_in_lint(spark):
+    """lint() surfaces unbounded_cross_fragments as a warning (and the
+    demo exemption still applies, mirroring the CartesianProduct rule)."""
+    from oracle_parquet_dumper_spark.plans.audit import PlanAudit, lint
+
+    a = PlanAudit(name="planted")
+    a.unbounded_cross_fragments = [
+        "Join Cross with both sides unbounded ([k...] x [j...]) [behind a checkpoint]"
+    ]
+    assert any("unbounded cartesian" in w for w in lint(a, ()))
+    a2 = PlanAudit(name="planted")
+    a2.unbounded_cross_fragments = list(a.unbounded_cross_fragments)
+    assert not any("unbounded cartesian" in w for w in lint(a2, ("demo",)))
+
+
+def test_broadcast_rule_unchanged_by_refactor(spark):
+    """The shared-helper refactor preserves the broadcast rule's
+    behavior on its motivating case (the r10 planted hidden hint)."""
+    from oracle_parquet_dumper_spark.plans.audit import (
+        _unbounded_broadcast_builds,
+        capture_checkpoints,
+    )
+
+    big = spark.createDataFrame([(i, i % 3) for i in range(50)], "k long, v long")
+    probe = spark.createDataFrame([(1, 10)], "k long, w long")
+    with capture_checkpoints() as frags:
+        probe.join(F.broadcast(big), "k").localCheckpoint(eager=False)
+    h, bad = _unbounded_broadcast_builds(frags[0])
+    assert h == 1 and bad
+
+
+# --- round-12 operators: by-name planted tests ----------------------------
+
+import datetime as _dt
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / f"{table}.parquet")
+    )
+
+
+def test_fn_date_calendar_planted(spark, tmp_path):
+    """Hand-computed calendar facts: a leap-February date (clamping,
+    29-day month), a Jan-31 date (add_months clamps to Apr 30), and a
+    day-1 date (months_between integer branch)."""
+    rows = [
+        (1, 10, "O", 1.0, _dt.datetime(1996, 2, 15), "1-URGENT"),
+        (2, 11, "O", 1.0, _dt.datetime(1997, 1, 31), "2-HIGH"),
+        (3, 12, "F", 1.0, _dt.datetime(1998, 11, 1), "3-MEDIUM"),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+
+    from oracle_parquet_dumper_spark.operators.scalars import fn_date_calendar
+
+    got = {r.o_orderkey: r for r in fn_date_calendar(spark, str(tmp_path)).collect()}
+    # 1996-02-15 -> anchor 1998-12-01: 34 months + (1-15)/31, rounded to 8
+    assert got[1].mb_anchor == round(34 + (1 - 15) / 31.0, 8)
+    assert got[1].days_in_month == 29  # leap February
+    assert got[1].month_end == _dt.datetime(1996, 2, 29)
+    # Jan 31 + 3 months clamps to Apr 30
+    assert got[2].plus_3m == _dt.datetime(1997, 4, 30)
+    assert got[2].qtr == 1 and got[2].quarter_start == _dt.datetime(1997, 1, 1)
+    # day-1 date: months_between is the exact integer branch
+    assert got[3].mb_anchor == 1.0 and got[3].mb_monthstart == 1.0
+    # 1998-11-01 was a Sunday -> Spark dayofweek 1
+    assert got[3].dow_sun1 == 1
+
+
+def test_graph_degree_assortativity_planted(spark, tmp_path):
+    """Path graph 1-2-3 (orders {A: parts 1,2}, {B: parts 2,3}): the
+    endpoint-degree pairs are (1,2),(2,1),(2,3),(3,2), whose Pearson
+    correlation is exactly -1 — the textbook maximally-disassortative
+    case."""
+    rows = [
+        (1, 1, 10, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _dt.datetime(1995, 1, 1)),
+        (1, 2, 10, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _dt.datetime(1995, 1, 1)),
+        (2, 2, 10, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _dt.datetime(1995, 1, 2)),
+        (2, 3, 10, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _dt.datetime(1995, 1, 2)),
+    ]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp")
+
+    from oracle_parquet_dumper_spark.operators.graph import graph_degree_assortativity
+
+    got = graph_degree_assortativity(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.m_edges, r.n_nodes) == (4, 3)
+    assert r.assortativity == -1.0
+
+
+def test_agg_herfindahl_planted(spark, tmp_path):
+    """One priority, two customers at a 3:1 revenue split: shares are
+    0.75/0.25, HHI = 0.625, normalized HHI = 1.25."""
+    rows = [
+        (1, 100, "O", 300.0, _dt.datetime(1995, 1, 1), "1-URGENT"),
+        (2, 200, "O", 100.0, _dt.datetime(1995, 1, 2), "1-URGENT"),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+
+    from oracle_parquet_dumper_spark.operators.relational import (
+        agg_herfindahl_concentration,
+    )
+
+    got = agg_herfindahl_concentration(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_custs, r.total_rev) == (2, 400.0)
+    assert r.hhi == 0.625 and r.hhi_norm == 1.25
+
+
+def test_dq_association_cramers_v_planted(spark, tmp_path):
+    """orders: priority determines status exactly -> V = 1; lineitem:
+    returnflag and linestatus independent 2x2 uniform -> chi2 = 0."""
+    orows = [
+        (i, 10, "A" if i % 2 else "B", 1.0, _dt.datetime(1995, 1, 1),
+         "P1" if i % 2 else "P2")
+        for i in range(8)
+    ]
+    _write(spark, tmp_path, "orders", orows,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    lrows = [
+        (i, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, rf, ls, _dt.datetime(1995, 1, 1))
+        for i, (rf, ls) in enumerate(
+            [("A", "X"), ("A", "Y"), ("R", "X"), ("R", "Y")] * 3
+        )
+    ]
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp")
+
+    from oracle_parquet_dumper_spark.operators.validation import (
+        dq_association_cramers_v,
+    )
+
+    got = {r.pair: r for r in dq_association_cramers_v(spark, str(tmp_path)).collect()}
+    o = got["orders:priority~status"]
+    assert (o.n, o.r_levels, o.c_levels) == (8, 2, 2)
+    assert o.cramers_v == 1.0  # chi2 == n for a perfect 2x2 association
+    l = got["lineitem:returnflag~linestatus"]
+    assert l.chi2 == 0.0 and l.cramers_v == 0.0
+
+
+def test_ts_periodogram_planted(spark, tmp_path):
+    """Events only at hours 0/24/48 (5 each): every observation sits at
+    phase angle 0 for the 24-hour period, so s_cos6 is exactly
+    total*1e6 and s_sin6 is 0; the 7-observed-hour variant below pins
+    that absent hours contribute nothing."""
+    rows = []
+    eid = 0
+    for h in (0, 24, 48):
+        for k in range(5):
+            rows.append((eid, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=h, minutes=k),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        ts_periodogram_fixed_grid,
+    )
+
+    got = {r.period_hours: r for r in ts_periodogram_fixed_grid(spark, str(tmp_path)).collect()}
+    assert set(got) == {6, 12, 24, 168}
+    r24 = got[24]
+    assert (r24.n_hours, r24.total_events) == (3, 15)
+    assert r24.s_cos6 == 15 * 1_000_000 and r24.s_sin6 == 0
+    assert r24.power == (15.0 * 15.0) / 3
+
+
+def test_stream_heavy_hitters_equals_batch(spark, smoke_sf_dir):
+    """The stateful heavy-hitters monitor must emit BIT-IDENTICAL
+    (window_start, rank, event_type, n) rows to the batch twin (the
+    smoke fixture streams as one file = one in-order batch)."""
+    from oracle_parquet_dumper_spark.operators.streaming_batch import (
+        stream_heavy_hitters,
+    )
+    from oracle_parquet_dumper_spark.streaming import ops, stateful
+
+    events = ops.read_events_stream(spark, smoke_sf_dir)
+    stream = stateful.heavy_hitters_monitor(events)
+    ops.run_to_memory(stream, "t_hh", output_mode="update")
+    got = sorted(tuple(r) for r in spark.table("t_hh").collect())
+    want = sorted(tuple(r) for r in stream_heavy_hitters(spark, smoke_sf_dir).collect())
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_kernel_batch_boundary(spark):
+    """Redelivery contract: the same window split across TWO batches
+    must keep exact totals (state carries the count table), and the
+    re-emitted ranking must reflect the merged counts."""
+    import pandas as pd
+
+    from oracle_parquet_dumper_spark.streaming.stateful import heavy_hitters_kernel
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, t):
+            self.exists, self.get = True, t
+
+    st = FakeState()
+    b1 = pd.DataFrame({"event_type": ["a", "a", "b", "c", "c", "c"]})
+    (out1,) = list(heavy_hitters_kernel(("2024-01-01 00:00:00",), [b1], st))
+    assert list(zip(out1["rank"], out1.event_type, out1.n)) == [
+        (1, "c", 3), (2, "a", 2), (3, "b", 1)
+    ]
+    b2 = pd.DataFrame({"event_type": ["b", "b", "b", "d"]})
+    (out2,) = list(heavy_hitters_kernel(("2024-01-01 00:00:00",), [b2], st))
+    assert list(zip(out2["rank"], out2.event_type, out2.n)) == [
+        (1, "b", 4), (2, "c", 3), (3, "a", 2)
+    ]
+
+
+def test_text_burstiness_vmr_planted(spark, tmp_path):
+    """4 docs: 'zzz' appears 40x in one doc (bursty, VMR = 40/1 - 40/4
+    = 30 ... computed exactly), 'the' appears 10x in each of 4 docs
+    (uniform: VMR = 400/40 - 40/4 = 0).  Only terms with >= 40 total
+    pass the floor."""
+    docs = [
+        (1, " ".join(["zzz"] * 40), "en", "a", 100),
+        (2, " ".join(["the"] * 10), "en", "a", 100),
+        (3, " ".join(["the"] * 10) + " " + " ".join(["the"] * 10), "en", "a", 100),
+        (4, " ".join(["the"] * 10), "en", "a", 100),
+    ]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars long")
+
+    from oracle_parquet_dumper_spark.operators.text import text_burstiness_vmr
+
+    got = {r.token: r for r in text_burstiness_vmr(spark, str(tmp_path)).collect()}
+    assert set(got) == {"zzz", "the"}
+    z = got["zzz"]
+    # one doc holds all 40: VMR = 1600/40 - 40/4 = 30
+    assert (z.n_docs, z.total_cnt, z.sum_sq) == (1, 40, 1600)
+    assert z.vmr == 30.0
+    t = got["the"]
+    # 10+20+10 over 3 docs: SS=600, T=40: VMR = 15 - 10 = 5
+    assert (t.n_docs, t.total_cnt, t.sum_sq) == (3, 40, 600)
+    assert t.vmr == 5.0
+
+
+def test_events_engagement_concentration_planted(spark, tmp_path):
+    """10 users, one type: user 0 has 91 events, users 1..9 have 1 each
+    (total 100).  top_1pct -> k=1 user -> 91 events (910000 ppm);
+    top_50pct -> k=5 -> 91+4 = 95 events."""
+    rows = []
+    eid = 0
+    t0 = _dt.datetime(2024, 1, 1)
+    for u in range(10):
+        for _ in range(91 if u == 0 else 1):
+            rows.append((eid, t0 + _dt.timedelta(seconds=eid), u, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_engagement_concentration,
+    )
+
+    got = {r.tier: r for r in events_engagement_concentration(spark, str(tmp_path)).collect()}
+    assert got["top_1pct"].k_users == 1 and got["top_1pct"].events_from_top == 91
+    assert got["top_1pct"].share_ppm == 910000
+    assert got["top_10pct"].k_users == 1  # floor(10*10/100) = 1
+    assert got["top_50pct"].k_users == 5 and got["top_50pct"].events_from_top == 95
+
+
+def test_window_bollinger_breakout_planted(spark, tmp_path):
+    """One user, 19 flat $1.00 values then a $50 spike: the spike's
+    trailing frame is all-flat (sd = 0, bands collapse to the mid) so
+    it flags; rows before it lack a full frame and are dropped."""
+    rows = []
+    t0 = _dt.datetime(2024, 1, 1)
+    for i in range(20):
+        v = 50.0 if i == 19 else 1.0
+        rows.append((i, t0 + _dt.timedelta(minutes=i), 7, "view", v, "{}"))
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.windows import window_bollinger_breakout
+
+    got = window_bollinger_breakout(spark, str(tmp_path)).collect()
+    assert len(got) == 1  # only the row with a full 19-deep trailing frame
+    r = got[0]
+    assert r.event_id == 19 and r.value_cents == 5000
+    assert r.mid == 100.0 and r.upper_band == 100.0 and r.lower_band == 100.0
+    assert r.breakout_up is True
+
+
+def test_sim_ndcg_eval_bounds(spark, smoke_sf_dir):
+    """NDCG structural invariants on the smoke fixture: one row per
+    query in the batch, 0 <= ndcg <= 1, dcg_int consistent with the
+    integer weight fold, and perfect-retrieval queries score exactly
+    1.0 iff they retrieved the truth list in truth order."""
+    from oracle_parquet_dumper_spark.operators.similarity import (
+        NDCG_IDEAL,
+        sim_ndcg_eval,
+    )
+
+    rows = sim_ndcg_eval(spark, smoke_sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.ndcg <= 1.0
+        assert r.dcg_int == round(r.ndcg * NDCG_IDEAL)
+        assert r.n_hits <= r.n_retrieved <= 10
+
+
+def test_dedup_minhash_oph_eval_planted(spark, tmp_path):
+    """Identical docs: every non-empty OPH bin matches, the estimate is
+    exactly 1.0 (1e6 ppm) and the error 0 — and both-empty bins must be
+    excluded from the denominator for that to hold (a 6-shingle doc
+    fills at most 6 of 16 bins)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, text, "en", "a", len(text)), (2, text, "en", "a", len(text))]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars long")
+
+    from oracle_parquet_dumper_spark.operators.dedup import (
+        OPH_BINS,
+        dedup_minhash_oph_eval,
+    )
+
+    got = dedup_minhash_oph_eval(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a, r.b) == (1, 2)
+    assert r.n_match == OPH_BINS - r.n_both_empty and r.n_both_empty > 0
+    assert r.est_ppm == 1_000_000 and r.true_ppm == 1_000_000 and r.err_ppm == 0
+
+
+def test_text_ngram_novelty_rate_planted(spark, tmp_path):
+    """Batch 0 (doc 0) introduces 2 trigrams; batch 1 (doc 50) repeats
+    the same text (novelty 0) while doc 51 adds 1 new trigram among its
+    2: batch 1 presents 3 distinct trigrams, 1 novel."""
+    docs = [
+        (0, "a b c d", "en", "s", 7),        # trigrams: "a b c", "b c d"
+        (50, "a b c d", "en", "s", 7),       # all seen in batch 0
+        (51, "a b c x", "en", "s", 7),       # "a b c" seen, "b c x" new
+    ]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars long")
+
+    from oracle_parquet_dumper_spark.operators.text import text_ngram_novelty_rate
+
+    got = {r.batch: r for r in text_ngram_novelty_rate(spark, str(tmp_path)).collect()}
+    assert got[0].n_present == 2 and got[0].n_novel == 2
+    assert got[0].novelty_ppm == 1_000_000
+    assert got[1].n_present == 3 and got[1].n_novel == 1
+    assert got[1].novelty_ppm == 333_333
