@@ -4442,3 +4442,341 @@ def events_engagement_concentration(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type", "tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-lag autocorrelation (round 12)
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3, 7)
+
+
+@query(
+    "ts_acf_multi_lag",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily
+    ),
+    pairs AS (
+      SELECT l.lag, a.x AS xa, b.x AS xb
+      FROM daily a
+      CROSS JOIN (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}) l(lag)
+      JOIN daily b ON b.t = a.t + l.lag
+    ),
+    per AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+             CAST(SUM(xa) AS BIGINT) AS sa,
+             CAST(SUM(xb) AS BIGINT) AS sb
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, g.n AS n_days, per.n_pairs,
+           (CAST(sxy AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / g.n) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+              + per.n_pairs * (CAST(sx AS DOUBLE) / g.n) * (CAST(sx AS DOUBLE) / g.n))
+           / (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / g.n) AS acf
+    FROM per CROSS JOIN g
+    ORDER BY lag
+    """,
+    tags=("timeseries", "agg", "stats"),
+)
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags
+    {ACF_LAGS} in ONE pass — the correlogram view behind seasonality
+    and mean-reversion reads (ts_autocorr_lag1 generalized: all lags
+    share one daily rollup and one global-moment fold; the standard
+    estimator normalizes every lag by the FULL-series variance, so the
+    denominator is computed once).  Calendar gaps are skipped, not
+    zero-filled (pairs join on t+lag over observed days) — the
+    ts_gapfill_interpolate convention.
+
+    Determinism: daily counts are integers; per-lag Σxy/Σx/Σx̄ and the
+    global moments are exact integer sums crossing to double once; the
+    mean-centering identity is then one shared IEEE tree.
+
+    Scale shape: the daily rollup is the only data-sized shuffle
+    (map-side partial, calendar-bounded output); the lag self-join and
+    both folds run on the day-grid relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag")
+    a = daily.select("t", F.col("x").alias("xa"), lags)
+    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("tb") == F.col("t") + F.col("lag"))
+    per = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("xb").cast("long").alias("sb"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            (
+                (
+                    F.col("sxy").cast("double")
+                    - mean * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+                    + F.col("n_pairs") * mean * mean
+                )
+                / (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+                )
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (round 12)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_mann_kendall_trend",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.t > a.t
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY x) g
+      WHERE c > 1
+    )
+    SELECT n AS n_days, s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_18,
+           CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+                     / sqrt((CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)) / 18)
+                WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+                     / sqrt((CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)) / 18)
+                ELSE 0.0 END AS z_score
+    FROM s CROSS JOIN n1 CROSS JOIN ties
+    """,
+    tags=("timeseries", "agg", "stats"),
+)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test on the daily event-count
+    series: S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance
+    n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18, continuity-corrected Z —
+    the distribution-free "is traffic trending?" answer (|Z| > 1.96 ≈
+    95%), robust to the outliers and non-normality that break an OLS
+    slope test.
+
+    The O(days²) pair join is over the CALENDAR-BOUNDED day grid, not
+    the data — a decade of days is 3650 rows / ~6.7M sign pairs
+    regardless of event volume, the same boundedness argument as every
+    ts_* day-grid query.  S, n and the tie term are exact integers;
+    Z is assembled from them in one shared IEEE tree (the /18 lives
+    inside the sqrt on both engines).
+
+    Scale shape: one map-side-partial daily rollup (the only data-sized
+    shuffle), then grid-sized joins and three 1-row folds."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    a = daily.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n1 = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("long")
+    sd = F.sqrt(var18.cast("double") / 18)
+    return (
+        s.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var_18"),
+            F.when(F.col("s_stat") > 0, (F.col("s_stat").cast("double") - 1) / sd)
+            .when(F.col("s_stat") < 0, (F.col("s_stat").cast("double") + 1) / sd)
+            .otherwise(F.lit(0.0))
+            .alias("z_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution (round 12)
+# ---------------------------------------------------------------------------
+
+ATTR_DECAY_LOOKBACK_DAYS = 7
+ATTR_DECAY_SCALE = 1_000_000
+
+
+@query(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.pid, p.cents, t.touch_type,
+             CAST({ATTR_DECAY_SCALE} //
+                  (1 + (p.p_us - t.t_us) // 86400000000) AS BIGINT) AS w
+      FROM p LEFT JOIN t
+        ON t.user_id = p.user_id
+       AND t.t_us < p.p_us
+       AND t.t_us >= p.p_us - {ATTR_DECAY_LOOKBACK_DAYS}::BIGINT * 86400000000
+    ),
+    c AS (
+      SELECT pid, cents, touch_type, w,
+             CAST(SUM(w) OVER (PARTITION BY pid) AS BIGINT) AS tw
+      FROM j
+    )
+    SELECT COALESCE(touch_type, 'direct') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CASE WHEN touch_type IS NULL THEN cents
+                         ELSE CAST(cents AS HUGEINT) * w // tw END)
+                AS BIGINT) AS credited_cents
+    FROM c GROUP BY 1 ORDER BY touch_type
+    """,
+    tags=("events", "window", "join", "agg"),
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution, completing the family (last-touch /
+    U-shape / decay): every touch in the {ATTR_DECAY_LOOKBACK_DAYS}-day
+    window before a purchase earns credit that DECAYS with age, and the
+    purchase's cents are split in proportion.
+
+    The decay is harmonic — weight = {ATTR_DECAY_SCALE} div (1 +
+    days_back) — rather than the textbook 2^(−Δ/halflife): an exponent
+    would put pow() (libm, last-ulp-divergent) inside a ROUND on ~10^5
+    distinct deltas, while the reciprocal form keeps EVERY number in
+    the query an exact integer (weights, per-purchase weight total via
+    a pid-partitioned window, and floor-division credit splitting).
+    Floor division under-credits each channel by < 1 cent per
+    (purchase, touch) pair — the residue stays unassigned by design.
+    Purchases with no prior touch in the window credit 'direct' in
+    full.
+
+    Scale shape: one user-keyed range join with a bounded
+    {ATTR_DECAY_LOOKBACK_DAYS}-day lookback (the join explosion is
+    bounded by touches-per-user-week, not history length), one
+    purchase-keyed window over that bounded fan-out, one bounded-domain
+    channel rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is the identity
+    # instant and unix_micros is well-defined (the ts_us convention above)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        us.alias("p_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        us.alias("t_us"),
+        F.col("event_type").alias("touch_type"),
+    )
+    lookback_us = ATTR_DECAY_LOOKBACK_DAYS * 86_400_000_000
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(lookback_us)),
+        "left",
+    ).select(
+        "pid",
+        "cents",
+        "touch_type",
+        F.expr(
+            f"CAST({ATTR_DECAY_SCALE} div (1 + (p_us - t_us) div 86400000000) AS BIGINT)"
+        ).alias("w"),
+    )
+    c = j.select(
+        "pid",
+        "cents",
+        "touch_type",
+        "w",
+        F.sum("w").over(W.partitionBy("pid")).cast("long").alias("tw"),
+    )
+    return (
+        c.groupBy(F.coalesce("touch_type", F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.sum(
+                F.when(F.col("touch_type").isNull(), F.col("cents")).otherwise(
+                    F.expr("CAST(cents AS DECIMAL(38,0)) * w div tw")
+                )
+            )
+            .cast("long")
+            .alias("credited_cents"),
+        )
+        .orderBy("touch_type")
+    )

@@ -1176,3 +1176,104 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Community conductance (round 12)
+# ---------------------------------------------------------------------------
+
+_CONDUCTANCE_SQL = """
+    WITH su AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM su a JOIN su b ON a.o = b.o AND a.s != b.s
+    ),
+    lab AS (
+      SELECT e.src, e.dst, ps.p_brand AS src_brand, pd.p_brand AS dst_brand
+      FROM edges e
+      JOIN part ps ON ps.p_partkey = e.src
+      JOIN part pd ON pd.p_partkey = e.dst
+    ),
+    per AS (
+      SELECT src_brand AS brand,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+             CAST(COUNT(*) AS BIGINT) AS volume,
+             CAST(SUM(CASE WHEN src_brand != dst_brand THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cut
+      FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(volume) AS BIGINT) AS total_vol FROM per)
+    SELECT brand, n_nodes, volume, cut,
+           CAST(cut * 1000000 // LEAST(volume, total_vol - volume) AS BIGINT)
+             AS conductance_ppm
+    FROM per CROSS JOIN tot
+    ORDER BY brand
+    """
+
+
+@query(
+    "graph_conductance_cut",
+    oracle=_CONDUCTANCE_SQL,
+    tags=("graph", "join", "agg"),
+)
+def graph_conductance_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-cut conductance φ(S) = cut(S,S̄) / min(vol(S), vol(S̄))
+    per part BRAND over the part co-occurrence graph — the standard
+    community-quality score (low φ = a well-separated cluster, φ→1 =
+    the label carves the graph randomly).  TPC-H brands are assigned
+    independently of co-purchase structure, so φ near the random
+    baseline is itself the expected (and verifiable) reading.
+
+    Exact integers end to end: with the symmetric directed edge list,
+    vol(S) is the count of edges whose src is in S and cut(S,S̄) the
+    count whose endpoints' brands differ (each undirected cut edge
+    counted once per direction, consistently in both terms); the final
+    score is ppm floor division — bit-exact oracle.
+
+    Scale shape: edge build keyed by l_orderkey (bounded per-order pair
+    fan-out); TWO hash joins decorate endpoints with brands — at
+    fixture scale AQE broadcasts the part relation, at 100 TB these
+    become shuffle joins co-partitioned on the edge keys (no forced
+    hint either way); then one bounded-domain (25-brand) aggregate and
+    a 1-row total fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    su = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    ea = su.select("o", F.col("s").alias("src"))
+    eb = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    edges = (
+        ea.join(eb, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    lab = (
+        edges.join(
+            pt.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("src_brand")),
+            "src",
+        )
+        .join(
+            pt.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("dst_brand")),
+            "dst",
+        )
+    )
+    per = lab.groupBy(F.col("src_brand").alias("brand")).agg(
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.sum(
+            F.when(F.col("src_brand") != F.col("dst_brand"), 1).otherwise(0)
+        ).cast("long").alias("cut"),
+    )
+    tot = per.agg(F.sum("volume").cast("long").alias("total_vol"))  # 1-row fold
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_nodes",
+            "volume",
+            "cut",
+            F.expr("cut * 1000000 div least(volume, total_vol - volume)")
+            .cast("long")
+            .alias("conductance_ppm"),
+        )
+        .orderBy("brand")
+    )

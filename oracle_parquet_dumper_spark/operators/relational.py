@@ -3519,3 +3519,253 @@ def agg_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted least squares (round 12)
+# ---------------------------------------------------------------------------
+
+def _wls2_oracle() -> str:
+    det_a = _det3_sql("w0", "q1", "d1", "q1", "qq", "qd", "d1", "qd", "dd")
+    det0 = _det3_sql("p1", "q1", "d1", "qp", "qq", "qd", "dp", "qd", "dd")
+    det1 = _det3_sql("w0", "p1", "d1", "q1", "qp", "qd", "d1", "dp", "dd")
+    det2 = _det3_sql("w0", "q1", "p1", "q1", "qq", "qp", "d1", "qd", "dp")
+    return f"""
+    WITH b AS (
+      SELECT CAST(1 + l_suppkey % 4 AS BIGINT) AS w,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+             CAST(FLOOR(l_discount * 100) AS BIGINT) AS d,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS swq,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS swd,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS swp,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * q * q) AS DECIMAL(38,0)) AS swqq,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * d * d) AS DECIMAL(38,0)) AS swdd,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * q * d) AS DECIMAL(38,0)) AS swqd,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * q * p) AS DECIMAL(38,0)) AS swqp,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * d * p) AS DECIMAL(38,0)) AS swdp
+      FROM b
+    ),
+    f AS (
+      SELECT n,
+             CAST(CAST(sw AS VARCHAR) AS DOUBLE) AS w0,
+             CAST(CAST(swq AS VARCHAR) AS DOUBLE) AS q1,
+             CAST(CAST(swd AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(swp AS VARCHAR) AS DOUBLE) AS p1,
+             CAST(CAST(swqq AS VARCHAR) AS DOUBLE) AS qq,
+             CAST(CAST(swdd AS VARCHAR) AS DOUBLE) AS dd,
+             CAST(CAST(swqd AS VARCHAR) AS DOUBLE) AS qd,
+             CAST(CAST(swqp AS VARCHAR) AS DOUBLE) AS qp,
+             CAST(CAST(swdp AS VARCHAR) AS DOUBLE) AS dp
+      FROM s
+    )
+    SELECT n,
+           {det0} / {det_a} AS beta_intercept_cents,
+           {det1} / {det_a} AS beta_per_qty_cents,
+           {det2} / {det_a} AS beta_per_disc_pct_cents
+    FROM f
+    """
+
+
+@query(
+    "agg_wls_two_features",
+    oracle=_wls2_oracle(),
+    tags=("agg", "stats", "experiment"),
+)
+def agg_wls_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED least squares: price_cents ~ quantity + discount_pct
+    under integer row weights (a synthetic 1..4 supplier-tier weight —
+    the inverse-variance / frequency-weight shape) — the reliability-
+    aware step up from agg_ols_two_features, same one-pass
+    moments-then-Cramer architecture: the weighted normal equations
+    (X'WX)β = X'Wy need exactly the nine w-weighted moment sums.
+
+    Exactness: integer weights keep every moment an exact DECIMAL(38,0)
+    sum (a fractional weight would reintroduce order-dependent float
+    accumulation); each crosses to double once, and the 3x3
+    determinants share the explicitly-parenthesized tree of _det3_sql.
+    Setting w ≡ 1 reduces every output to agg_ols_two_features —
+    pinned by the planted test.
+
+    Scale shape: ONE scan, ONE map-side-partial aggregate to a single
+    row; O(d²) doubles per partition regardless of rows."""
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.lit(1) + F.col("l_suppkey") % 4).cast("long").alias("w"),
+        F.floor(F.col("l_quantity")).cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+
+    def wsum(*cols):
+        e = F.col("w").cast(d38)
+        for c in cols:
+            e = e * F.col(c)
+        return F.sum(e).cast(d38)
+
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        wsum().alias("sw"),
+        wsum("q").alias("swq"),
+        wsum("d").alias("swd"),
+        wsum("p").alias("swp"),
+        wsum("q", "q").alias("swqq"),
+        wsum("d", "d").alias("swdd"),
+        wsum("q", "d").alias("swqd"),
+        wsum("q", "p").alias("swqp"),
+        wsum("d", "p").alias("swdp"),
+    )
+    f = s.select(
+        "n",
+        dbl(F.col("sw")).alias("w0"),
+        dbl(F.col("swq")).alias("q1"),
+        dbl(F.col("swd")).alias("d1"),
+        dbl(F.col("swp")).alias("p1"),
+        dbl(F.col("swqq")).alias("qq"),
+        dbl(F.col("swdd")).alias("dd"),
+        dbl(F.col("swqd")).alias("qd"),
+        dbl(F.col("swqp")).alias("qp"),
+        dbl(F.col("swdp")).alias("dp"),
+    )
+
+    def det3(a, b_, c, d, e, ff, g, h, i):
+        t1 = F.col(a) * ((F.col(e) * F.col(i)) - (F.col(ff) * F.col(h)))
+        t2 = F.col(b_) * ((F.col(d) * F.col(i)) - (F.col(ff) * F.col(g)))
+        t3 = F.col(c) * ((F.col(d) * F.col(h)) - (F.col(e) * F.col(g)))
+        return t1 - t2 + t3
+
+    det_a = det3("w0", "q1", "d1", "q1", "qq", "qd", "d1", "qd", "dd")
+    det0 = det3("p1", "q1", "d1", "qp", "qq", "qd", "dp", "qd", "dd")
+    det1 = det3("w0", "p1", "d1", "q1", "qp", "qd", "d1", "dp", "dd")
+    det2 = det3("w0", "q1", "p1", "q1", "qq", "qp", "d1", "qd", "dp")
+    return f.select(
+        "n",
+        (det0 / det_a).alias("beta_intercept_cents"),
+        (det1 / det_a).alias("beta_per_qty_cents"),
+        (det2 / det_a).alias("beta_per_disc_pct_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round 12)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_spearman_rank_corr",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rq,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS rp
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+             CAST(SUM(CAST(rp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+             CAST(SUM(CAST(rq AS DECIMAL(38,0)) * rp) AS DECIMAL(38,0)) AS sqp,
+             CAST(SUM(CAST(rq AS DECIMAL(38,0)) * rq) AS DECIMAL(38,0)) AS sqq,
+             CAST(SUM(CAST(rp AS DECIMAL(38,0)) * rp) AS DECIMAL(38,0)) AS spp
+      FROM r GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(CAST(sqp AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(sq AS VARCHAR) AS DOUBLE) * CAST(CAST(sp AS VARCHAR) AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sqq AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sq AS VARCHAR) AS DOUBLE) * CAST(CAST(sq AS VARCHAR) AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(CAST(spp AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sp AS VARCHAR) AS DOUBLE) * CAST(CAST(sp AS VARCHAR) AS DOUBLE)))
+             AS spearman_rho
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "window", "skew-source"),
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag — the outlier-robust companion to agg_corr_regr's
+    Pearson: monotone association on RANKS, immune to the heavy price
+    tail that drags a raw-value correlation.
+
+    Tie handling: textbook MID-RANKS, carried as DOUBLED integer
+    ranks 2·RANK() + ties − 1 (the mid-rank ×2) — Pearson is invariant
+    under affine rescaling of each variable, so doubling changes
+    nothing statistically while keeping every moment an exact integer
+    AND making the statistic permutation-independent under ties (a
+    unique-key ROW_NUMBER tiebreak was tried first and is NOT total on
+    this fixture — (l_orderkey, l_linenumber) repeats — which showed up
+    as a 5th-digit cross-engine drift in sqp; mid-ranks remove the
+    permutation dependence instead of chasing a unique key).
+
+    Determinism: rank moments are exact DECIMAL(38,0) sums (rq·rp ~
+    n², so BIGINT sums overflow one decade past sf1); each crosses to
+    double once (varchar hop), then the Pearson-on-ranks formula is one
+    shared IEEE tree.
+
+    Scale shape — the first draft was a scale-killer and the decade
+    sweep caught it: RANK() windows partitioned by l_returnflag have
+    THREE partitions, so two full-table sorts ran at parallelism 3
+    (measured 4.3 s → 27.9 s, 6.48x/decade at sf0.1→sf1).  The ranks
+    now come from the two-pass bucket-offset global index
+    (operators/global_index.py, group_cols=[flag]) — quantity on the
+    width bucketer (bounded 1..50 domain), price on the QUANTILE
+    bucketer (heavy-tailed money, the skew-source rule) — and the
+    mid-rank fold needs only min(idx)/count over (flag, value) tie
+    groups, which are tie-sized, never partition-sized.  Parallelism is
+    now the bucket count at any SF."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    # global 0-based indexes per flag; the within-tie permutation is
+    # irrelevant because only min(idx)/count per tie group are consumed
+    d1 = with_global_index(
+        li, "l_quantity", ["l_orderkey", "l_linenumber"],
+        group_cols=["l_returnflag"], idx_col="_iq", n_col="_nq",
+    )
+    d2 = with_global_index(
+        d1, "l_extendedprice", ["l_orderkey", "l_linenumber"],
+        group_cols=["l_returnflag"], idx_col="_ip", n_col="_np",
+        bucketer="quantile",
+    )
+    wq = W.partitionBy("l_returnflag", "l_quantity")
+    wp = W.partitionBy("l_returnflag", "l_extendedprice")
+    # doubled mid-rank: 2*(min_idx+1) + (ties-1) == 2*min_idx + ties + 1
+    r = d2.select(
+        "l_returnflag",
+        (2 * F.min("_iq").over(wq) + F.count(F.lit(1)).over(wq) + 1).alias("rq"),
+        (2 * F.min("_ip").over(wp) + F.count(F.lit(1)).over(wp) + 1).alias("rp"),
+    )
+    s = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rq").cast(d38)).cast(d38).alias("sq"),
+        F.sum(F.col("rp").cast(d38)).cast(d38).alias("sp"),
+        F.sum(F.col("rq").cast(d38) * F.col("rp")).cast(d38).alias("sqp"),
+        F.sum(F.col("rq").cast(d38) * F.col("rq")).cast(d38).alias("sqq"),
+        F.sum(F.col("rp").cast(d38) * F.col("rp")).cast(d38).alias("spp"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (
+            (nd * dbl(F.col("sqp")) - dbl(F.col("sq")) * dbl(F.col("sp")))
+            / F.sqrt(
+                (nd * dbl(F.col("sqq")) - dbl(F.col("sq")) * dbl(F.col("sq")))
+                * (nd * dbl(F.col("spp")) - dbl(F.col("sp")) * dbl(F.col("sp")))
+            )
+        ).alias("spearman_rho"),
+    ).orderBy("l_returnflag")

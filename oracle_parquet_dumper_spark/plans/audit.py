@@ -361,6 +361,12 @@ EXCHANGE_BUDGET: dict[str, tuple[int, str]] = {
     # 5 independent FD probes, each a groupBy + 1-row fold over its own
     # table, unioned — exchanges scale with #candidates, not data
     "dq_functional_dependencies": (16, "5 FD probes x groupBy+fold"),
+    # TWO sequential bucket-offset global-index passes (quantity ranks,
+    # then price ranks on the quantile bucketer), each the standard
+    # 6-exchange shape + the mid-rank tie windows — deliberate: the
+    # single-exchange RANK() form ran at parallelism 3 (one task per
+    # l_returnflag) and measured 6.48x/decade before the rewrite
+    "agg_spearman_rank_corr": (17, "2 global-index passes + tie windows"),
 }
 
 

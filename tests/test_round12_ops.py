@@ -465,3 +465,164 @@ def test_text_ngram_novelty_rate_planted(spark, tmp_path):
     assert got[0].novelty_ppm == 1_000_000
     assert got[1].n_present == 3 and got[1].n_novel == 1
     assert got[1].novelty_ppm == 333_333
+
+
+def test_agg_wls_reduces_to_ols_when_weights_equal(spark, tmp_path):
+    """With every l_suppkey ≡ 0 (mod 4) the synthetic weight is
+    identically 1, and WLS must equal OLS on the same rows — the
+    classical reduction, checked coefficient-for-coefficient."""
+    rows = [
+        (i, 1, 4 * (i % 3), 1, float(1 + i % 7), 100.0 + 3.5 * (i % 7) + (i % 2),
+         (i % 5) / 100.0, 0.0, "N", "O", _dt.datetime(1995, 1, 1))
+        for i in range(60)
+    ]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp")
+
+    from oracle_parquet_dumper_spark.operators.relational import (
+        agg_ols_two_features,
+        agg_wls_two_features,
+    )
+
+    wls = agg_wls_two_features(spark, str(tmp_path)).collect()[0]
+    ols = agg_ols_two_features(spark, str(tmp_path)).collect()[0]
+    assert wls.n == ols.n == 60
+    assert wls.beta_intercept_cents == ols.beta_intercept_cents
+    assert wls.beta_per_qty_cents == ols.beta_per_qty_cents
+    assert wls.beta_per_disc_pct_cents == ols.beta_per_disc_pct_cents
+
+
+def test_graph_conductance_planted(spark, tmp_path):
+    """Two part-triangles {1,2,3} and {4,5,6} joined by the single
+    bridge 3–4; brands B1/B2 split exactly along the triangles.  Each
+    side: volume 7 (6 intra directed edges + 1 bridge direction), cut 1
+    -> conductance 1/7 = 142857 ppm."""
+    orders_parts = [(1, [1, 2, 3]), (2, [4, 5, 6]), (3, [3, 4])]
+    lrows = []
+    ln = 0
+    for ok, parts in orders_parts:
+        for p in parts:
+            lrows.append((ok, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                          _dt.datetime(1995, 1, 1)))
+            ln += 1
+    _write(spark, tmp_path, "lineitem", lrows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp")
+    prows = [(p, f"part{p}", "B1" if p <= 3 else "B2", "t", 1, 1.0) for p in range(1, 7)]
+    _write(spark, tmp_path, "part", prows,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+
+    from oracle_parquet_dumper_spark.operators.graph import graph_conductance_cut
+
+    got = {r.brand: r for r in graph_conductance_cut(spark, str(tmp_path)).collect()}
+    for b in ("B1", "B2"):
+        r = got[b]
+        assert (r.n_nodes, r.volume, r.cut) == (3, 7, 1)
+        assert r.conductance_ppm == 1_000_000 // 7
+
+
+def test_ts_acf_multi_lag_planted(spark, tmp_path):
+    """Alternating daily counts 1,2,1,2,... over 8 days: mean 1.5,
+    SS 2.0; lag-1 ACF = 7·(−0.25)/2 = −0.875, lag-2 = 6·0.25/2 = 0.75,
+    lag-3 = −0.625, lag-7 = −0.125 — sign-alternating as a period-2
+    signal must."""
+    rows = []
+    eid = 0
+    for d in range(8):
+        for _ in range(1 if d % 2 == 0 else 2):
+            rows.append((eid, _dt.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import ts_acf_multi_lag
+
+    got = {r.lag: r for r in ts_acf_multi_lag(spark, str(tmp_path)).collect()}
+    assert got[1].n_days == 8 and got[1].n_pairs == 7
+    assert got[1].acf == -0.875
+    assert got[2].acf == 0.75
+    assert got[3].acf == -0.625
+    assert got[7].acf == -0.125
+
+
+def test_agg_spearman_rank_corr_planted(spark, tmp_path):
+    """One flag, quantities [1,1,2] (a tie) vs prices [10,20,30]: with
+    doubled mid-ranks rq=[3,3,6], rp=[2,4,6] the closed form gives
+    ρ = 18/√432 ≈ 0.866 — hand-checked through the exact moment
+    formula the query uses."""
+    import math
+
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "A", "O", _dt.datetime(1995, 1, 1)),
+        (1, 2, 1, 2, 1.0, 20.0, 0.0, 0.0, "A", "O", _dt.datetime(1995, 1, 1)),
+        (2, 3, 1, 1, 2.0, 30.0, 0.0, 0.0, "A", "O", _dt.datetime(1995, 1, 2)),
+    ]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp")
+
+    from oracle_parquet_dumper_spark.operators.relational import agg_spearman_rank_corr
+
+    got = agg_spearman_rank_corr(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].n == 3
+    assert got[0].spearman_rho == 18 / math.sqrt(18 * 24)
+
+
+def test_agg_mann_kendall_planted(spark, tmp_path):
+    """Strictly increasing daily counts 1..5: S = 10 (every pair
+    concordant), no ties, var·18 = 5·4·15 = 300, continuity-corrected
+    Z = 9/√(300/18)."""
+    import math
+
+    rows = []
+    eid = 0
+    for d in range(5):
+        for _ in range(d + 1):
+            rows.append((eid, _dt.datetime(2024, 1, 1 + d, 8), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        agg_mann_kendall_trend,
+    )
+
+    got = agg_mann_kendall_trend(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_days, r.s_stat, r.var_18) == (5, 10, 300)
+    assert r.z_score == 9 / math.sqrt(300 / 18)
+
+
+def test_events_attribution_time_decay_planted(spark, tmp_path):
+    """One $10.00 purchase with a view 2 days back (w = 1e6/3 = 333333)
+    and a click 1 hour back (w = 1e6/1): click gets
+    1000·1000000 div 1333333 = 750 cents, view 249; plus one
+    touchless purchase -> full 500 to 'direct'."""
+    t0 = _dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, t0 - _dt.timedelta(days=2), 7, "view", 0.0, "{}"),
+        (2, t0 - _dt.timedelta(hours=1), 7, "click", 0.0, "{}"),
+        (3, t0, 7, "purchase", 10.0, "{}"),
+        (4, t0, 8, "purchase", 5.0, "{}"),  # no prior touch -> direct
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        events_attribution_time_decay,
+    )
+
+    got = {r.touch_type: r for r in events_attribution_time_decay(spark, str(tmp_path)).collect()}
+    assert got["direct"].credited_cents == 500
+    assert got["click"].credited_cents == 1000 * 1_000_000 // 1_333_333
+    assert got["view"].credited_cents == 1000 * 333_333 // 1_333_333
+    assert got["click"].n_credits == 1 and got["view"].n_credits == 1
