@@ -1162,10 +1162,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("du") * F.col("du")).alias("sxx"),
         F.sum(F.col("dv") * F.col("dv")).alias("syy"),
     )
-    n = edges.agg(F.countDistinct("src").cast("long").alias("n_nodes"))  # 1-row fold
+    n1 = edges.agg(F.countDistinct("src").cast("long").alias("n_nodes"))  # 1-row fold
     md = F.col("m_edges").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    return a.crossJoin(n).select(
+    return a.crossJoin(F.broadcast(n1)).select(
         "m_edges",
         "n_nodes",
         (
@@ -1263,9 +1263,9 @@ def graph_conductance_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("src_brand") != F.col("dst_brand"), 1).otherwise(0)
         ).cast("long").alias("cut"),
     )
-    tot = per.agg(F.sum("volume").cast("long").alias("total_vol"))  # 1-row fold
+    n1_tot = per.agg(F.sum("volume").cast("long").alias("total_vol"))  # 1-row fold
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.crossJoin(F.broadcast(n1_tot))
         .select(
             "brand",
             "n_nodes",
