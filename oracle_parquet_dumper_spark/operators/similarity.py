@@ -2056,3 +2056,127 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(gain).cast("double") / F.lit(NDCG_IDEAL)).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette score (round 12)
+# ---------------------------------------------------------------------------
+@query(
+    "sim_silhouette_simplified",
+    oracle="""
+    WITH q6 AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS x6
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, unnest(range(1, len(x6) + 1)) AS i, unnest(x6) AS e
+      FROM q6
+    ),
+    cg AS (
+      SELECT label, i, CAST(SUM(e) // COUNT(*) AS BIGINT) AS c
+      FROM comp GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label AS clabel, list(c ORDER BY i) AS cvec FROM cg GROUP BY label
+    ),
+    pairs AS (
+      SELECT vec_id, label, clabel,
+             CAST(list_sum(list_transform(range(1, len(x6) + 1),
+                  i -> (x6[i] - cvec[i]) * (x6[i] - cvec[i]))) AS BIGINT) AS dist
+      FROM q6 CROSS JOIN cent
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN clabel = label THEN dist END) AS a6,
+             MIN(CASE WHEN clabel != label THEN dist END) AS b6
+      FROM pairs GROUP BY 1, 2
+    ),
+    sil AS (
+      SELECT label,
+             CASE WHEN greatest(a6, b6) <= 0 THEN 0
+                  ELSE (b6 - a6) * 1000000 // greatest(a6, b6) END AS s_ppm
+      FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(s_ppm) AS DOUBLE) / COUNT(*) AS mean_silhouette_ppm,
+           CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+    FROM sil GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "eval", "agg"),
+)
+def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: a = squared-L2
+    to the OWN centroid, b = to the nearest OTHER centroid, s =
+    (b−a)/max(a,b) — the cluster-quality score that, unlike the full
+    silhouette's all-pairs O(n²) distances, needs only one
+    vectors×centroids pass (Hruschka et al.'s standard large-n
+    surrogate); n_negative counts vectors sitting closer to a foreign
+    centroid, the label-noise shortlist for curation.
+
+    Portability — two drafts died to get here, both caught by the
+    sf0.001 sweep: (1) round(dist, 6) then decimal-SUM — Spark rounds
+    HALF_UP on the shortest repr, DuckDB on the binary value, fine for
+    ORDERING (the centroid-classify argmin) but 1e-6 drift when SUMMED;
+    (2) raw double distances quantized late — list_dot_product is not
+    a guaranteed left fold, so raw dists differ in the last ulp by
+    design (vectors.py says so).  Final form: quantize each COMPONENT
+    once to integer micro-units (round-to-integer of identical doubles
+    has no shortest-repr ambiguity), centroids by integer floor-mean,
+    distances as exact integer Σ(Δ²) — every number past the one
+    quantization is exact BIGINT arithmetic, and the silhouette is
+    integer ppm.
+
+    Scale shape: one (label, dim)-keyed partial aggregate for
+    centroids (#labels × dim rows), broadcast back; one scan scores
+    every vector against the bounded centroid set; one bounded-domain
+    rollup.  No pairwise anything."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q6 = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            as_double("embedding"), lambda x: F.round(x * 1_000_000).cast("long")
+        ).alias("x6"),
+    )
+    comp = q6.select("label", F.posexplode("x6").alias("i", "e"))
+    cg = comp.groupBy("label", "i").agg(F.expr("sum(e) div count(1)").alias("c"))
+    cent = cg.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    pairs = q6.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with("x6", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist"),
+    )
+    ab = pairs.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a6"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b6"),
+    )
+    s_ppm = F.when(F.greatest("a6", "b6") <= 0, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "CAST(CAST(b6 - a6 AS DECIMAL(38,0)) * 1000000"
+            " div greatest(a6, b6) AS BIGINT)"
+        )
+    )
+    return (
+        ab.select("label", s_ppm.alias("s_ppm"))
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (F.sum("s_ppm").cast("double") / F.count(F.lit(1))).alias("mean_silhouette_ppm"),
+            F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+        )
+        .orderBy("label")
+    )

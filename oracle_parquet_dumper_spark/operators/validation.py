@@ -1170,3 +1170,121 @@ def dq_association_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outlier screen (round 12)
+# ---------------------------------------------------------------------------
+
+MAHAL_TOP = 20
+
+
+@query(
+    "dq_outliers_mahalanobis",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+             CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sqq,
+             CAST(SUM(CAST(p AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS spp,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS sqp
+      FROM b
+    ),
+    m AS (
+      SELECT n,
+             CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n AS mq,
+             CAST(CAST(sp AS VARCHAR) AS DOUBLE) / n AS mp,
+             CAST(CAST(sqq AS VARCHAR) AS DOUBLE) / n
+               - (CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n)
+                 * (CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n) AS cxx,
+             CAST(CAST(spp AS VARCHAR) AS DOUBLE) / n
+               - (CAST(CAST(sp AS VARCHAR) AS DOUBLE) / n)
+                 * (CAST(CAST(sp AS VARCHAR) AS DOUBLE) / n) AS cyy,
+             CAST(CAST(sqp AS VARCHAR) AS DOUBLE) / n
+               - (CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n)
+                 * (CAST(CAST(sp AS VARCHAR) AS DOUBLE) / n) AS cxy
+      FROM s
+    )
+    SELECT q AS quantity, p AS price_cents,
+           ((q - mq) * (q - mq) * cyy
+            - 2 * (q - mq) * (p - mp) * cxy
+            + (p - mp) * (p - mp) * cxx)
+           / (cxx * cyy - cxy * cxy) AS mahal_sq
+    FROM b CROSS JOIN m
+    ORDER BY mahal_sq DESC, price_cents, quantity
+    LIMIT {MAHAL_TOP}
+    """,
+    tags=("dq", "agg", "stats"),
+)
+def dq_outliers_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen over (quantity, price): the
+    DQ reviewer's "which rows are jointly implausible" list — a row can
+    be unremarkable on each axis yet far outside the correlation
+    ellipse (cheap huge order / pricey tiny one), which per-column
+    fences (dq_anomaly_mad) cannot see.  d² = Δᵀ Σ⁻¹ Δ with the 2x2
+    inverse in closed form.
+
+    Determinism: the five moments are exact DECIMAL(38,0) sums crossing
+    to double once; means/covariances/d² are then one shared IEEE tree,
+    so per-row d² is bit-identical cross-engine.  The top-{MAHAL_TOP}
+    boundary is safe without a unique tiebreak because the OUTPUT is
+    (quantity, price_cents, d²) — rows tied at the boundary are
+    value-identical triples, so any choice among them hashes the same.
+
+    Scale shape: one moment fold (map-side partial, O(d²) doubles per
+    partition), the 1-row model broadcast back, one row-local scoring
+    pass, TakeOrdered for the top-k — no global sort, no second
+    data-sized shuffle."""
+    d38 = "decimal(38,0)"
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_quantity")).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q").cast(d38)).cast(d38).alias("sq"),
+        F.sum(F.col("p").cast(d38)).cast(d38).alias("sp"),
+        F.sum(F.col("q").cast(d38) * F.col("q")).cast(d38).alias("sqq"),
+        F.sum(F.col("p").cast(d38) * F.col("p")).cast(d38).alias("spp"),
+        F.sum(F.col("q").cast(d38) * F.col("p")).cast(d38).alias("sqp"),
+    )
+    m = s.select(
+        "n",
+        (dbl(F.col("sq")) / F.col("n")).alias("mq"),
+        (dbl(F.col("sp")) / F.col("n")).alias("mp"),
+        (
+            dbl(F.col("sqq")) / F.col("n")
+            - (dbl(F.col("sq")) / F.col("n")) * (dbl(F.col("sq")) / F.col("n"))
+        ).alias("cxx"),
+        (
+            dbl(F.col("spp")) / F.col("n")
+            - (dbl(F.col("sp")) / F.col("n")) * (dbl(F.col("sp")) / F.col("n"))
+        ).alias("cyy"),
+        (
+            dbl(F.col("sqp")) / F.col("n")
+            - (dbl(F.col("sq")) / F.col("n")) * (dbl(F.col("sp")) / F.col("n"))
+        ).alias("cxy"),
+    )
+    dx = F.col("q") - F.col("mq")
+    dy = F.col("p") - F.col("mp")
+    md2 = (
+        dx * dx * F.col("cyy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("cxx")
+    ) / (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy"))
+    return (
+        b.crossJoin(F.broadcast(m))
+        .select(
+            F.col("q").alias("quantity"),
+            F.col("p").alias("price_cents"),
+            md2.alias("mahal_sq"),
+        )
+        .orderBy(F.col("mahal_sq").desc(), "price_cents", "quantity")
+        .limit(MAHAL_TOP)
+    )

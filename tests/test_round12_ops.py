@@ -626,3 +626,47 @@ def test_events_attribution_time_decay_planted(spark, tmp_path):
     assert got["click"].credited_cents == 1000 * 1_000_000 // 1_333_333
     assert got["view"].credited_cents == 1000 * 333_333 // 1_333_333
     assert got["click"].n_credits == 1 and got["view"].n_credits == 1
+
+
+def test_dq_outliers_mahalanobis_planted(spark, tmp_path):
+    """Symmetric cross of 4 points around (11, 100): cxx = cyy = 0.5,
+    cxy = 0, and every point sits at d² = 2 exactly — the closed-form
+    2x2 inverse hand-checked."""
+    pts = [(10.0, 1.00), (12.0, 1.00), (11.0, 1.01), (11.0, 0.99)]
+    rows = [
+        (i, 1, 1, i, q, p, 0.0, 0.0, "N", "O", _dt.datetime(1995, 1, 1))
+        for i, (q, p) in enumerate(pts)
+    ]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp")
+
+    from oracle_parquet_dumper_spark.operators.validation import dq_outliers_mahalanobis
+
+    got = dq_outliers_mahalanobis(spark, str(tmp_path)).collect()
+    assert len(got) == 4
+    assert all(r.mahal_sq == 2.0 for r in got)
+
+
+def test_sim_silhouette_simplified_planted(spark, tmp_path):
+    """Two tightly-packed, far-apart labels: own-centroid distance is
+    ~1 micro-unit², other-centroid distance ~1e14 — silhouette ppm is
+    essentially 1e6 for every vector and nobody is negative."""
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [0.000002, 0.0], 0),
+        (3, [10.0, 0.0], 1), (4, [10.000002, 0.0], 1),
+    ]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id long, embedding array<float>, label int")
+
+    from oracle_parquet_dumper_spark.operators.similarity import (
+        sim_silhouette_simplified,
+    )
+
+    got = {r.label: r for r in sim_silhouette_simplified(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1}
+    for lbl in (0, 1):
+        r = got[lbl]
+        assert r.n_vectors == 2 and r.n_negative == 0
+        assert r.mean_silhouette_ppm > 999_000
