@@ -295,12 +295,22 @@ def profile_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    ranked = cents.withColumn(
-        "r",
-        F.row_number().over(
-            W.partitionBy("l_returnflag").orderBy("c", "l_orderkey", "l_linenumber")
-        ),
-    )
+    # Rank via the bucket-offset global index, NOT a per-flag
+    # ROW_NUMBER window: the window form has exactly 3 partitions (one
+    # per return flag), so both sort and rank ran at parallelism 3 at
+    # any cluster size — measured 5.72x/decade sf0.1→sf1 (SCALING.md
+    # round-12 residual table) before this rewrite, the same curve the
+    # Spearman rewrite fixed.  Within-tie index assignment is arbitrary
+    # under the non-unique tiebreak, and that is FINE here: equal-c
+    # rows swap ranks freely and Σ r·c is invariant under any
+    # permutation within a tie group (the same argument that let the
+    # old non-unique ROW_NUMBER tiebreak pass 12 rounds of sweeps).
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
+    ranked = with_global_index(
+        cents, "c", ["l_orderkey", "l_linenumber"],
+        group_cols=["l_returnflag"], idx_col="_gi", n_col="_gin",
+    ).select("l_returnflag", "c", (F.col("_gi") + 1).alias("r"))
     # Exact big-integer arithmetic: the rank-weighted sum overflows
     # BIGINT one decade up (r*c ~ 1e11 summed over millions of rows), so
     # everything accumulates in DECIMAL(38,0) — and the final floor
