@@ -670,3 +670,70 @@ def test_sim_silhouette_simplified_planted(spark, tmp_path):
         r = got[lbl]
         assert r.n_vectors == 2 and r.n_negative == 0
         assert r.mean_silhouette_ppm > 999_000
+
+
+# --- bounded-partition-key window rule (the Spearman/gini finding) --------
+
+
+def test_bounded_partition_window_fires_on_old_gini_shape(spark, smoke_sf_dir):
+    """The motivating shape, planted live: a rank window partitioned
+    ONLY by l_returnflag over the raw lineitem scan must be flagged —
+    parallelism 3 at any cluster size (measured 5.72x/decade before
+    the gini rewrite)."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.operators.graph import load_table
+    from oracle_parquet_dumper_spark.plans.audit import audit_text
+
+    li = load_table(spark, smoke_sf_dir, "lineitem")
+    df = li.select(
+        "l_returnflag",
+        F.row_number()
+        .over(W.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey"))
+        .alias("r"),
+    )
+    a = audit_text("planted", df._jdf.queryExecution().executedPlan().toString())
+    assert len(a.bounded_partition_windows) == 1
+
+
+def test_bounded_partition_window_clears_fixed_shapes(spark, smoke_sf_dir):
+    """The two legal shapes stay clean: (1) a spec that includes a
+    data column (tie-group windows), (2) the global-index bucket
+    windows ((group, _gb) — the synthetic parallelism unit)."""
+    from pyspark.sql import Window as W
+
+    from oracle_parquet_dumper_spark.operators.graph import load_table
+    from oracle_parquet_dumper_spark.plans.audit import audit_query, audit_text
+
+    li = load_table(spark, smoke_sf_dir, "lineitem")
+    tie = li.select(
+        "l_returnflag",
+        F.count(F.lit(1))
+        .over(W.partitionBy("l_returnflag", "l_quantity"))
+        .alias("c"),
+    )
+    a = audit_text("planted", tie._jdf.queryExecution().executedPlan().toString())
+    assert a.bounded_partition_windows == []
+    # the rewritten gini runs end-to-end clean (its windows are (flag, _gb))
+    g = audit_query(spark, smoke_sf_dir, "profile_gini_concentration")
+    assert g.warnings == []
+
+
+def test_bounded_partition_window_waivers_are_exact(spark):
+    """Every waiver entry is a live registry name (a stale entry after
+    a rewrite must be deleted, not squatted), and the lint honors the
+    waiver."""
+    from oracle_parquet_dumper_spark.plans import REGISTRY
+    from oracle_parquet_dumper_spark.plans.audit import (
+        BOUNDED_PARTITION_WINDOW_WAIVERS,
+        PlanAudit,
+        lint,
+    )
+
+    assert set(BOUNDED_PARTITION_WINDOW_WAIVERS) <= set(REGISTRY)
+    a = PlanAudit(name="events_engagement_concentration")
+    a.bounded_partition_windows = ["Window partitioned only by ... [planted]"]
+    assert not any("bounded-domain columns" in w for w in lint(a, ()))
+    a2 = PlanAudit(name="not_waived_query")
+    a2.bounded_partition_windows = list(a.bounded_partition_windows)
+    assert any("bounded-domain columns" in w for w in lint(a2, ()))
