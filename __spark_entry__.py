@@ -23,11 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _sampled_before() -> tuple[int, frozenset[str], frozenset[str]]:
-    """(round salt, names successfully driver-sampled, names whose ONLY
-    records are errors): derived from the driver's own artifacts — the
-    CORRECTNESS_r*.json files on disk.  Deterministic within a round,
-    different across rounds.
+def _sampled_before() -> tuple[int, dict[str, int], frozenset[str]]:
+    """(round salt, name -> LAST artifact index it was successfully
+    driver-sampled in, names whose ONLY records are errors): derived
+    from the driver's own artifacts — the CORRECTNESS_r*.json files on
+    disk.  Deterministic within a round, different across rounds.
 
     Shape-validated (ADVICE r9): each artifact must be a dict of
     query-name -> per-query record; anything else (format drift, a
@@ -49,7 +49,7 @@ def _sampled_before() -> tuple[int, frozenset[str], frozenset[str]]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     errored: set[str] = set()
     n_valid = 0
     for f in files:
@@ -63,15 +63,12 @@ def _sampled_before() -> tuple[int, frozenset[str], frozenset[str]]:
         ):
             continue  # driver artifact format drifted — ignore, don't guess
         n_valid += 1
-        seen.update(
-            k for k, v in data.items() if v.get("err") in (None, "no_oracle")
-        )
-        errored.update(
-            k
-            for k, v in data.items()
-            if v.get("err") is not None and v.get("err") != "no_oracle"
-        )
-    return n_valid, frozenset(seen), frozenset(errored - seen)
+        for k, v in data.items():
+            if v.get("err") in (None, "no_oracle"):
+                seen[k] = n_valid  # files are name-sorted => max survives
+            else:
+                errored.add(k)
+    return n_valid, seen, frozenset(errored - set(seen))
 
 
 def _hash_order(names) -> list[str]:
@@ -100,12 +97,20 @@ def _hash_order(names) -> list[str]:
     salt, seen, errored = _sampled_before()
     # three tiers: errored-only retries first (a red record is the
     # highest-value resample — VERDICT r9 #1's agg_approx), then the
-    # never-sampled pool, then green-sampled names; salted hash breaks
-    # ties family-blind inside each tier.
+    # never-sampled pool, then green-sampled names ordered
+    # LEAST-RECENTLY-SAMPLED first (the artifact index of each name's
+    # latest green record).  The LRS key makes the drained steady state
+    # a deterministic rotation: each round the driver's 50-sample window
+    # takes the 50 stalest names and thereby re-covers the whole
+    # registry every ceil(N/50) rounds (~8 at N=379) — a salted hash
+    # alone would re-randomize each round and re-cover only at
+    # coupon-collector speed (VERDICT r12 #6).  The salted hash still
+    # breaks ties family-blind inside each (tier, staleness) class.
     return sorted(
         names,
         key=lambda n: (
             (0 if n in errored else (1 if n not in seen else 2)),
+            seen.get(n, 0),
             hashlib.md5(f"{salt}:{n}".encode()).hexdigest(),
         ),
     )

@@ -134,31 +134,44 @@ def main() -> None:
     # (r8 slow box, r10's uniform 25-30% inflation on byte-identical
     # plans).  Settle it mechanically: a FIXED pure-JVM workload — a
     # single-partition whole-stage-codegen fold over spark.range (no
-    # I/O, no shuffle, no Python) — timed 3x, median stamped as
-    # rows/sec.  Cross-round comparisons divide by this to normalize
-    # per-core box speed; single-partition keeps scheduler noise out.
-    # Median-of-3 with the spread stamped (VERDICT r11 #3): the probe's
-    # single-shot resolution is ~±20% — bigger than any real per-query
-    # movement between recent rounds — so cross-round normalization
-    # divides by `median` and treats `spread` as the comparison's error
-    # bar (a per-query ratio inside 1 ± spread is box drift, not code).
-    cal_rows = 500_000_000
+    # I/O, no shuffle, no Python; single-partition keeps scheduler
+    # noise out and makes shuffle/executor settings irrelevant to the
+    # probe by construction).  Cross-round comparisons divide by
+    # `rows_per_sec` to normalize per-core box speed.
+    #
+    # r13 rework (VERDICT r12 #4: two same-machine sessions stamped 387
+    # vs 578 M rows/s — a 1.5x swing bigger than anything the probe is
+    # used to settle, and every stamped run list showed one cold JIT
+    # outlier): one DISCARDED warm-up run compiles/tiers the fold before
+    # anything is timed, then 3 timed runs of 2G rows each (4x longer —
+    # C2-compiled steady state dominates, timer/GC jitter amortizes).
+    # `spread` = (max-min)/median of the TIMED runs; `trust_band` is the
+    # multiplicative band cross-round per-query comparisons must quote:
+    # a ratio inside [1/band, band] is box drift, not code.  The floor
+    # of 1.15 carries the r12 finding that session-to-session swing
+    # exceeds any within-session spread — even a tight probe cannot
+    # license claims below it.
+    cal_rows = 2_000_000_000
+    probe = lambda: spark.range(0, cal_rows, 1, 1).selectExpr(  # noqa: E731
+        "sum(id * 3 + 1) AS s"
+    ).collect()
+    probe()  # warm-up: JIT-compile the codegen'd fold; never timed
     cal_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(0, cal_rows, 1, 1).selectExpr(
-            "sum(id * 3 + 1) AS s"
-        ).collect()
+        probe()
         cal_runs.append(time.perf_counter() - t0)
     cal_runs.sort()
     cal_sec = cal_runs[1]
+    cal_spread = (cal_runs[-1] - cal_runs[0]) / cal_sec
     env["calibration"] = {
         "range_rows": cal_rows,
         "sec": round(cal_sec, 4),
         "rows_per_sec": round(cal_rows / cal_sec),
-        "median": round(cal_rows / cal_sec),  # rows/sec, = rows_per_sec
-        "spread": round((cal_runs[-1] - cal_runs[0]) / cal_sec, 4),
+        "spread": round(cal_spread, 4),
+        "trust_band": round(max(1.15, 1 + 2 * cal_spread), 4),
         "runs_sec": [round(r, 4) for r in cal_runs],
+        "warmup_discarded": True,
     }
 
     specs = plans.bench_queries()

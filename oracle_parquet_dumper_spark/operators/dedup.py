@@ -1622,19 +1622,28 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-but-stable permutation, so the 'reservoir' is identical on
     every run and every engine — eval-set construction needs exactly
     this property, where true random reservoirs give unreproducible
-    picks.  One shuffle on the group key; the per-group sort is a
-    bounded top-k (rank <= {RESERVOIR_K}) that AQE executes with
-    per-partition heaps, not a full sort at scale."""
-    from pyspark.sql import Window as W
+    picks.
+
+    Scale shape (round-13 rewrite): grouped_topk's two-phase form —
+    per-(lang, hash-bucket) pre-reservoirs of {RESERVOIR_K} rows
+    (Vitter's classic distributed-reservoir merge, here with the
+    deterministic md5 order standing in for the random keys), then a
+    bounded merge over ≤ {RESERVOIR_K}·32 survivors per lang — NOT a
+    window partitioned only by the 5-value lang domain, which serialized
+    the per-lang scan at parallelism 5 at any cluster size (the
+    round-12 bounded-partition-window class)."""
+    from oracle_parquet_dumper_spark.operators.global_index import grouped_topk
 
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = W.partitionBy("lang").orderBy(h, "doc_id")
-    return (
-        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= RESERVOIR_K)
-        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+    top = grouped_topk(
+        d.select("lang", "doc_id", h.alias("_h")),
+        ["lang"],
+        ["_h", "doc_id"],
+        RESERVOIR_K,
+        rank_col="rn",
     )
+    return top.select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
 
 
 CONTAIN_THRESHOLD = 0.7

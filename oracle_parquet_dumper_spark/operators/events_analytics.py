@@ -4275,7 +4275,7 @@ _PERIODOGRAM_SQL = f"""
 def ts_periodogram_fixed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-Fourier spectral power of the hourly event-count series
     at a FIXED grid of candidate cycle lengths (6 h, 12 h, 24 h, 1 week)
-    — the classical periodogram P(f) = (Σx·cos + Σx·sin)²/N restricted
+    — the classical periodogram P(f) = ((Σx·cos)² + (Σx·sin)²)/N restricted
     to the periods an analyst actually asks about, which is what makes
     it both scale-safe (4 output rows regardless of data size) and
     oracle-checkable (the trig inputs 2πj/p come from < 200 distinct
@@ -4381,25 +4381,48 @@ def events_engagement_concentration(spark: SparkSession, sf_dir: str) -> DataFra
 
     Exact integers end to end: per-user counts, a (count DESC, user_id)
     rank + running sum INSIDE each event_type partition, tier cutoffs
-    by floor division, and a ppm share by integer floor division — no
-    float anywhere, bit-exact oracle.
+    by floor division, and a ppm share by integer floor division in
+    DECIMAL(38,0) (cum*1e6 wraps BIGINT past ~9.2e12 events per type —
+    the same headroom widening profile_gini_concentration carries;
+    ADVICE r12) — no float anywhere, bit-exact oracle.
 
-    Scale shape: the map-side-partial (type, user) groupBy is the only
-    data-sized shuffle; the rank/cumsum windows are PARTITIONED by
-    event_type (the profile_gini shape — never a single-task global
-    window); tiers is a bounded 3-way constant explode over the ~12-row
-    stats relation, and the final join keys on (type, rank) against
-    exactly 3 ranks per type."""
+    Scale shape (round-13 rewrite): the map-side-partial (type, user)
+    groupBy is the only data-sized shuffle; the per-type rank and
+    running sum then come from the weighted bucket-offset global index
+    (value = -c so the index ascends the DESC order, weight = c for the
+    running sum) — NOT a window partitioned only by the ~12-value type
+    domain.  The rollup already deferred that hazard by orders of
+    magnitude (measured 1.17x/decade, SCALING.md r12), but at extreme
+    user counts the rollup is user-sized and the window would cap
+    parallelism at |types|; the index form stays bucket-parallel.
+    Tiers is a bounded 3-way constant explode over the ~12-row stats
+    relation, and the final join keys on (type, rank) against exactly
+    3 ranks per type."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
     ev = load_table(spark, sf_dir, "events")
-    uc = ev.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # the (type, user) rollup feeds THREE consumers (index bounds, the
+    # bucketed index join, stats); plan-level exchange reuse does not
+    # fire across their differently-pruned subtrees, so the rollup is
+    # lazily checkpointed once — the audit's exchange budget caught the
+    # 5x events re-scan of the uncheckpointed form.
+    uc = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("_negc", -F.col("c"))
+        .localCheckpoint(eager=False)
     )
-    wo = W.partitionBy("event_type").orderBy(F.col("c").desc(), "user_id")
-    ranked = uc.select(
+    ranked = with_global_index(
+        uc,
+        "_negc",
+        ["user_id"],
+        group_cols=["event_type"],
+        weight_col="c",
+    ).select(
         "event_type",
         "c",
-        F.row_number().over(wo).alias("r"),
-        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        (F.col("_gidx") + 1).alias("r"),
+        F.col("_gcum").alias("cum"),
     )
     stats = uc.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -4438,7 +4461,13 @@ def events_engagement_concentration(spark: SparkSession, sf_dir: str) -> DataFra
             "k_users",
             "total_events",
             F.col("cum").cast("long").alias("events_from_top"),
-            F.expr("cum * 1000000 div total_events").cast("long").alias("share_ppm"),
+            # widen BEFORE the multiply: cum*1e6 wraps int64 past ~9.2e12
+            # events per type; DECIMAL(38,0) `div` truncates toward zero
+            # exactly like DuckDB's hugeint `//` on the non-negative
+            # operands here (probed r12, memory gotcha)
+            F.expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div total_events")
+            .cast("long")
+            .alias("share_ppm"),
         )
         .orderBy("event_type", "tier")
     )

@@ -341,3 +341,66 @@ def ntile_expr(idx: Column, n: Column, tiles: int) -> Column:
         .cast("int")
         + 1
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    rank_col: str = "_rk",
+    n_buckets: int = 32,
+    bucket_on: str | None = None,
+) -> DataFrame:
+    """Exact top-k rows per group under ``order_cols`` (all ASC; negate a
+    numeric column for DESC) — WITHOUT a window partitioned only by the
+    group key, whose parallelism is capped at the group-domain size (the
+    round-12 bounded-partition-window finding; round-13 burn-down).
+
+    Two phases:
+
+    1. pre-top-k per ``(group, _gb)`` where ``_gb`` is a deterministic
+       hash bucket of ``bucket_on`` (default: the last order column — a
+       unique tie-break key in every caller).  The window partitions on
+       ``n_buckets`` × |groups| keys, so parallelism scales with the
+       bucket count, not the group domain; each task keeps a k-row heap
+       (WindowGroupLimit pushes the rank filter below the sort).
+       Correctness: a global top-k row is top-k within ANY subset that
+       contains it, in particular its own bucket — so the union of
+       per-bucket top-ks is a superset of the global top-k.
+    2. bounded merge: ``collect_list`` over the ≤ k·n_buckets survivors
+       per group, ``array_sort`` (struct comparison = field order, so
+       ``order_cols`` lead the struct), slice k, posexplode for the
+       final rank.  Per-group state is ≤ k·n_buckets structs by
+       construction — never data-sized.
+
+    ``order_cols`` must be a total order per group (unique) — otherwise
+    ties at the k-boundary resolve arbitrarily in phase 1 and the merge
+    cannot reconstruct a deterministic rank.  All input columns are
+    carried through; ``rank_col`` (1-based int) is appended.
+    """
+    carry = [c for c in df.columns if c not in order_cols]
+    hb = df.withColumn(
+        "_gb", F.pmod(F.xxhash64(bucket_on or order_cols[-1]), F.lit(n_buckets))
+    )
+    pre = W.partitionBy(*group_cols, "_gb").orderBy(*order_cols)
+    cand = (
+        hb.withColumn("_prk", F.row_number().over(pre))
+        .where(F.col("_prk") <= k)
+        .drop("_gb", "_prk")
+    )
+    fields = [F.col(c) for c in order_cols] + [
+        F.col(c) for c in carry if c not in group_cols
+    ]
+    merged = cand.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list(F.struct(*fields))), 1, k).alias("_top")
+    )
+    out = merged.select(
+        *group_cols, F.posexplode("_top").alias("_pos", "_row")
+    )
+    keep = [c for c in df.columns if c not in group_cols]
+    return out.select(
+        *group_cols,
+        *[F.col(f"_row.{c}").alias(c) for c in keep],
+        (F.col("_pos") + 1).cast("int").alias(rank_col),
+    )

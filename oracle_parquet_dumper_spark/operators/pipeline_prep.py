@@ -274,13 +274,22 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id_sum is the per-language selection checksum).
 
     All arithmetic is integer (percents, floors), so the oracle is
-    bit-exact.  Scale shape: the counts/scale/keep relations are
-    O(#languages) rows and broadcast back; the only per-doc work is one
-    row_number window partitioned by lang.  At 100 TB a per-lang sort is
-    still the honest exact form (it parallelizes across languages); the
+    bit-exact.  Scale shape (round-13 rewrite): the counts/scale/keep
+    relations are O(#languages) rows and broadcast back; the per-doc
+    rank in md5 order comes from the bucket-offset global index keyed
+    on the hash's 60-bit numeric prefix — NOT a row_number window
+    partitioned only by the 5-value lang domain, which sorted every
+    document at parallelism 5 at any cluster size (the round-12
+    bounded-partition-window class).  Fixed-width lowercase-hex md5
+    strings order exactly like their numeric value, so bucketing on the
+    prefix and tie-breaking on (full hash, doc_id) reproduces the
+    string rank bit-for-bit; the prefix is uniform on [0, 2^60), so
+    equi-width buckets are occupancy-even by construction.  The
     approximate alternative — keep if hash-fraction < keep_l/n_l — is
     shuffle-free and lands within sampling error, the same trade
     documented in sample_bernoulli."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
     d = load_table(spark, sf_dir, "documents")
     w = F.create_map(*[F.lit(x) for lp in MIXTURE_PCT for x in lp])
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).where(
@@ -293,12 +302,16 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n", "pct",
         F.floor(F.col("pct") * F.col("s") / 100.0).cast("long").alias("keep_n"),
     )
-    rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-        )
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    hashed = d.select(
+        "doc_id",
+        "lang",
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("_hv"),
     )
-    ranked = d.select("doc_id", "lang").withColumn("rk", rk)
+    ranked = with_global_index(
+        hashed, "_hv", ["_h", "doc_id"], group_cols=["lang"]
+    ).select("doc_id", "lang", (F.col("_gidx") + 1).alias("rk"))
     kept = ranked.join(F.broadcast(keep), "lang").where(F.col("rk") <= F.col("keep_n"))
     tot = kept.select(F.count(F.lit(1)).alias("t"))
     return (

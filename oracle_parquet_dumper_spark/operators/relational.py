@@ -506,12 +506,20 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K-1)/u_K.  Unlike HLL (agg_approx), KMV is DETERMINISTIC given the
     hash — the md5-prefix hash both engines replay — so an approximate
     sketch becomes oracle-checkable, with the exact count alongside for
-    error inspection.  At 100 TB the K-smallest fold is a partial
-    aggregate: every partition keeps at most K values (here via a
-    window top-K over pre-deduped keys; a production build uses an
-    ORDER-BY-limited aggregator), so the shuffle carries K doubles per
-    group, not keys."""
-    from pyspark.sql import Window as W
+    error inspection.
+
+    Scale shape (round-13 rewrite): the rank of every distinct hash
+    comes from the bucket-offset global index, NOT a window partitioned
+    only by the 3-value flag domain — the pre-rewrite form ran its sort
+    and rank at parallelism 3 at any cluster size (the Spearman/gini
+    curve; measured 4.27 s → 16.24 s sf0.1→sf1 before this rewrite).
+    The index's within-bucket windows partition on (flag, _gb) where
+    _gb is the cluster-sized bucket id, and u is near-uniform on (0,1]
+    by construction (an md5 prefix), so equi-width bucket occupancy is
+    even with no skew caveat.  The k-th-smallest row is then a filter
+    on the 0-based index; n_distinct rides along as the index's group
+    total."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
 
     li = load_table(spark, sf_dir, "lineitem")
     # normalize the 60-bit md5 prefix into (0, 1]: u = h / 2^60
@@ -521,20 +529,15 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(1 << 60))
     )
     h = li.select("l_returnflag", "l_orderkey").distinct().select("l_returnflag", u.alias("u"))
-    w = W.partitionBy("l_returnflag").orderBy("u")
-    wc = W.partitionBy("l_returnflag")
-    r = h.select(
-        "l_returnflag",
-        "u",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n_distinct"),
-    )
-    est = F.when(F.col("n_distinct") < KMV_K, F.col("n_distinct")).otherwise(
+    r = with_global_index(h, "u", ["u"], group_cols=["l_returnflag"])
+    est = F.when(F.col("_gn") < KMV_K, F.col("_gn")).otherwise(
         F.round(F.lit(KMV_K - 1) / F.col("u")).cast("long")
     )
-    return r.where(F.col("rn") == F.least(F.col("n_distinct"), F.lit(KMV_K))).select(
+    return r.where(
+        F.col("_gidx") + 1 == F.least(F.col("_gn"), F.lit(KMV_K).cast("long"))
+    ).select(
         "l_returnflag",
-        F.col("n_distinct").cast("long").alias("exact_distinct"),
+        F.col("_gn").cast("long").alias("exact_distinct"),
         est.cast("long").alias("kmv_estimate"),
     )
 
@@ -2255,48 +2258,42 @@ def agg_weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     answer and approximate sketches answer nondeterministically.
 
     Determinism: weights integerize to cents via FLOOR (no cast-rounding
-    divergence), the cumulative frame orders by (value, unique key), and
-    the lower-weighted-median rule (cw*2 >= tw) is pure integer
-    arithmetic.  Scale shape: one (group)-keyed sort serves both running
-    and total weight; the threshold pick is a row_number over rows
-    already past the half-weight mark."""
+    divergence) and the lower-weighted-median rule (cw*2 >= tw) is pure
+    integer arithmetic.
+
+    Scale shape (round-13 rewrite): the weight mass first collapses to
+    the VALUE DOMAIN (one row per (flag, quantity) — a map-side-partial
+    aggregate; TPC-H quantities have 50 distinct values, and even a
+    continuous column is bounded by its distinct count), then the
+    running weight comes from the weighted bucket-offset global index —
+    NOT the pre-rewrite per-flag cumulative window over RAW rows, which
+    sorted the whole table at parallelism 3 (measured 1.58 s → 7.91 s
+    sf0.1→sf1, the Spearman/gini curve).  The median value is invariant
+    under the rollup: the first RAW row past half-weight lies inside
+    some value v's run, so all of v's predecessors are below half-weight
+    and v's inclusive value-level cumulative reaches it — the same v the
+    value-level scan picks.  The final pick is a MIN over a monotone
+    threshold condition — no window at all above the index."""
+    from oracle_parquet_dumper_spark.operators.global_index import with_global_index
+
     li = load_table(spark, sf_dir, "lineitem")
-    w = li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
-    )
-    wcum = (
-        W.partitionBy("l_returnflag")
-        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wtot = W.partitionBy("l_returnflag")
-    cum = w.select(
-        "l_returnflag",
-        "l_quantity",
-        "wt",
-        F.sum("wt").over(wcum).alias("cw"),
-        F.sum("wt").over(wtot).alias("tw"),
-    )
-    # The rn=1 row already carries tw (a per-group constant), so no
-    # join-back / re-aggregation over the full relation is needed.
-    return (
-        cum.where(F.col("cw") * 2 >= F.col("tw"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("l_returnflag").orderBy("l_quantity", "cw")
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select(
+    vc = (
+        li.select(
             "l_returnflag",
-            F.col("l_quantity").alias("weighted_median_qty"),
-            F.col("tw").cast("long").alias("total_weight_cents"),
+            "l_quantity",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("wt"),
         )
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    idx = with_global_index(
+        vc, "l_quantity", ["l_quantity"], group_cols=["l_returnflag"], weight_col="wt"
+    )
+    return idx.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("_gcum") * 2 >= F.col("_gwtot"), F.col("l_quantity"))
+        ).alias("weighted_median_qty"),
+        F.max("_gwtot").cast("long").alias("total_weight_cents"),
     )
 
 

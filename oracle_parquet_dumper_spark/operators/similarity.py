@@ -2096,7 +2096,12 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sil AS (
       SELECT label,
              CASE WHEN greatest(a6, b6) <= 0 THEN 0
-                  ELSE (b6 - a6) * 1000000 // greatest(a6, b6) END AS s_ppm
+                  -- HUGEINT before *1e6: micro-unit² squared-L2 reaches
+                  -- ~4e12 for unit-norm vectors (only ~2x int64 headroom
+                  -- under the multiply) — mirror the Spark side's
+                  -- DECIMAL(38,0) widening instead of riding the edge
+                  -- (ADVICE r12)
+                  ELSE CAST(b6 - a6 AS HUGEINT) * 1000000 // greatest(a6, b6) END AS s_ppm
       FROM ab
     )
     SELECT CAST(label AS BIGINT) AS label,

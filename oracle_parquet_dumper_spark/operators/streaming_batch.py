@@ -473,7 +473,14 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type count table as state — EXACT counting, not a Misra–Gries
     sketch, precisely so its final emission is BIT-IDENTICAL to this
     query (pinned in tests/test_round12_ops.py, with a FakeState
-    batch-boundary redelivery test alongside).  window_start is emitted
+    batch-boundary redelivery test alongside).  Update-mode keying
+    caveat (ADVICE r12): the twin re-emits the CURRENT top-3 per
+    touched window, so equality holds for a consumer upserting by
+    (window_start, rank) — rank r's row is superseded in place when a
+    type drops out of the top-3; a consumer keying by (window_start,
+    event_type) would retain the dropped type's stale row.  The
+    redelivery test pins exactly this supersession.  window_start is
+    emitted
     as a formatted string on both paths because the state key crosses
     the Arrow boundary; F.window and DuckDB's time_bucket share the
     epoch-aligned origin for hour multiples."""

@@ -399,25 +399,32 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination screens and boilerplate detection.  Bigrams are built
     with one zip_with over two slices of the token array (a single
     interpreted-HOF pass; no per-shingle recomputation), then the count
-    aggregate map-side combines before the top-k window sees only the
-    (lang, bigram) grain."""
+    aggregate map-side combines before any ranking sees the
+    (lang, bigram) grain.
+
+    Scale shape (round-13 rewrite): the rank comes from grouped_topk's
+    two-phase form — hash-bucketed pre-top-5 (parallelism = |langs| x
+    32 buckets, and the bigram-hash bucketing spreads the huge n=1 tie
+    mass uniformly) followed by a bounded merge over ≤ 160 survivors
+    per lang — NOT the pre-rewrite window partitioned only by the
+    5-value lang domain, which sorted the whole vocabulary at
+    parallelism 5 (measured 0.80 s → 4.08 s sf0.1→sf1)."""
+    from oracle_parquet_dumper_spark.operators.global_index import grouped_topk
+
     d = load_table(spark, sf_dir, "documents")
     w = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
     n1 = F.greatest(F.size(w) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(w, 1, n1), F.slice(w, 2, n1), lambda a, b: F.concat(a, F.lit(" "), b)
     )
-    from pyspark.sql import Window as W
-
     counts = (
         d.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_negn", -F.col("n"))
     )
-    rn = F.row_number().over(
-        W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
-    )
-    return counts.withColumn("rn", rn).where(F.col("rn") <= 5)
+    top = grouped_topk(counts, ["lang"], ["_negn", "bigram"], 5, rank_col="rn")
+    return top.select("lang", "bigram", "n", F.col("rn").cast("int").alias("rn"))
 
 
 VOCAB_TOPK = 20

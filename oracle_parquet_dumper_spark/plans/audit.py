@@ -200,37 +200,10 @@ BOUNDED_PARTITION_WINDOW_WAIVERS: dict[str, str] = {
         "is sequential per group BY SEMANTICS; output is one row per "
         "3-value domain — capped parallelism is the operator"
     ),
-    "events_engagement_concentration": (
-        "windows the (type, user) ROLLUP, not raw events — hazard "
-        "deferred by orders of magnitude (measured 1.17x/decade, "
-        "SCALING.md r12); global-index rewrite queued r13 for extreme "
-        "user counts"
-    ),
-    "agg_kmv_distinct": (
-        "k-min-values selection per 3-value flag domain: per-group "
-        "state is the k smallest hashes; r13 rewrite candidate "
-        "(per-partition pre-top-k then merge)"
-    ),
-    "agg_weighted_percentile_exact": (
-        "per-flag weighted rank over the VALUE-DOMAIN pre-aggregation "
-        "(distinct cents), sublinear in rows; r13 candidate to ride "
-        "the global index like the unweighted exact family"
-    ),
-    "pipeline_domain_mixture": (
-        "window over the per-(lang) doc-count rollup to normalize "
-        "mixture weights — domain-sized input by construction; flagged "
-        "only because lang arrives pre-projection"
-    ),
-    "sample_reservoir_per_group": (
-        "reservoir sampling per type is per-group SEQUENTIAL by "
-        "definition (Vitter); r13 candidate: per-partition pre-"
-        "reservoirs merged by weight"
-    ),
-    "text_bigram_topk": (
-        "top-5 rank over the per-lang bigram VOCABULARY (sublinear, "
-        "Heaps' law), not the corpus; r13 candidate for a TakeOrdered-"
-        "per-group form"
-    ),
+    # (round 13 burned down the six queued rewrite waivers — kmv,
+    # weighted-percentile, bigram-topk, engagement rollup, domain
+    # mixture, per-group reservoir — on the global-index / grouped_topk
+    # mechanics; decade ratios before/after in SCALING.md round-13.)
     "window_range_numeric": (
         "RANGE-frame surface demo over o_orderstatus — the window-"
         "function API coverage query; the scale path for global order "

@@ -657,7 +657,12 @@ def heavy_hitters_kernel(key, pdfs, state):
     — EXACT counting, not a Misra–Gries sketch, which keeps the twin
     bit-checkable) and emit the current top-{HH_TOP} with (count DESC,
     type) ranking.  Re-emitted with corrected ranks every time a batch
-    touches the window — update-mode semantics."""
+    touches the window — update-mode semantics whose upsert key is
+    (window_start, rank), NOT (window_start, event_type): a type that
+    falls out of the top-{HH_TOP} is superseded at its old rank by the
+    type that displaced it, never retracted by type (ADVICE r12;
+    pinned by the FakeState supersession test in
+    tests/test_round12_ops.py)."""
     counts: dict[str, int] = (
         dict(zip(state.get[0], state.get[1])) if state.exists else {}
     )

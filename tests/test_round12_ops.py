@@ -326,6 +326,23 @@ def test_heavy_hitters_kernel_batch_boundary(spark):
     assert list(zip(out2["rank"], out2.event_type, out2.n)) == [
         (1, "b", 4), (2, "c", 3), (3, "a", 2)
     ]
+    # Supersession under the documented (window_start, rank) upsert key
+    # (ADVICE r12): batch 3 lifts 'd' to the top, so 'a' FALLS OUT of
+    # the top-3.  The kernel emits exactly 3 rows — no retraction row
+    # for 'a' — so a rank-keyed consumer replaces rank 3 in place and
+    # 'a' disappears, while a type-keyed consumer would retain a stale
+    # ('a', 2).  Both facts are the contract; pin them.
+    b3 = pd.DataFrame({"event_type": ["d"] * 5})
+    (out3,) = list(heavy_hitters_kernel(("2024-01-01 00:00:00",), [b3], st))
+    assert list(zip(out3["rank"], out3.event_type, out3.n)) == [
+        (1, "d", 6), (2, "b", 4), (3, "c", 3)
+    ]
+    assert "a" not in set(out3.event_type)  # dropped, never retracted
+    upsert_by_rank: dict[int, tuple[str, int]] = {}
+    for out in (out1, out2, out3):
+        for r, t, n in zip(out["rank"], out.event_type, out.n):
+            upsert_by_rank[r] = (t, n)
+    assert upsert_by_rank == {1: ("d", 6), 2: ("b", 4), 3: ("c", 3)}
 
 
 def test_text_burstiness_vmr_planted(spark, tmp_path):
@@ -731,7 +748,17 @@ def test_bounded_partition_window_waivers_are_exact(spark):
     )
 
     assert set(BOUNDED_PARTITION_WINDOW_WAIVERS) <= set(REGISTRY)
-    a = PlanAudit(name="events_engagement_concentration")
+    # the six r12 rewrite IOUs were burned down in r13 — their waivers
+    # must stay deleted (a re-added entry is a review-visible regression)
+    assert not set(BOUNDED_PARTITION_WINDOW_WAIVERS) & {
+        "agg_kmv_distinct",
+        "agg_weighted_percentile_exact",
+        "text_bigram_topk",
+        "events_engagement_concentration",
+        "pipeline_domain_mixture",
+        "sample_reservoir_per_group",
+    }
+    a = PlanAudit(name="agg_listagg_ordered")
     a.bounded_partition_windows = ["Window partitioned only by ... [planted]"]
     assert not any("bounded-domain columns" in w for w in lint(a, ()))
     a2 = PlanAudit(name="not_waived_query")
