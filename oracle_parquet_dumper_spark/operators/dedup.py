@@ -29,6 +29,7 @@ from oracle_parquet_dumper_spark.plans.registry import query
 from oracle_parquet_dumper_spark.sources.tables import load_table
 
 N_MINHASH = 16
+OPH_BINS = 16  # one-permutation-hashing bin count (r12 eval + r13 sampled twin)
 N_BANDS = 4  # 4 rows/band -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
 
 # Engine-portable MinHash: token/shingle ids are 60-bit md5 prefixes
@@ -57,6 +58,27 @@ def _md5_long_sql(expr: str) -> str:
 
 def _affine_min_sql(i: int, sh_expr: str) -> str:
     return f"MIN(({MINHASH_A[i]} * ({sh_expr} % {MINHASH_P}) + {MINHASH_B[i]}) % {MINHASH_P})"
+
+
+def _pair_participants(pairs: DataFrame) -> DataFrame:
+    """Distinct doc ids appearing on either side of a candidate-pair
+    relation — the semi-join key that keeps exact-verify stages
+    O(participants), not O(corpus).
+
+    The round-13 profile that motivated this: at sf1 the minhash evals
+    spent 99 s building distinct-shingle arrays for ALL 600k documents
+    and 13 s on everything else, while only ~5k documents actually
+    appear in a candidate pair — Catalyst cannot push a join's key
+    membership below a per-row array constructor, so the restriction
+    must be stated explicitly (`d.join(_pair_participants(p), "doc_id",
+    "left_semi")` BEFORE the array build).  Callers localCheckpoint the
+    pair relation first so the banded join isn't re-derived for the
+    participant list."""
+    return (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
 
 
 @query(
@@ -1698,8 +1720,12 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
     )
-    sets = d.select(
+    # shingle arrays only for pair participants (_pair_participants —
+    # the round-13 fix: the unrestricted corpus-wide array build
+    # dominated the minhash evals' sf1 cost by ~8x)
+    sets = d.join(_pair_participants(pairs), "doc_id", "left_semi").select(
         "doc_id",
         F.array_distinct(F.transform(shingles(F.col("text")), _md5_long)).alias("ss"),
     )
@@ -2293,10 +2319,13 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three ratios are exact integer ppm (floor division), so the
     oracle has no floating point.  Scale shape: signatures stay the
-    shuffle-free per-row pipeline; the full distinct-shingle sets are
-    joined ONLY for the LSH-surviving candidate pairs (the standard
-    verify stage) — exact verification cost is O(candidates), never
-    O(pairs)."""
+    shuffle-free per-row pipeline; the distinct-shingle sets are built
+    ONLY for pair-participant documents (left-semi against the
+    checkpointed candidate relation — _pair_participants; the round-13
+    profile measured the unrestricted build at 99 of the query's ~110 s
+    at sf1, for ~5k participants out of 600k docs) and joined only for
+    the LSH-surviving candidate pairs — exact verification cost is
+    O(participants + candidates), never O(corpus array builds)."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
@@ -2312,12 +2341,18 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "sig_a", "sig_b")
         .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
     )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     ).cast("long")
 
-    sets = d.select(
+    # no forced broadcast: the participant list grows with the candidate
+    # set, so the hint would be an unbounded build side — AQE broadcasts
+    # it while small and falls back to a shuffled semi-join beyond that
+    sets = d.join(
+        _pair_participants(pairs.select("a", "b")), "doc_id", "left_semi"
+    ).select(
         "doc_id",
         F.array_distinct(
             F.transform(shingles(F.col("text")), lambda s: _md5_long(s))
@@ -2345,6 +2380,369 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(1000000 * abs(agree * nu - {N_MINHASH} * inter)) div ({N_MINHASH} * nu)"
         ).alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled-verify twins of the minhash accuracy evals (round 13)
+# ---------------------------------------------------------------------------
+
+# 1-in-EVAL_SAMPLE_MOD deterministic hash-mod sample of candidate pairs.
+# 3 keeps the sample populated at the toy fixtures (25-256 candidates);
+# a production corpus sets this to 1e3-1e6 — the verify cost divides by
+# it while the estimate's CI shrinks as 1/sqrt(sample).
+EVAL_SAMPLE_MOD = 3
+# a candidate pair counts as a TRUE near-duplicate when its exact
+# shingle Jaccard reaches 0.5 — the precision numerator.
+EVAL_GOOD_PPM = 500_000
+
+
+def _sampled_eval_summary(pairs: DataFrame, scored: DataFrame) -> DataFrame:
+    """One-row summary shared by the two sampled evals: candidate
+    count, sample size, precision (exact-Jaccard >= EVAL_GOOD_PPM) with
+    an integer z=2 Wald half-width, and the mean |estimator error|.
+
+    The half-width is DEFINED in integer arithmetic so both engines
+    replay it bit-for-bit: hw_ppm = (2e6 * isqrt((k*(n-k)) div n)) div n
+    with isqrt = floor(sqrt(double)) corrected by two integer
+    comparisons — IEEE sqrt is correctly rounded in both engines and
+    the +-1 correction makes any boundary rounding exact, so no float
+    ever reaches the output (the round-12 trig/log oracle rule)."""
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    s = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("true_ppm") >= EVAL_GOOD_PPM, 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum("err_ppm").cast("long").alias("_err_sum"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .withColumn(
+            "precision_ppm",
+            F.expr(
+                "CASE WHEN n_sampled = 0 THEN NULL "
+                "ELSE (n_good * 1000000) div n_sampled END"
+            ),
+        )
+        .withColumn(
+            "_x",
+            F.expr(
+                "CASE WHEN n_sampled = 0 THEN NULL "
+                "ELSE (n_good * (n_sampled - n_good)) div n_sampled END"
+            ),
+        )
+        .withColumn("_s0", F.expr("CAST(FLOOR(SQRT(CAST(_x AS DOUBLE))) AS BIGINT)"))
+        .withColumn(
+            "ci_halfwidth_ppm",
+            F.expr(
+                "CASE WHEN _x IS NULL THEN NULL ELSE "
+                "(2000000 * (_s0 "
+                " + (CASE WHEN (_s0 + 1) * (_s0 + 1) <= _x THEN 1 ELSE 0 END)"
+                " - (CASE WHEN _s0 * _s0 > _x THEN 1 ELSE 0 END)"
+                ")) div n_sampled END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "mean_abs_err_ppm",
+            F.expr(
+                "CASE WHEN n_sampled = 0 THEN NULL ELSE _err_sum div n_sampled END"
+            ),
+        )
+        .select(
+            "n_candidates",
+            "n_sampled",
+            "n_good",
+            "precision_ppm",
+            "ci_halfwidth_ppm",
+            "mean_abs_err_ppm",
+        )
+    )
+
+
+_PAIR_KEY_SQL = "CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+_SAMPLE_PRED_SQL = f"{_md5_long_sql(_PAIR_KEY_SQL)} % {EVAL_SAMPLE_MOD} = 0"
+
+
+def _sampled_summary_sql(pairs_cte: str, scored_cte: str) -> str:
+    """SQL twin of ``_sampled_eval_summary`` over a candidate CTE and a
+    sampled-scored CTE carrying (true_ppm, err_ppm)."""
+    return f"""
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM {pairs_cte}) AS n_candidates,
+             COUNT(*) AS n_sampled,
+             SUM(CASE WHEN true_ppm >= {EVAL_GOOD_PPM} THEN 1 ELSE 0 END) AS n_good,
+             SUM(err_ppm) AS err_sum
+      FROM {scored_cte}
+    ),
+    fin AS (
+      SELECT n_candidates, n_sampled, n_good,
+             CASE WHEN n_sampled = 0 THEN NULL
+                  ELSE (n_good * 1000000) // n_sampled END AS precision_ppm,
+             CASE WHEN n_sampled = 0 THEN NULL
+                  ELSE (n_good * (n_sampled - n_good)) // n_sampled END AS x,
+             CASE WHEN n_sampled = 0 THEN NULL
+                  ELSE err_sum // n_sampled END AS mean_abs_err_ppm
+      FROM agg
+    ),
+    isq AS (SELECT *, CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0 FROM fin)
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_sampled AS BIGINT) AS n_sampled,
+           CAST(n_good AS BIGINT) AS n_good,
+           CAST(precision_ppm AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN x IS NULL THEN NULL ELSE
+             (2000000 * (s0
+               + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+               - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END)
+             )) // n_sampled END AS BIGINT) AS ci_halfwidth_ppm,
+           CAST(mean_abs_err_ppm AS BIGINT) AS mean_abs_err_ppm
+    FROM isq"""
+
+
+def _minhash_accuracy_sampled_oracle() -> str:
+    return f"""
+    WITH {_minhash_sig_sql()},
+    acc_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, ({_agree_sql()}) AS agree
+      FROM mh_sig a JOIN mh_sig b ON a.doc_id < b.doc_id AND ({_band_eq_sql()})
+    ),
+    samp AS (SELECT * FROM acc_pairs WHERE {_SAMPLE_PRED_SQL}),
+    sets AS (
+      SELECT doc_id, list_distinct(list(s)) AS ss FROM mh_sh GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT p.a, p.b,
+             (len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) * 1000000)
+               // (len(sa.ss) + len(sb.ss)
+                   - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))) AS true_ppm,
+             (1000000 * abs(p.agree * (len(sa.ss) + len(sb.ss)
+                   - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))))
+                 - {N_MINHASH} * len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))))
+               // ({N_MINHASH} * (len(sa.ss) + len(sb.ss)
+                   - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))))) AS err_ppm
+      FROM samp p
+      JOIN sets sa ON sa.doc_id = p.a
+      JOIN sets sb ON sb.doc_id = p.b
+    ),
+    {_sampled_summary_sql("acc_pairs", "scored")}
+    """
+
+
+@query(
+    "dedup_minhash_accuracy_eval_sampled",
+    oracle=_minhash_accuracy_sampled_oracle(),
+    tags=("dedup", "lsh", "eval"),
+    band_bits=124,
+)
+def dedup_minhash_accuracy_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-verify twin of dedup_minhash_accuracy_eval (VERDICT r12
+    #3): the exact eval pays O(|ss_a|+|ss_b|) shingle-set shipping on
+    EVERY LSH candidate pair — measured 8.29x/decade, correct but
+    unrunnable at 100 TB.  This twin verifies only a deterministic
+    1-in-{EVAL_SAMPLE_MOD} hash-mod sample of the candidates (md5 of
+    'a:b' — reproducible across runs and engines, no RNG) and reports
+    the ESTIMATE with its uncertainty: candidate count, sample size,
+    precision@Jaccard>=0.5 with an integer z=2 Wald half-width, and the
+    mean |signature-estimate error|.  The exact eval remains the sf<=1
+    ground truth; this is the form that runs at any scale — verify cost
+    divides by the sample modulus while the CI column says exactly what
+    the sample licenses.  Sampling BEFORE the set join also means the
+    heavy arrays ship for sampled pairs only."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    sig = minhash_signatures_df(d)
+
+    # carry the 16-int signatures THROUGH the band join (keep_sig, like
+    # the exact eval) instead of re-joining sig onto the sampled pairs:
+    # the signature subtree is the evals' dominant linear cost (~12.5 s
+    # at sf1), and a separate sig join re-derives it — measured +3 s at
+    # sf1 before this fix.  Only the heavy shingle SETS are gated on the
+    # sample; sigs are 16 longs per row.
+    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    samp = pairs.where(
+        _md5_long(
+            F.concat_ws(":", F.col("a").cast("string"), F.col("b").cast("string"))
+        )
+        % EVAL_SAMPLE_MOD
+        == 0
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("long")
+    # shingle arrays only for SAMPLED-pair participants: the whole point
+    # of the twin — the unrestricted build was 99 of ~110 s at sf1
+    sets = d.join(
+        _pair_participants(samp.select("a", "b")), "doc_id", "left_semi"
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles(F.col("text")), lambda s: _md5_long(s))
+        ).alias("ss"),
+    )
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("ss").alias("ss_a"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("ss").alias("ss_b"))
+    inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
+    nu = (F.size("ss_a") + F.size("ss_b")).cast("long") - inter
+    scored = (
+        samp.select("a", "b", agree.alias("agree"))
+        .join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", "agree", inter.alias("inter"), nu.alias("nu"))
+        .select(
+            F.expr("(inter * 1000000) div nu").alias("true_ppm"),
+            F.expr(
+                f"(1000000 * abs(agree * nu - {N_MINHASH} * inter))"
+                f" div ({N_MINHASH} * nu)"
+            ).alias("err_ppm"),
+        )
+    )
+    return _sampled_eval_summary(pairs, scored)
+
+
+def _oph_sampled_oracle() -> str:
+    o_mins = ",\n             ".join(
+        f"MIN(CASE WHEN s % {OPH_BINS} = {i} THEN s END) AS o{i}"
+        for i in range(OPH_BINS)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN oa.o{i} = ob.o{i} THEN 1 ELSE 0 END)" for i in range(OPH_BINS)
+    )
+    n_empty = " + ".join(
+        f"(CASE WHEN oa.o{i} IS NULL AND ob.o{i} IS NULL THEN 1 ELSE 0 END)"
+        for i in range(OPH_BINS)
+    )
+    return f"""
+    WITH {_minhash_sig_sql()},
+    oph AS MATERIALIZED (
+      SELECT doc_id,
+             {o_mins}
+      FROM mh_sh GROUP BY doc_id
+    ),
+    oph_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM mh_sig a JOIN mh_sig b ON a.doc_id < b.doc_id AND ({_band_eq_sql()})
+    ),
+    samp AS (SELECT * FROM oph_pairs WHERE {_SAMPLE_PRED_SQL}),
+    oph_sets AS (
+      SELECT doc_id, list_distinct(list(s)) AS ss FROM mh_sh GROUP BY doc_id
+    ),
+    raw AS (
+      SELECT ({n_match}) AS n_match, ({n_empty}) AS n_both_empty,
+             len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
+             len(sa.ss) + len(sb.ss)
+               - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS nu
+      FROM samp p
+      JOIN oph oa ON oa.doc_id = p.a
+      JOIN oph ob ON ob.doc_id = p.b
+      JOIN oph_sets sa ON sa.doc_id = p.a
+      JOIN oph_sets sb ON sb.doc_id = p.b
+    ),
+    scored AS (
+      SELECT (inter * 1000000) // nu AS true_ppm,
+             (1000000 * abs(n_match * nu - ({OPH_BINS} - n_both_empty) * inter))
+               // (({OPH_BINS} - n_both_empty) * nu) AS err_ppm
+      FROM raw
+    ),
+    {_sampled_summary_sql("oph_pairs", "scored")}
+    """
+
+
+@query(
+    "dedup_minhash_oph_eval_sampled",
+    oracle=_oph_sampled_oracle(),
+    tags=("dedup", "lsh", "eval"),
+    band_bits=124,
+)
+def dedup_minhash_oph_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-verify twin of dedup_minhash_oph_eval (measured
+    9.03x/decade — the steepest standing curve in SCALING.md r12): the
+    same 1-in-{EVAL_SAMPLE_MOD} hash-mod candidate sample and one-row
+    uncertainty summary as dedup_minhash_accuracy_eval_sampled, with
+    the estimator term being the OPH matches/({OPH_BINS} − both-empty)
+    unbiased form.  The OPH bin arrays and exact shingle sets ship for
+    sampled pairs only; the candidate count itself stays exact (the
+    banded join is production dedup's own cost)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    sig = minhash_signatures_df(d)
+
+    bands = minhash_band_rows(sig).repartition("band", "bucket")
+    left = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    samp = pairs.where(
+        _md5_long(
+            F.concat_ws(":", F.col("a").cast("string"), F.col("b").cast("string"))
+        )
+        % EVAL_SAMPLE_MOD
+        == 0
+    )
+    ss = F.array_distinct(F.transform(shingles(F.col("text")), lambda s: _md5_long(s)))
+    oph = F.transform(
+        F.sequence(F.lit(0), F.lit(OPH_BINS - 1)),
+        lambda k: F.array_min(F.filter(F.col("ss"), lambda s: s % OPH_BINS == k)),
+    )
+    # per-doc arrays only for SAMPLED-pair participants (see the
+    # accuracy twin — the unrestricted build dominated the sf1 cost)
+    sets = (
+        d.join(_pair_participants(samp), "doc_id", "left_semi")
+        .select("doc_id", ss.alias("ss"))
+        .select("doc_id", "ss", oph.alias("oph"))
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("a"), F.col("ss").alias("ss_a"), F.col("oph").alias("oph_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b"), F.col("ss").alias("ss_b"), F.col("oph").alias("oph_b")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("oph_a", "oph_b", lambda x, y: F.coalesce(x == y, F.lit(False))),
+            lambda m: m,
+        )
+    ).cast("long")
+    n_both_empty = F.size(
+        F.filter(
+            F.zip_with("oph_a", "oph_b", lambda x, y: x.isNull() & y.isNull()),
+            lambda m: m,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
+    nu = (F.size("ss_a") + F.size("ss_b")).cast("long") - inter
+    scored = (
+        samp.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            n_match.alias("n_match"),
+            n_both_empty.alias("n_both_empty"),
+            inter.alias("inter"),
+            nu.alias("nu"),
+        )
+        .select(
+            F.expr("(inter * 1000000) div nu").alias("true_ppm"),
+            F.expr(
+                f"(1000000 * abs(n_match * nu - ({OPH_BINS} - n_both_empty) * inter))"
+                f" div (({OPH_BINS} - n_both_empty) * nu)"
+            ).alias("err_ppm"),
+        )
+    )
+    return _sampled_eval_summary(pairs, scored)
 
 
 @query(
@@ -3168,8 +3566,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- one-permutation-hashing signature accuracy (r12) ------------------------
-
-OPH_BINS = 16
+# (OPH_BINS moved next to N_MINHASH: the r13 sampled twin needs it earlier)
 
 
 def _oph_oracle() -> str:
@@ -3243,10 +3640,12 @@ def dedup_minhash_oph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     All ratios are exact integer ppm (floor division, cross-multiplied
     error) — no floating point anywhere, bit-exact oracle.
 
-    Scale shape: signatures and bins are per-row array work on the
-    SAME single shingle relation (no extra scan); exact verification is
-    joined only for LSH-surviving candidates, O(candidates) like
-    dedup_minhash_accuracy_eval (dedup.py:~2485)."""
+    Scale shape: signatures and bins are per-row array work built ONLY
+    for pair-participant documents (left-semi against the checkpointed
+    candidate relation — _pair_participants, the round-13 fix that cut
+    the sf1 cost ~3x for both evals); exact verification is joined only
+    for LSH-surviving candidates, O(participants + candidates) like
+    dedup_minhash_accuracy_eval."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
@@ -3258,6 +3657,7 @@ def dedup_minhash_oph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
     )
     ss = F.array_distinct(
         F.transform(shingles(F.col("text")), lambda s: _md5_long(s))
@@ -3266,8 +3666,10 @@ def dedup_minhash_oph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(OPH_BINS - 1)),
         lambda k: F.array_min(F.filter(F.col("ss"), lambda s: s % OPH_BINS == k)),
     )
-    sets = d.select("doc_id", ss.alias("ss")).select(
-        "doc_id", "ss", oph.alias("oph")
+    sets = (
+        d.join(_pair_participants(pairs), "doc_id", "left_semi")
+        .select("doc_id", ss.alias("ss"))
+        .select("doc_id", "ss", oph.alias("oph"))
     )
     sa = sets.select(
         F.col("doc_id").alias("a"), F.col("ss").alias("ss_a"), F.col("oph").alias("oph_a")

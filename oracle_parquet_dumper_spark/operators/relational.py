@@ -252,6 +252,151 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PEAK_TOPK = 5           # highest-revenue ship days kept per year
+PEAK_HALF_DAYS = 1      # peak window = peak day ± 1 day (3-day interval)
+INTERVAL_BIN_DAYS = 7   # bin width for the interval equi-join
+
+
+@query(
+    "join_interval_overlap_binned",
+    oracle=f"""
+    WITH span AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS last_ship,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    iv AS (
+      SELECT o.o_orderkey, o.o_orderdate, s.last_ship, s.rev_cents
+      FROM orders o JOIN span s ON s.l_orderkey = o.o_orderkey
+      WHERE s.last_ship >= o.o_orderdate
+    ),
+    drev AS (
+      SELECT l_shipdate AS d,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS day_rev
+      FROM lineitem GROUP BY 1
+    ),
+    pk AS (
+      SELECT d, CAST(year(d) AS INT) AS yr FROM (
+        SELECT d, ROW_NUMBER() OVER (PARTITION BY year(d)
+                                     ORDER BY day_rev DESC, d) AS rn
+        FROM drev
+      ) WHERE rn <= {PEAK_TOPK}
+    ),
+    pairs AS (
+      SELECT DISTINCT pk.yr, pk.d AS peak_day, iv.o_orderkey, iv.rev_cents
+      FROM pk JOIN iv
+        ON iv.o_orderdate <= pk.d + INTERVAL {PEAK_HALF_DAYS} DAY
+       AND pk.d - INTERVAL {PEAK_HALF_DAYS} DAY <= iv.last_ship
+    ),
+    tr AS (SELECT DISTINCT yr, o_orderkey, rev_cents FROM pairs),
+    agg1 AS (
+      SELECT yr, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT o_orderkey) AS n_orders,
+             COUNT(DISTINCT peak_day) AS n_windows
+      FROM pairs GROUP BY yr
+    ),
+    agg2 AS (SELECT yr, SUM(rev_cents) AS order_rev_cents FROM tr GROUP BY yr)
+    SELECT a.yr, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(order_rev_cents AS BIGINT) AS order_rev_cents
+    FROM agg1 a JOIN agg2 USING (yr)
+    """,
+    tags=("join", "interval", "range", "topk"),
+)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval-overlap join (no equi key) via bin-bucketing — the
+    range-join pattern Spark has no native operator for: which order
+    LIFESPANS [o_orderdate, last ship date of the order's lines]
+    overlap each year's top-{PEAK_TOPK} revenue-day ± {PEAK_HALF_DAYS}d
+    peak windows (capacity planning over data-derived hot windows; the
+    windows come from the round-13 grouped_topk primitive, so nothing
+    here caps parallelism at the year domain).
+
+    A naive ``a.join(b, overlap_predicate)`` plans a nested-loop/
+    cartesian — the audit's banned class.  The scalable form: explode
+    BOTH interval sets into covered {INTERVAL_BIN_DAYS}-day bins (a
+    lifespan of months covers a handful of bins, a window ≤ 2), hash
+    equi-join on the bin id, re-check the exact inclusive-overlap
+    predicate, and dedupe (two intervals sharing any day share that
+    day's bin, so candidates are complete; a pair meeting in k bins
+    dedupes to one).  At 100 TB both sides shuffle on the bin key and
+    the join stays hash-based at any interval density; bin width tunes
+    the explode factor against per-bin occupancy.  The DuckDB oracle
+    states the same join declaratively (theta predicate — tractable at
+    test scale), pinning that the binned plan loses no pair."""
+    from oracle_parquet_dumper_spark.operators.global_index import grouped_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    span = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents"),
+    )
+    iv = (
+        orders.join(span, orders.o_orderkey == span.l_orderkey)
+        .where(F.col("last_ship") >= F.col("o_orderdate"))
+        .select(
+            "o_orderkey",
+            "rev_cents",
+            F.datediff("o_orderdate", epoch).alias("ts_s"),
+            F.datediff("last_ship", epoch).alias("ts_e"),
+        )
+    )
+    drev = (
+        li.groupBy("l_shipdate")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("day_rev"))
+        .withColumn("yr", F.year("l_shipdate"))
+        .withColumn("_negrev", -F.col("day_rev"))
+    )
+    peaks = grouped_topk(drev, ["yr"], ["_negrev", "l_shipdate"], PEAK_TOPK)
+    win = peaks.select(
+        "yr",
+        F.col("l_shipdate").alias("peak_day"),
+        (F.datediff("l_shipdate", epoch) - PEAK_HALF_DAYS).alias("w_s"),
+        (F.datediff("l_shipdate", epoch) + PEAK_HALF_DAYS).alias("w_e"),
+    )
+    wbins = win.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_s div {INTERVAL_BIN_DAYS}"),
+                F.expr(f"w_e div {INTERVAL_BIN_DAYS}"),
+            )
+        ),
+    )
+    tbins = iv.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"ts_s div {INTERVAL_BIN_DAYS}"),
+                F.expr(f"ts_e div {INTERVAL_BIN_DAYS}"),
+            )
+        ),
+    )
+    # both output aggregations consume the deduped pair relation —
+    # checkpoint it once instead of re-deriving the bin join per branch
+    pairs = (
+        tbins.join(wbins, "_bin")
+        .where((F.col("ts_s") <= F.col("w_e")) & (F.col("w_s") <= F.col("ts_e")))
+        .dropDuplicates(["yr", "peak_day", "o_orderkey"])
+        .select("yr", "peak_day", "o_orderkey", "rev_cents")
+        .localCheckpoint(eager=False)
+    )
+    agg1 = pairs.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.countDistinct("peak_day").alias("n_windows"),
+    )
+    agg2 = (
+        pairs.dropDuplicates(["yr", "o_orderkey"])
+        .groupBy("yr")
+        .agg(F.sum("rev_cents").alias("order_rev_cents"))
+    )
+    return agg1.join(agg2, "yr")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
