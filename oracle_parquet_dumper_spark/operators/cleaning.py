@@ -480,3 +480,145 @@ def clean_winsorize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("scaled_milli"),
     )
+
+
+# --- missing-value imputation (round 13) -----------------------------------
+
+
+@query(
+    "clean_impute_group_median",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS c
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderstatus, CAST(quantile_disc(c, 0.5) AS BIGINT) AS med_cents
+      FROM m WHERE c IS NOT NULL GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           CAST(MAX(med.med_cents) AS BIGINT) AS med_cents,
+           CAST(SUM(COALESCE(m.c, med.med_cents)) AS BIGINT) AS total_cents
+    FROM m JOIN med USING (o_orderstatus)
+    GROUP BY m.o_orderstatus
+    """,
+    tags=("clean", "agg", "null"),
+)
+def clean_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT-median imputation of missing values (nulls
+    planted on o_orderkey % 7 — the profile_missingness convention) —
+    the standard tabular-feature repair pass before training.
+
+    The median is percentile_disc(0.5) semantics computed the
+    scale-safe way: value-domain rollup (one row per distinct cents per
+    group — a map-side partial) into global_index.weighted_quantiles,
+    never Spark's exact-percentile buffer aggregate (banned by the plan
+    audit: per-group state would be every value in one task).  The
+    imputed relation is then a broadcast join of the 3-row median table
+    back onto the masked scan — no second pass over the data.  Output
+    is the per-group audit row: row count, imputed count, the median
+    used, and the post-imputation checksum, all exact integers."""
+    from oracle_parquet_dumper_spark.operators.global_index import weighted_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("c"),
+    )
+    vc = (
+        o.where(F.col("c").isNotNull())
+        .groupBy("o_orderstatus", "c")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    med = weighted_quantiles(
+        vc, "c", "w", group_cols=["o_orderstatus"], disc={"med_cents": 0.5}
+    ).select("o_orderstatus", F.col("med_cents").cast("long").alias("med_cents"))
+    return (
+        o.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imputed"),
+            F.max("med_cents").cast("long").alias("med_cents"),
+            F.sum(F.coalesce(F.col("c"), F.col("med_cents")))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "clean_impute_locf",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v
+      FROM events
+    ),
+    f AS (
+      SELECT event_type, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM m
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN v IS NULL AND filled IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unfillable,
+           CAST(SUM(COALESCE(filled, 0)) AS BIGINT) AS filled_cents_sum
+    FROM f GROUP BY event_type
+    """,
+    tags=("clean", "window", "null", "timeseries"),
+)
+def clean_impute_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation per user (nulls
+    planted on event_id % 5): the standard time-series gap repair —
+    each missing reading takes the user's most recent non-null value in
+    (ts, event_id) order; a user's leading nulls stay null (no value to
+    carry) and are reported as n_unfillable.
+
+    Spark's ``last(..., ignorenulls=True)`` over a running frame IS the
+    LOCF operator; the window partitions on user_id — a DATA-sized key,
+    so parallelism scales with users (the bounded-partition audit rule
+    does not fire; this is the tie-group shape it allowlists).  Output
+    aggregates to the per-type audit row: masked count, unfillable
+    count, and the post-fill integer checksum."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.floor(F.col("value") * 100).cast("long")
+        ).alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    f = ev.select(
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_masked"),
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("filled").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unfillable"),
+        F.sum(F.coalesce(F.col("filled"), F.lit(0))).cast("long").alias("filled_cents_sum"),
+    )

@@ -2185,3 +2185,179 @@ def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- MMR diversified re-ranking (round 13) ---------------------------------
+
+MMR_POOL = 20   # relevance-ranked candidate pool fed to the greedy stage
+MMR_K = 5       # diversified picks returned
+# lambda = 0.7 in tenths: score = 7*rel_ppm - 3*max_sim_ppm (integer)
+
+
+def _mmr_cos_ppm_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(round(1000000 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled as MMR_K chained CTEs (no recursion): step k
+    picks argmax(7*rel - 3*max-sim-to-picks) over the unpicked pool."""
+    steps = [
+        f"""s1 AS (
+      SELECT CAST(1 AS INT) AS rk, vec_id, rel_ppm, CAST(0 AS BIGINT) AS ms
+      FROM cand ORDER BY rel_ppm DESC, vec_id LIMIT 1
+    ),
+    u1 AS (SELECT * FROM s1)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        steps.append(
+            f"""s{k} AS (
+      SELECT CAST({k} AS INT) AS rk, c.vec_id, c.rel_ppm, MAX(p.sim_ppm) AS ms
+      FROM cand c JOIN p ON p.ai = c.vec_id
+                       AND p.bi IN (SELECT vec_id FROM u{k - 1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM u{k - 1})
+      GROUP BY c.vec_id, c.rel_ppm
+      ORDER BY 7 * c.rel_ppm - 3 * MAX(p.sim_ppm) DESC, c.vec_id LIMIT 1
+    ),
+    u{k} AS (SELECT * FROM u{k - 1} UNION ALL SELECT * FROM s{k})"""
+        )
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS MATERIALIZED (
+      SELECT vec_id, {_mmr_cos_ppm_sql("embedding", "qvec")} AS rel_ppm, embedding
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id != {QUERY_VEC_ID}
+      ORDER BY rel_ppm DESC, vec_id LIMIT {MMR_POOL}
+    ),
+    p AS MATERIALIZED (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             {_mmr_cos_ppm_sql("a.embedding", "b.embedding")} AS sim_ppm
+      FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+    ),
+    {body}
+    SELECT rk, vec_id, CAST(rel_ppm AS BIGINT) AS rel_ppm,
+           CAST(ms AS BIGINT) AS max_sim_ppm,
+           CAST(7 * rel_ppm - 3 * ms AS BIGINT) AS mmr_score
+    FROM u{MMR_K}
+    """
+
+
+@query(
+    "sim_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "topk", "eval", "iterative"),
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from the relevance top-{MMR_POOL} for one query vector,
+    greedily pick {MMR_K} results maximizing
+    lambda*relevance − (1−lambda)*max-similarity-to-already-picked
+    (lambda = 0.7) — the standard diversification pass between retrieval
+    and a RAG context window, where near-duplicate passages waste the
+    budget the retriever just spent.
+
+    Exactness: every cosine quantizes to integer ppm
+    (round-to-integer — engine-symmetric, unlike round(x, k)), so the
+    greedy argmax compares pure integers and both engines replay the
+    SAME picks; ties break on vec_id.  The DuckDB oracle unrolls the
+    identical greedy as {MMR_K} chained CTEs.
+
+    Scale shape: stage 1 is the brute-force top-{MMR_POOL} scan
+    (per-partition heaps — sim_topk_bruteforce's shape; an IVF/LSH
+    retriever slots in unchanged).  The greedy stage is OUTPUT-SIZED by
+    construction: the pool packs into one {MMR_POOL}-struct row
+    (bounded collect_list) and unnests into the {MMR_POOL}^2 pair grid
+    with no join, so each of the {MMR_K - 1} iterations plans tiny
+    equi-joins over ≤{MMR_POOL}-row checkpointed relations — the
+    kmeans-chain iterative pattern, never a data-sized loop."""
+    from oracle_parquet_dumper_spark.functions.vectors import as_double, dot_d
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # limit(1) is semantically a no-op (vec_id is unique) but gives the
+    # checkpoint fragment lint a SHAPE-level boundedness proof for the
+    # broadcast side of the crossJoin
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(as_double("embedding").alias("qv"))
+        .limit(1)
+    )
+
+    def cos_ppm(va, vb) -> Column:
+        c = dot_d(va, vb) / (
+            F.sqrt(dot_d(va, va)) * F.sqrt(dot_d(vb, vb))
+        )
+        return F.round(c * 1_000_000).cast("long")
+
+    cand = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cos_ppm(as_double("embedding"), F.col("qv")).alias("rel_ppm"),
+            as_double("embedding").alias("vd"),
+        )
+        .orderBy(F.col("rel_ppm").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    packed = cand.agg(
+        F.collect_list(F.struct("vec_id", "vd")).alias("pool")
+    )
+    p = (
+        packed.select(F.explode("pool").alias("a"), "pool")
+        .select(F.col("a.vec_id").alias("ai"), F.col("a.vd").alias("va"),
+                F.explode("pool").alias("b"))
+        .where(F.col("ai") != F.col("b.vec_id"))
+        .select(
+            "ai",
+            F.col("b.vec_id").alias("bi"),
+            cos_ppm(F.col("va"), F.col("b.vd")).alias("sim_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        cand.orderBy(F.col("rel_ppm").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rk"),
+            "vec_id",
+            "rel_ppm",
+            F.lit(0).cast("long").alias("ms"),
+        )
+    )
+    for step in range(2, MMR_K + 1):
+        chosen = sel.select("vec_id")
+        ms_df = (
+            p.join(chosen.withColumnRenamed("vec_id", "bi"), "bi")
+            .groupBy("ai")
+            .agg(F.max("sim_ppm").alias("ms"))
+            .withColumnRenamed("ai", "vec_id")
+        )
+        nxt = (
+            cand.join(chosen, "vec_id", "left_anti")
+            .join(ms_df, "vec_id")
+            .select(
+                F.lit(step).alias("rk"),
+                "vec_id",
+                "rel_ppm",
+                "ms",
+            )
+            .orderBy(
+                (7 * F.col("rel_ppm") - 3 * F.col("ms")).desc(), "vec_id"
+            )
+            .limit(1)
+        )
+        # checkpoint the accumulated picks each round (the kmeans-chain
+        # convention) so step k's plan does not re-derive steps 1..k-1
+        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
+    return sel.select(
+        F.col("rk").cast("int").alias("rk"),
+        "vec_id",
+        F.col("rel_ppm").cast("long").alias("rel_ppm"),
+        F.col("ms").cast("long").alias("max_sim_ppm"),
+        (7 * F.col("rel_ppm") - 3 * F.col("ms")).cast("long").alias("mmr_score"),
+    )

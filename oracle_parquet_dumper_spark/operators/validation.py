@@ -1288,3 +1288,100 @@ def dq_outliers_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mahal_sq").desc(), "price_cents", "quantity")
         .limit(MAHAL_TOP)
     )
+
+
+# --- probability-calibration reliability bins (round 13) --------------------
+
+ECE_BINS = 10
+
+
+@query(
+    "dq_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT LEAST(1000000, GREATEST(0,
+               CAST(floor(5000000.0 * length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                          / length(text)) AS BIGINT) - 1000000)) AS conf_ppm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents WHERE length(text) > 0
+    ),
+    binned AS (
+      SELECT LEAST(CAST(conf_ppm * {ECE_BINS} // 1000000 AS BIGINT), {ECE_BINS - 1}) AS bin,
+             conf_ppm, label
+      FROM scored
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM binned)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conf_ppm) // COUNT(*) AS BIGINT) AS mean_conf_ppm,
+           CAST(SUM(label) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+           CAST(abs(SUM(label) * 1000000 - SUM(conf_ppm)) // COUNT(*) AS BIGINT) AS gap_ppm,
+           CAST(abs(SUM(label) * 1000000 - SUM(conf_ppm)) // MAX(tot.n) AS BIGINT)
+             AS ece_contrib_ppm
+    FROM binned CROSS JOIN tot
+    GROUP BY bin
+    """,
+    tags=("dq", "validation", "agg", "eval"),
+)
+def dq_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + expected-calibration-error
+    contributions for a score/label pair — the standard audit of any
+    quality/langid classifier feeding a curation gate (Guo et al. 2017):
+    a well-calibrated score's bin accuracy tracks its bin confidence.
+
+    Score here is an in-plan vowel-density pseudo-confidence — the
+    [0.2, 0.4] vowel-fraction band stretched to [0, 1e6] ppm (one
+    double division then integer clamps, so the quantization is
+    bit-exact cross-engine); label is lang == 'en'.  The signal is
+    DELIBERATELY weak — the point of the op is to quantify exactly how
+    miscalibrated a score is, and a flat/uninformative score shows up
+    as bins whose accuracy is the base rate while confidence varies.
+    Equal-width bins on the score; per bin: count, mean confidence,
+    accuracy, |acc − conf| gap, and the n_b/N-weighted ECE contribution
+    (sum over bins = ECE).  All integer ppm via floor division —
+    bit-exact oracle; the |sum_label·1e6 − sum_conf| form avoids ever
+    materializing a per-bin float mean.
+
+    Scale shape: one scan, one {ECE_BINS}-ary map-side-partial groupBy;
+    the corpus total rides along as a broadcast 1-row fold.  No window,
+    no per-row Python."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    conf = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(
+                F.lit(5_000_000.0)
+                * F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
+                / F.length("text")
+            ).cast("long")
+            - 1_000_000,
+        ),
+    )
+    scored = d.select(
+        conf.alias("conf_ppm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    binned = scored.select(
+        F.least(
+            F.expr(f"conf_ppm * {ECE_BINS} div 1000000"), F.lit(ECE_BINS - 1).cast("long")
+        ).alias("bin"),
+        "conf_ppm",
+        "label",
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("sum(conf_ppm) div count(1)").cast("long").alias("mean_conf_ppm"),
+            F.expr("sum(label) * 1000000 div count(1)").cast("long").alias("acc_ppm"),
+            F.expr("abs(sum(label) * 1000000 - sum(conf_ppm)) div count(1)")
+            .cast("long")
+            .alias("gap_ppm"),
+            F.expr("abs(sum(label) * 1000000 - sum(conf_ppm)) div max(n_total)")
+            .cast("long")
+            .alias("ece_contrib_ppm"),
+        )
+    )

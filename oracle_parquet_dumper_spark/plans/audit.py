@@ -336,6 +336,7 @@ BROADCAST_BUILD_ALLOWLIST: dict[str, tuple[int, str]] = {
     "sim_ivf_coarse": (1, "1 query vector (vec_id = 0)"),
     "sim_maxsim_multivector": (1, "8 query token vectors (vec_id < 8)"),
     "sim_reciprocal_rank_fusion": (4, "1 query vector x 2 rankers x 2 index passes"),
+    "sim_mmr_diversified_topk": (1, "1 query vector (vec_id = 0)"),
     "sim_topk_bruteforce": (1, "1 query vector (vec_id = 0)"),
     "sim_topk_hamming_binary": (1, "1 query vector (vec_id = 0)"),
     "sim_topk_mips": (1, "1 query vector (vec_id = 0)"),

@@ -302,3 +302,147 @@ def test_join_interval_overlap_binned_planted(spark, tmp_path):
     assert got == want
     assert 4 not in {ok for (_, _, ok) in pairs}  # reversed order dropped
     assert got[2024][0] > got[2024][1]  # the long lifespan hit >1 window
+
+
+# --- imputation + calibration ops (round 13) -------------------------------
+
+
+def test_clean_impute_group_median_planted(spark, tmp_path):
+    """Status 'A': prices 1.00 2.00 3.00 (medians from the odd count)
+    plus a masked row (orderkey 7); percentile_disc(0.5) over cents
+    {100,200,300} = 200, so the masked row imputes to 200 and the
+    checksum is 100+200+300+200."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, "A", 1.00, dt.date(2024, 1, 1), "x"),
+        (2, 1, "A", 2.00, dt.date(2024, 1, 1), "x"),
+        (3, 1, "A", 3.00, dt.date(2024, 1, 1), "x"),
+        (7, 1, "A", 9.99, dt.date(2024, 1, 1), "x"),  # masked (7 % 7 == 0)
+        (4, 1, "B", 5.00, dt.date(2024, 1, 1), "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from oracle_parquet_dumper_spark.operators.cleaning import (
+        clean_impute_group_median,
+    )
+
+    got = {
+        r.o_orderstatus: r
+        for r in clean_impute_group_median(spark, str(tmp_path)).collect()
+    }
+    a = got["A"]
+    assert (a.n_rows, a.n_imputed, a.med_cents, a.total_cents) == (4, 1, 200, 800)
+    b = got["B"]
+    assert (b.n_rows, b.n_imputed, b.med_cents, b.total_cents) == (1, 0, 500, 500)
+
+
+def test_clean_impute_locf_planted(spark, tmp_path):
+    """User 1: v=[1.00, MASKED(id 5), 3.00] in ts order -> the masked
+    reading carries 100 forward; user 2 STARTS masked (id 10) -> that
+    row is unfillable and contributes 0 to the checksum."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view", 1.00, "{}"),
+        (5, t(1), 1, "view", 9.99, "{}"),   # masked (5 % 5 == 0)
+        (2, t(2), 1, "view", 3.00, "{}"),
+        (10, t(0), 2, "click", 7.00, "{}"), # masked, leading -> unfillable
+        (11, t(1), 2, "click", 2.00, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from oracle_parquet_dumper_spark.operators.cleaning import clean_impute_locf
+
+    got = {r.event_type: r for r in clean_impute_locf(spark, str(tmp_path)).collect()}
+    v = got["view"]
+    # filled: 100, 100 (carried), 300
+    assert (v.n_rows, v.n_masked, v.n_unfillable, v.filled_cents_sum) == (3, 1, 0, 500)
+    c = got["click"]
+    # filled: NULL (leading), 200
+    assert (c.n_rows, c.n_masked, c.n_unfillable, c.filled_cents_sum) == (2, 1, 1, 200)
+
+
+def test_dq_calibration_ece_planted(spark, tmp_path):
+    """Three hand-set vowel densities: all-vowel 'en' doc clamps to
+    conf 1e6 (bin 9, acc 1 -> gap 0); vowel-free 'de' doc clamps to 0
+    (bin 0, acc 0 -> gap 0); 30%-vowel 'en' doc maps to exactly
+    (5e6*0.3 - 1e6) = 500000 ppm (bin 5, label 1 -> gap 500000)."""
+    rows = [
+        (1, "aaaa", "en", "s", 4),
+        (2, "bbbb", "de", "s", 4),
+        (3, "aaabbbbbbb", "en", "s", 10),  # 3 vowels of 10 chars
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from oracle_parquet_dumper_spark.operators.validation import dq_calibration_ece
+
+    got = {r.bin: r for r in dq_calibration_ece(spark, str(tmp_path)).collect()}
+    assert got[9].n == 1 and got[9].acc_ppm == 1_000_000 and got[9].gap_ppm == 0
+    assert got[0].n == 1 and got[0].acc_ppm == 0 and got[0].mean_conf_ppm == 0
+    assert got[5].n == 1 and got[5].mean_conf_ppm == 500_000
+    assert got[5].gap_ppm == 500_000  # label 1 vs conf 0.5
+    # ECE contributions are gap * n_b / N: N = 3
+    assert got[5].ece_contrib_ppm == 500_000 // 3
+
+
+# --- MMR diversified top-k (round 13) --------------------------------------
+
+
+def test_sim_mmr_diversified_topk_matches_numpy_greedy(spark, smoke_sf_dir):
+    """Replay the documented integer greedy in numpy/float64 over the
+    smoke fixture and assert pick-for-pick equality: rel/sim quantize
+    to round-to-integer ppm, score = 7*rel - 3*max_sim, ties on
+    vec_id."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from oracle_parquet_dumper_spark.operators.similarity import (
+        MMR_K,
+        MMR_POOL,
+        QUERY_VEC_ID,
+        sim_mmr_diversified_topk,
+    )
+
+    t = pq.read_table(f"{smoke_sf_dir}/embeddings.parquet").to_pandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in t.itertuples()}
+    q = vecs[QUERY_VEC_ID]
+
+    def ppm(a, b):
+        c = float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+        return int(np.floor(c * 1_000_000 + 0.5)) if c >= 0 else -int(
+            np.floor(-c * 1_000_000 + 0.5)
+        )  # round half away from zero, both engines' integer round
+
+    rel = {v: ppm(vec, q) for v, vec in vecs.items() if v != QUERY_VEC_ID}
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+    picks, chosen = [], []
+    first = min(pool, key=lambda v: (-rel[v], v))
+    picks.append((1, first, rel[first], 0))
+    chosen.append(first)
+    for rk in range(2, MMR_K + 1):
+        rest = [v for v in pool if v not in chosen]
+        if not rest:
+            break
+        scored = {
+            v: max(ppm(vecs[v], vecs[c]) for c in chosen) for v in rest
+        }
+        nxt = min(rest, key=lambda v: (-(7 * rel[v] - 3 * scored[v]), v))
+        picks.append((rk, nxt, rel[nxt], scored[nxt]))
+        chosen.append(nxt)
+
+    got = sorted(
+        (r.rk, r.vec_id, r.rel_ppm, r.max_sim_ppm)
+        for r in sim_mmr_diversified_topk(spark, smoke_sf_dir).collect()
+    )
+    assert got == sorted(picks)
+    assert len(got) == MMR_K
