@@ -190,7 +190,10 @@ def test_entry_order_env_gate_and_artifact_shape_validation(monkeypatch, tmp_pat
         json.dumps({"q_crashed": {"err": "boom"}, "q_ok": {"err": None}})
     )
     salt, seen, errored = entry._sampled_before()
-    assert seen == {"q_ok"}, "malformed artifacts leaked into the seen-set"
+    assert set(seen) == {"q_ok"}, "malformed artifacts leaked into the seen-set"
+    # r13: seen maps name -> LAST valid artifact index it was green in
+    # (q_ok appears in valid artifacts 1 and 2 -> 2)
+    assert seen["q_ok"] == 2
     assert errored == {"q_crashed"}, "errored-only names must form the retry tier"
     assert salt == 2, "salt must count only shape-valid artifacts"
     # retry tier sorts FIRST (VERDICT r9 #1: the agg_approx resample)
