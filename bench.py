@@ -151,6 +151,55 @@ def main() -> None:
     # of 1.15 carries the r12 finding that session-to-session swing
     # exceeds any within-session spread — even a tight probe cannot
     # license claims below it.
+    # IO probe (VERDICT r13 "Next" #5): the CPU calibration probe cannot
+    # see page-cache-reclaim IO events — the one noise source left after
+    # the r13 rework (checkpoint-heavy queries swing 2-4x when DAMON has
+    # reclaimed the cache).  Stamp two plain-Python IO numbers next to
+    # it so an IO outlier is attributable by artifact, not narrative:
+    #   read_mb_s_first  — sequential read of every fixture parquet AS
+    #                      THE BOX CURRENTLY STANDS (cold if reclaimed);
+    #   read_mb_s_rere   — immediate re-read (page-cache-warm ceiling);
+    #   write_mb_s       — 128 MB write+fsync to the checkpoint tmpdir's
+    #                      filesystem (what localCheckpoint spill pays).
+    def _io_probe() -> dict:
+        import tempfile
+
+        files = [
+            os.path.join(SF_DIR, f)
+            for f in sorted(os.listdir(SF_DIR))
+            if f.endswith(".parquet")
+        ]
+
+        def read_all() -> float:
+            nbytes = 0
+            t0 = time.perf_counter()
+            for p in files:
+                with open(p, "rb") as fh:
+                    while True:
+                        chunk = fh.read(1 << 22)
+                        if not chunk:
+                            break
+                        nbytes += len(chunk)
+            return nbytes / (1 << 20) / (time.perf_counter() - t0)
+
+        first = read_all()
+        rere = read_all()
+        blk = b"\x5a" * (1 << 22)
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(dir="/tmp") as tf:
+            for _ in range(32):  # 128 MB
+                tf.write(blk)
+            tf.flush()
+            os.fsync(tf.fileno())
+        w = 128.0 / (time.perf_counter() - t0)
+        return {
+            "read_mb_s_first": round(first, 1),
+            "read_mb_s_rere": round(rere, 1),
+            "write_mb_s": round(w, 1),
+        }
+
+    env["io_probe"] = _io_probe()
+
     cal_rows = 2_000_000_000
     probe = lambda: spark.range(0, cal_rows, 1, 1).selectExpr(  # noqa: E731
         "sum(id * 3 + 1) AS s"

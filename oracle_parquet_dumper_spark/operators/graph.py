@@ -45,20 +45,45 @@ PR_TOP = 20
 PR_SCALE = 1_000_000_000_000
 
 
+def _cooccurrence_edges(su: DataFrame, keep=None) -> DataFrame:
+    """Symmetric distinct co-occurrence edges from an (o, s) relation,
+    built CANONICALLY (r14, guide §2.3 — shuffle fewer bytes): the
+    per-o self-join emits each unordered pair once (``src < dst``
+    instead of ``src != dst``), the optional ``keep(src, dst)``
+    predicate (e.g. DOULION edge sampling) is evaluated on the
+    canonical pair — half the hash evaluations, and Catalyst pushes it
+    below the distinct into the join — and the distinct therefore
+    exchanges HALF the rows of the old both-directions form.  The
+    symmetric set is then restored by a 2-element explode (one plan
+    subtree — no union re-derivation, no extra exchange).  Measured at
+    sf0.1 (r14, interleaved n=5 medians): part-graph edge build
+    3.72 s -> 3.15 s with an identical oriented-edge set."""
+    a = su.select("o", F.col("s").alias("src"))
+    b = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    canon = a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") < F.col("dst")))
+    if keep is not None:
+        canon = canon.where(keep)
+    canon = canon.select("src", "dst").distinct()
+    return canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+                F.struct(F.col("dst").alias("u"), F.col("src").alias("v")),
+            )
+        ).alias("e")
+    ).select(F.col("e.u").alias("src"), F.col("e.v").alias("dst"))
+
+
 def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric edge list: suppliers that co-occur in an order.  The
     self-join is keyed by l_orderkey, so the pair count per order is
     bounded by the order's distinct-supplier count (≤7 in TPC-H) — this
-    never goes quadratic in table size."""
+    never goes quadratic in table size.  Canonical-pair construction
+    (see ``_cooccurrence_edges``) halves the self-join output and the
+    distinct exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     su = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
-    a = su.select("o", F.col("s").alias("src"))
-    b = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
-    return (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-    )
+    return _cooccurrence_edges(su)
 
 
 def pagerank(
@@ -76,10 +101,13 @@ def pagerank(
     from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
 
     # Round-invariant relation: computed and materialized ONCE, with the
-    # out-degree denormalized onto each edge, so the old per-round
-    # edges⋈deg join disappears.  PLAN REALITY (r8 sweep, measured): the
-    # checkpoint surfaces as Scan ExistingRDD, which DROPS the
-    # repartition's outputPartitioning — it does NOT carry into the
+    # out-degree denormalized onto each edge via a count() window riding
+    # a single src exchange (r14: the old two-step — checkpoint edges,
+    # groupBy deg, join, checkpoint again — paid a second materialization
+    # and a join for the same relation; measured 6.28 s -> 5.01 s at
+    # sf0.1, hash-identical).  PLAN REALITY (r8 sweep, measured): the
+    # checkpoint surfaces as Scan ExistingRDD, which DROPS the window
+    # exchange's outputPartitioning — it does NOT carry into the
     # per-round join.  What the executed round body actually does: AQE
     # broadcasts the node-sized ranks side (zero edge movement — the
     # fixture-scale plan, verified), leaving ONE fresh exchange per
@@ -89,17 +117,24 @@ def pagerank(
     # structural fix at that scale is the bucketed-table variant
     # (graph_pagerank_bucketed: bucketBy(src) scan keeps its clustering
     # across queries, so only the ranks side ever moves).
-    edges = truncate_lineage(edges.repartition("src"), checkpoint_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n1 = deg.agg(F.count(F.lit(1)).alias("nn"))  # 1-row, stays in-plan
+    from pyspark.sql import Window as W
+
     edges_deg = truncate_lineage(
-        edges.join(deg, "src").select("src", "dst", "deg").repartition("src"),
+        edges.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src"))),
         checkpoint_dir,
+    )
+    # 1-row node count, materialized ONCE (r14): left in-plan it was
+    # re-derived per round — 5 extra aggregation jobs over the edges.
+    n1 = truncate_lineage(
+        edges_deg.agg(F.count_distinct("src").alias("nn")), checkpoint_dir
     )
 
     d_num = int(round(damping * 100))  # 0.85 -> 85, exact integer damping
-    ranks = deg.crossJoin(F.broadcast(n1)).select(
-        F.col("src").alias("node"), F.expr(f"{PR_SCALE} div nn").alias("r")
+    ranks = (
+        edges_deg.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(n1))
+        .select(F.col("src").alias("node"), F.expr(f"{PR_SCALE} div nn").alias("r"))
     )
     for _ in range(iters):
         contribs = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
@@ -452,13 +487,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     su = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
-    a = su.select("o", F.col("s").alias("src"))
-    b = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
-    edges = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-    )
+    # canonical-pair build (r14): half the self-join output and half the
+    # distinct exchange vs the old src != dst form — see _cooccurrence_edges
+    edges = _cooccurrence_edges(su)
     # Degrees as count() windows over partitionBy(src) / partitionBy(dst)
     # — the graph_adamic_adar form (graph.py:728-745): the degree
     # relation is O(#nodes), DATA-SIZED for a graph operator (~1e9 rows
@@ -1019,16 +1050,19 @@ def graph_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     su = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
-    a = su.select("o", F.col("s").alias("src"))
-    b = su.select(F.col("o").alias("o2"), F.col("s").alias("dst"))
+    # canonical-pair build (r14): the keep-hash is evaluated on the
+    # canonical (src < dst) pair — least/greatest reduce to (src, dst) —
+    # so each undirected edge is hashed ONCE, pre-distinct (Catalyst
+    # pushes the predicate into the self-join), and the distinct
+    # exchange carries half the old row count.
     keep = (
         F.conv(
             F.substring(
                 F.md5(
                     F.concat_ws(
                         "_",
-                        F.least("src", "dst").cast("string"),
-                        F.greatest("src", "dst").cast("string"),
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
                     ).cast("binary")
                 ),
                 1,
@@ -1040,12 +1074,7 @@ def graph_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         % TRI_SAMPLE_MOD
         == 0
     )
-    edges = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-        .where(keep)
-    )
+    edges = _cooccurrence_edges(su, keep=keep)
     oriented = (
         edges.withColumn("du", F.count(F.lit(1)).over(W.partitionBy("src")))
         .withColumn("dv", F.count(F.lit(1)).over(W.partitionBy("dst")))

@@ -447,6 +447,10 @@ QUERY_BOUNDED_DOMAIN_COLS: dict[str, dict[str, str]] = {
     # round's checkpoint fragment — visible only since the r11
     # capture_checkpoints fix made fragments lintable
     "graph_pagerank_bucketed": {"nn": "1-row node-count fold (checkpointed)"},
+    # same checkpointed 1-row nn fold, now also in the non-bucketed
+    # variant (r14: materializing nn once removed 5 per-round
+    # re-aggregations over the checkpointed edge relation)
+    "graph_pagerank": {"nn": "1-row node-count fold (checkpointed)"},
     # per-segment stats relation: grouped on the 5-value c_mktsegment
     # domain (aliased), broadcast back onto the fact rows for the
     # row-local ln term
