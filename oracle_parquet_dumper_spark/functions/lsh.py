@@ -159,8 +159,15 @@ def banded_buckets(
     side (2x the dominant cost); the local checkpoint materializes the
     tiny (id, band, bucket) relation on first use and both sides read
     it."""
+    # r14: the hyperplane dots are heavy per-row map work over a
+    # single-row-group fixture scan (one task however many cores) —
+    # restore scan parallelism adaptively before computing them
+    # (no-op on an already-split source; guide §2.5).
+    from oracle_parquet_dumper_spark.sources.tables import split_scan
+
     bands = (
-        df.select(F.col(id_col), F.explode(band_structs(vec_col, planes, bits)).alias("bb"))
+        split_scan(df)
+        .select(F.col(id_col), F.explode(band_structs(vec_col, planes, bits)).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
     )
     return bands.localCheckpoint(eager=False)

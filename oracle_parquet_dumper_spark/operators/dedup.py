@@ -181,32 +181,56 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -
     and the SQL twin (``_minhash_sig_sql``).  Documents shorter than k
     tokens contribute one whole-text shingle (the ``shingles()``
     convention)."""
+    from oracle_parquet_dumper_spark.sources.tables import split_scan
+
+    # r14: the signature build is the dedup family's dominant linear
+    # cost and is embarrassingly parallel, but the single-row-group
+    # fixture scan plans ONE task — restore scan parallelism adaptively
+    # (no-op when the source is already split; see split_scan).
+    docs = split_scan(docs)
     toks = F.filter(F.split(F.lower(text_col), " "), lambda t: F.length(t) > 0)
     t1 = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
-    n = F.size("toks")
+    t2 = t1.select("doc_id", minhash_shingle_hashes_from_toks().alias("shm"))
+    return minhash_sig_from_shm(t2)
+
+
+def minhash_shingle_hashes_from_toks(toks_col: str = "toks", k: int = 3):
+    """Column: md5 shingle-hash array over a materialized token-array
+    column — stage (2) of ``minhash_signatures_df``, exposed so a
+    caller that must materialize an intermediate (pipeline_curation's
+    exact-dedup checkpoint) can carry the compact ``shm`` longs instead
+    of raw text and re-tokenizing per consumer.  ONE md5 per shingle;
+    documents shorter than k tokens contribute one whole-text shingle
+    (the ``shingles()`` convention)."""
+    n = F.size(toks_col)
     gram_idx = F.sequence(F.lit(1), n - (k - 1))
     grams = F.when(
         n >= k,
         F.transform(
             gram_idx,
             lambda i: F.concat_ws(
-                "\x1f", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+                "\x1f", *[F.element_at(F.col(toks_col), i + j) for j in range(k)]
             ),
         ),
-    ).otherwise(F.array(F.concat_ws("\x1f", F.col("toks"))))
+    ).otherwise(F.array(F.concat_ws("\x1f", F.col(toks_col))))
     # ONE md5 per shingle; the 16 'permutations' are affine maps of that
     # single shingle id — 1 multiply + 2 mods each, exact BIGINT
     # arithmetic both engines reproduce (a*s < 2^62, see MINHASH_P note).
-    t2 = t1.select(
-        "doc_id", F.transform(grams, lambda g: _md5_long(g) % MINHASH_P).alias("shm")
-    )
+    return F.transform(grams, lambda g: _md5_long(g) % MINHASH_P)
+
+
+def minhash_sig_from_shm(t2: DataFrame, shm_col: str = "shm") -> DataFrame:
+    """(doc_id, sig) from a (doc_id, shm) relation — stage (3) of
+    ``minhash_signatures_df`` (sixteen affine ``array_min`` folds over
+    the shingle-hash array), split out for callers that carry ``shm``
+    through a materialization boundary."""
     return t2.select(
         "doc_id",
         F.array(
             *[
                 F.array_min(
                     F.transform(
-                        "shm",
+                        shm_col,
                         lambda s: (F.lit(MINHASH_A[i]) * s + F.lit(MINHASH_B[i]))
                         % MINHASH_P,
                     )
@@ -364,20 +388,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .dropDuplicates(["a", "b"])
-    )
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     ) / F.lit(float(N_MINHASH))
+    # r14 (guide §2.3 — shuffle fewer bytes): the estimate is row-local
+    # and identical for every (band, bucket) copy of a pair, so verify
+    # and THRESHOLD before the pair-dedup exchange — the dedup then
+    # shuffles (a, b, est) for surviving pairs only, instead of two
+    # 16-long signature arrays for every banded collision.
     return (
-        pairs.select("a", "b", est.alias("est_jaccard"))
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["a", "b"])
         .orderBy("a", "b")
     )
 
@@ -1209,8 +1235,15 @@ def pipeline_curation(
     rounds) to reliable checkpoints — both modes are pytest-exercised."""
     d = load_table(spark, sf_dir, "documents")
 
-    # 1. quality gate
-    quality = d.where((F.length("text") > 0) & (F.size(words_col_d(d)) >= 3))
+    # 1. quality gate (tokenize once; toks feeds the gate, the token
+    # budget and the shingle hashes below).  split_scan: the tokenize +
+    # shingle-hash stage below is the heavy per-row work and the
+    # single-row-group fixture scan plans one task (guide §2.5).
+    from oracle_parquet_dumper_spark.sources.tables import split_scan
+
+    d = split_scan(d)
+    base = d.select("doc_id", "lang", "text", words_col_d(d).alias("toks"))
+    quality = base.where((F.length("text") > 0) & (F.size("toks") >= 3))
 
     # 2. exact dedup (keep min doc_id per digest)
     wk = F.md5(F.col("text").cast("binary"))
@@ -1219,15 +1252,25 @@ def pipeline_curation(
     )
     # The exact-deduped set feeds BOTH the signature pipeline and the
     # final survivor join — checkpoint it once instead of recomputing
-    # the scan+hash+semi-join per consumer.
+    # the scan+hash+semi-join per consumer.  r14: the checkpoint carries
+    # (doc_id, lang, ntok, shm) — the compact md5 shingle-hash longs and
+    # the token count — instead of raw text, so each consumer reads what
+    # it needs (signatures: 16 affine folds over shm; accounting: ntok)
+    # and nothing downstream ever re-tokenizes or re-hashes the corpus.
     exact = truncate_lineage(
-        quality.join(keepers_exact, "doc_id", "left_semi"), checkpoint_dir
+        quality.join(keepers_exact, "doc_id", "left_semi").select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("long").alias("ntok"),
+            minhash_shingle_hashes_from_toks().alias("shm"),
+        ),
+        checkpoint_dir,
     )
 
     # 3. near dedup: LSH pairs over the exact-deduped set -> CC -> drop
     # non-keepers.  Reuse the registered pair finder on a filtered view
     # by recomputing pairs here on `exact`.
-    sig = minhash_signatures_df(exact)
+    sig = minhash_sig_from_shm(exact)
     bands = minhash_band_rows(sig)
     # Same load-bearing exchange as dedup_minhash_lsh: signatures are now
     # per-row expressions (no shuffle of their own), so without this the
@@ -1254,12 +1297,12 @@ def pipeline_curation(
     ).select(F.col("node").alias("doc_id"))
     survivors = exact.join(non_keepers, "doc_id", "left_anti")
 
-    # 4. accounting
+    # 4. accounting (ntok was computed once, before the checkpoint)
     return (
         survivors.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(words_col_d(survivors)).cast("long")).alias("token_budget"),
+            F.sum("ntok").alias("token_budget"),
         )
         .orderBy("lang")
     )
@@ -1930,10 +1973,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.size(
         F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda eq: eq)
     ) / F.lit(float(N_MINHASH))
+    # r14: verify BEFORE any exchange and skip the (n_id, c_id) pair
+    # dedup outright — MIN(c_id) is duplicate-insensitive, so multi-band
+    # collisions of the same pair cannot change the evidence row; the
+    # only exchange left is the O(batch-hits) groupBy.
     near_hit = (
         corp_bands.join(F.broadcast(new_bands), ["band", "bucket"])
-        .select("n_id", "c_id", "sig_n", "sig_c")
-        .dropDuplicates(["n_id", "c_id"])
         .where(est >= 0.5)
         .groupBy(F.col("n_id").alias("doc_id"))
         .agg(F.min("c_id").alias("matched_id"))
@@ -2152,10 +2197,12 @@ def dedup_incremental_stored(
     est = F.size(
         F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda eq: eq)
     ) / F.lit(float(N_MINHASH))
+    # r14: verify BEFORE any exchange and skip the (n_id, c_id) pair
+    # dedup outright — MIN(c_id) is duplicate-insensitive, so multi-band
+    # collisions of the same pair cannot change the evidence row; the
+    # only exchange left is the O(batch-hits) groupBy.
     near_hit = (
         corp_bands.join(F.broadcast(new_bands), ["band", "bucket"])
-        .select("n_id", "c_id", "sig_n", "sig_c")
-        .dropDuplicates(["n_id", "c_id"])
         .where(est >= 0.5)
         .groupBy(F.col("n_id").alias("doc_id"))
         .agg(F.min("c_id").alias("matched_id"))
@@ -2336,16 +2383,20 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=False)
-    )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     ).cast("long")
+    # r14: agree is row-local and identical across a pair's (band,
+    # bucket) copies — compute it BEFORE the dedup exchange so the
+    # dedup (and the checkpoint write behind it) carries (a, b, agree)
+    # instead of two 16-long signature arrays per collision row.
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", agree.alias("agree"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
 
     # no forced broadcast: the participant list grows with the candidate
     # set, so the hint would be an unbounded build side — AQE broadcasts
@@ -2363,7 +2414,7 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
     nu = (F.size("ss_a") + F.size("ss_b")).cast("long") - inter
     scored = (
-        pairs.select("a", "b", agree.alias("agree"))
+        pairs.select("a", "b", "agree")
         .join(sa, "a")
         .join(sb, "b")
         .select("a", "b", "agree", inter.alias("inter"), nu.alias("nu"))
@@ -2563,10 +2614,16 @@ def dedup_minhash_accuracy_eval_sampled(spark: SparkSession, sf_dir: str) -> Dat
     right = bands.select(
         F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("long")
+    # r14: agree computed BEFORE the dedup exchange (row-local, copy-
+    # invariant) — the dedup and its checkpoint carry (a, b, agree), not
+    # two signature arrays per banded collision row.
     pairs = (
         left.join(right, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b", agree.alias("agree"))
         .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=False)
     )
@@ -2577,9 +2634,6 @@ def dedup_minhash_accuracy_eval_sampled(spark: SparkSession, sf_dir: str) -> Dat
         % EVAL_SAMPLE_MOD
         == 0
     )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    ).cast("long")
     # shingle arrays only for SAMPLED-pair participants: the whole point
     # of the twin — the unrestricted build was 99 of ~110 s at sf1
     sets = d.join(
@@ -2595,7 +2649,7 @@ def dedup_minhash_accuracy_eval_sampled(spark: SparkSession, sf_dir: str) -> Dat
     inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
     nu = (F.size("ss_a") + F.size("ss_b")).cast("long") - inter
     scored = (
-        samp.select("a", "b", agree.alias("agree"))
+        samp.select("a", "b", "agree")
         .join(sa, "a")
         .join(sb, "b")
         .select("a", "b", "agree", inter.alias("inter"), nu.alias("nu"))
@@ -3332,22 +3386,31 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row test-count fold joins back as a broadcast of a bounded
     (1-row) aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    base = d.select("doc_id", "text", bucket.alias("bucket"))
+
+    def split_bucket(col):
+        return (
+            F.conv(
+                F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10
+            ).cast("long")
+            % 100
+        )
+
+    base = d.select("doc_id", "text", split_bucket(F.col("doc_id")).alias("bucket"))
     tt = base.where(
         (F.col("bucket") < LEAK_TRAIN_LT) | (F.col("bucket") >= LEAK_TEST_GE)
     )
+    # r14: replace the joined-and-checkpointed band relation with the
+    # dedup_minhash_lsh exchange-reuse form — the split bucket is a pure
+    # hash of doc_id, so it is recomputed row-locally (the old doc_id
+    # join existed only to reuse base's column), and ONE explicit
+    # (band, bucket) repartition is computed once and read by both split
+    # sides (ReusedExchange; filters preserve the partitioning, so the
+    # pair join adds no exchange).  No checkpoint write at all.
+    sig = minhash_signatures_df(tt)
     bands = (
-        minhash_band_rows(minhash_signatures_df(tt), keep_sig=True)
-        .join(base.select("doc_id", F.col("bucket").alias("split_bkt")), "doc_id")
-        .localCheckpoint(eager=False)  # one band relation, two split filters
+        minhash_band_rows(sig, keep_sig=True)
+        .withColumn("split_bkt", split_bucket(F.col("doc_id")))
+        .repartition("band", "bucket")
     )
     tr = bands.where(F.col("split_bkt") < LEAK_TRAIN_LT).select(
         F.col("doc_id").alias("train_id"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -3358,11 +3421,14 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
     ) / F.lit(float(N_MINHASH))
+    # r14: estimate + threshold BEFORE the pair-dedup exchange (row-
+    # local, copy-invariant) — the dedup shuffles surviving id pairs
+    # only, not two signature arrays per banded collision.
     hits = (
         tr.join(te, ["band", "bucket"])
-        .dropDuplicates(["train_id", "test_id"])
         .where(est >= 0.5)
         .select("train_id", "test_id")
+        .dropDuplicates(["train_id", "test_id"])
     )
     n_test = base.where(F.col("bucket") >= LEAK_TEST_GE).agg(
         F.count(F.lit(1)).alias("nt")
@@ -3423,8 +3489,16 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to dedup_minhash_lsh (zero-shuffle
     signatures, ONE (band, bucket) exchange, row-local verification),
     plus a map-side-partial fold to <= 11 decile rows."""
+    # r14: replace the band-relation localCheckpoint with the
+    # dedup_minhash_lsh exchange-reuse form — ONE explicit (band,
+    # bucket) repartition computed once and read by both join sides
+    # (ReusedExchange), which also already satisfies the join's
+    # required distribution: no checkpoint write at all and one
+    # exchange instead of checkpoint + two join exchanges.  agree is
+    # computed BEFORE the pair-dedup exchange so the dedup shuffles one
+    # int per collision row instead of two 16-long signature arrays.
     sig = minhash_signatures_df(load_table(spark, sf_dir, "documents"))
-    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
+    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
     a = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -3437,8 +3511,9 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
+        .select("a", "b", agree.alias("agree"))
         .dropDuplicates(["a", "b"])
-        .select(agree.alias("agree"))
+        .select("agree")
     )
     return (
         pairs.groupBy(
@@ -3532,8 +3607,12 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural key — AQE sizes them), then a fold to the <=
     (#sources choose 2) matrix."""
     d = load_table(spark, sf_dir, "documents")
+    # r14: replace the band-relation localCheckpoint with the
+    # dedup_minhash_lsh exchange-reuse form (one repartition, read
+    # twice), and verify+threshold BEFORE the pair-dedup exchange so
+    # the dedup shuffles surviving id pairs only.
     sig = minhash_signatures_df(d)
-    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
+    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
     a = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -3546,9 +3625,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
         .where(est >= 0.5)
         .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
     src = d.select("doc_id", "source")
     lab = (

@@ -29,6 +29,18 @@ from oracle_parquet_dumper_spark.functions.rounding import round6 as _round6
 from oracle_parquet_dumper_spark.plans.registry import query
 from oracle_parquet_dumper_spark.sources.tables import load_table
 
+
+def _docs(spark: SparkSession, sf_dir: str):
+    """documents scan with adaptive parallelism restore (r14, guide
+    §2.5): every operator here pushes binary payloads through Arrow-
+    batched mapInPandas kernels, and the single-row-group fixture scan
+    plans ONE task — i.e. one Python worker decodes the whole corpus.
+    split_scan spreads the kernel across cores when the scan
+    under-splits; no-op on real multi-split tables."""
+    from oracle_parquet_dumper_spark.sources.tables import split_scan
+
+    return split_scan(load_table(spark, sf_dir, "documents"))
+
 # The pandas kernels below are shipped to Python workers by cloudpickle.
 # By default module-level functions pickle BY REFERENCE (workers would
 # need this package importable); register the module for by-value
@@ -69,7 +81,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata pass: byte length + content digest + mime,
     all JVM-side — the filter/shard stage that runs *before* any
     expensive decode at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     p = with_payload(d)
     return p.select(
         "doc_id",
@@ -158,7 +170,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (stubbed codec, real plumbing).  Oracle-checked: the
     stub derives dims/features from the md5 digest, which DuckDB
     replays exactly."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(decode_and_featurize, IMAGE_FEATURES_SCHEMA)
 
@@ -211,7 +223,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas; the 1:N generator shape used for video/audio chunking.
     The payload round-trips text through binary (with_payload), so the
     SQL twin frames the text column directly."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     p = with_payload(d).select("doc_id", "payload")
     return p.mapInPandas(sample_frames, FRAME_SCHEMA)
 
@@ -346,7 +358,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands saturate at 256 values and went quadratic by sf1), which is
     why the band width is 16 bits; per-candidate verification is one
     XOR+popcount."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     p = with_payload(d).select("doc_id", "payload")
     hashes = p.mapInPandas(payload_dhash, PHASH_SCHEMA).localCheckpoint(eager=False)
 
@@ -479,7 +491,7 @@ def mm_embed_and_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine are all engine-portable."""
     from oracle_parquet_dumper_spark.functions.vectors import cosine
 
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     embedded = with_payload(d).select("doc_id", "payload").mapInPandas(
         embed_payloads, EMBED_SCHEMA
     )
@@ -602,7 +614,7 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs out of the Arrow boundary.  At 100 TB: kernel is O(batch), no
     state across rows, and frames inherit the scan's partitioning — the
     decode stage scales with executors like any map."""
-    d = load_table(spark, sf_dir, "documents").where(
+    d = _docs(spark, sf_dir).where(
         (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
     )
     p = with_payload(d).select("doc_id", "payload")
@@ -697,7 +709,7 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet scan's.  Same ASCII/non-empty input restriction as
     mm_audio_frame_energy (octets == codepoints on that domain), so
     the oracle replays the kernel bit-for-bit."""
-    d = load_table(spark, sf_dir, "documents").where(
+    d = _docs(spark, sf_dir).where(
         (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
     )
     p = with_payload(d).select("doc_id", "payload")
@@ -782,7 +794,7 @@ def mm_tile_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch is the unit of work and output is one row per doc.
     The oracle pays an explode to char rows (oracle cost, not engine
     cost — the engine side never materializes per-byte rows)."""
-    d = load_table(spark, sf_dir, "documents").where(
+    d = _docs(spark, sf_dir).where(
         (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
     )
     p = with_payload(d).select("doc_id", "payload")
@@ -835,7 +847,7 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte digest groupBy with map-side partial aggregation, then a
     1-row fold.  Chunk rows = corpus bytes / {CHUNK_BYTES} — linear,
     and never wider than a digest."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     p = with_payload(d).where(F.octet_length("payload") >= CHUNK_BYTES)
     digs = p.select(
         F.explode(
@@ -924,7 +936,7 @@ def mm_audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange of the frame relation (frames = bytes/{AUDIO_FRAME},
     narrower than the corpus); the run-length groupBy reuses the same
     clustering."""
-    d = load_table(spark, sf_dir, "documents").where(
+    d = _docs(spark, sf_dir).where(
         (F.length("text") > 0) & (F.length("text") == F.octet_length("text"))
     )
     p = with_payload(d).select("doc_id", "payload")

@@ -16,6 +16,18 @@ from pyspark.sql import functions as F
 from oracle_parquet_dumper_spark.plans.registry import query
 from oracle_parquet_dumper_spark.sources.tables import load_table
 
+
+def _docs(spark: SparkSession, sf_dir: str):
+    """documents scan with adaptive parallelism restore (r14): every
+    operator in this module does heavy per-row string work (tokenize,
+    regex, n-gram build) and the single-row-group fixture scan plans ONE
+    task however many cores exist (guide §2.5 input skew).  split_scan
+    inserts one round-robin exchange of the (tiny) document rows when
+    the scan under-splits and is a no-op on real multi-split tables."""
+    from oracle_parquet_dumper_spark.sources.tables import split_scan
+
+    return split_scan(load_table(spark, sf_dir, "documents"))
+
 # BPE-ish word/number/punct tokenizer (shared by Spark + DuckDB sides).
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -44,7 +56,7 @@ def words_col_lower(col: str = "text"):
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document surface statistics (char/word/punct counts)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n_words = F.size(words_col()).cast("long")
     return d.select(
         "doc_id",
@@ -70,7 +82,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace and a BPE-ish regex
     (letters / digits / single punctuation) — the standard cheap
     token-budget estimators for LLM data curation."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(words_col()).cast("long").alias("ws_tokens"),
@@ -91,7 +103,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language distribution with share-of-total (window over the
     aggregate output — #langs rows, so the unpartitioned window is free)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     agg = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     return agg.select(
         "lang",
@@ -125,7 +137,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language/domain ID (argmax of marker-class hit
     counts) — the classic cheap n-gram language-ID shape: count class
     markers, pick the dominant class, 'und' when nothing fires."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     low = F.lower("text")
     tech = F.size(F.regexp_extract_all(low, F.lit(_LANG_MARKERS["tech"])))
     en = F.size(F.regexp_extract_all(low, F.lit(_LANG_MARKERS["en"])))
@@ -158,7 +170,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: length band + punctuation ratio +
     stopword density — the Gopher/C4-style heuristic filter family,
     expressed as one pass of column arithmetic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     w = F.size(words_col()).cast("double")
     stop_hits = F.size(
         F.regexp_extract_all(F.lower("text"), F.lit(r"\b(the|a|of|and|to)\b"))
@@ -194,7 +206,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive, so permuted texts get different prints, unlike a
     bag-of-words hash.  Left fold keeps intermediates < 2^63 in both
     engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     codes = F.transform(
         F.split(F.lower("text"), ""),
         lambda ch: F.when(F.length(ch) == 0, F.lit(0)).otherwise(F.ascii(ch)).cast("long"),
@@ -238,7 +250,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two hash aggregations + a broadcast of the tiny df/N sides;
     at 100 TB the token explode dominates and partial aggregation keeps
     the shuffle bounded by vocabulary, not corpus, size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     docs = d.where((F.col("doc_id") % 20 == 0) & (F.length("text") > 0)).select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(words_col()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -293,7 +305,7 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after filtering a stop list, plus the first content tokens —
     all array expressions, stop list inlined as a literal array (at
     scale: broadcast a stopword table and use array_except)."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     content = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
@@ -349,7 +361,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     why array-lambda formulations re-tokenize per n-gram), then two
     aggregates sharing the doc_id partitioning.  Scale cost: one shuffle
     on doc_id; no all-pairs or driver-side work."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
     w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
     win = W.partitionBy("doc_id").orderBy("pos")
     bigrams = w.withColumn("nxt", F.lead("word").over(win)).where(F.col("nxt").isNotNull())
@@ -411,7 +423,7 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism 5 (measured 0.80 s → 4.08 s sf0.1→sf1)."""
     from oracle_parquet_dumper_spark.operators.global_index import grouped_topk
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     w = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
     n1 = F.greatest(F.size(w) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -469,7 +481,7 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative-log-likelihoods are rounded then summed as DECIMAL so the
     per-doc result is partition-order independent (bit-exact vs
     DuckDB)."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     toks = d.select("doc_id", F.explode(words_col_lower()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -533,7 +545,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     no single-partition window may touch it either."""
     from oracle_parquet_dumper_spark.operators.global_index import with_global_index
 
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     vocab = (
         d.select(F.explode(words_col_lower()).alias("token"))
         .groupBy("token")
@@ -613,7 +625,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregate map-side; the unigram joins key on the bounded
     vocabulary (not the corpus); top-k is a
     TakeOrderedAndProject heap, not a global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     w = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
     docs = d.select(w.alias("w"))
     toks = docs.select(F.explode("w").alias("token"))
@@ -694,7 +706,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     modulo first (the profile_gini_concentration trick).  Scale shape:
     token counts partial-aggregate; the rank window runs over the
     VOCABULARY (sublinear in corpus size); output is a single row."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select(F.explode(words_col_lower()).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
     # rank via the distributed global index (two-pass bucket offsets,
@@ -768,7 +780,7 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality, so its output is bounded by vocab x source-pairs.
     Jaccard is exact integer ppm via inclusion-exclusion — no float in
     the oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     st = (
         d.select(
             "source",
@@ -884,7 +896,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all keyed by (doc_id, ...) — per-document keys, so data
     distributes evenly at any corpus size and no global state exists.
     The top-3 window partitions by doc_id (never unpartitioned)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     delim = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "|"),
         _RAKE_STOP_RE,
@@ -1053,7 +1065,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) and the corpus stats (1 row) are broadcast; per-doc scoring
     shuffles only docs containing query terms, keyed by doc_id; the
     final top-20 is a TakeOrderedAndProject, never a global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = words_col_lower()
     dls = d.select("doc_id", F.size(toks).alias("dl"))
     base = d.select(
@@ -1122,7 +1134,7 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     text only), zero shuffles, fully inside whole-stage codegen; at
     100 TB this is the cheap-first quality gate the curation pipeline
     orders before any expensive stage.  No reference counterpart."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     m = d.select(
         "doc_id",
         F.size(words_col()).cast("long").alias("n_words"),
@@ -1180,7 +1192,7 @@ def text_chao1_goodturing(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts rows (tiny) and folds to a single row — both estimators are
     integer counts until the two final divisions, which both engines
     state with the identical double expression."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tf = (
         d.select(F.explode(words_col_lower()).alias("token"))
         .groupBy("token")
@@ -1283,7 +1295,7 @@ def text_perplexity_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame
     bigram pass) and every join keys on the bounded bigram/unigram
     vocabulary, never on raw rows."""
     lam = BIGRAM_LAMBDA_PCT / 100.0
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     w = words_col_lower()
     toks = d.select(F.explode(w).alias("token"))
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
@@ -1404,7 +1416,7 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     its context marginal AND both continuation-count relations, so all
     four model tables derive from one map-side-combined aggregate and
     every join keys on the bounded bigram/unigram vocabulary."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     w = words_col_lower()
     n1 = F.greatest(F.size("w") - 1, F.lit(0))
     docs = d.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
@@ -1508,7 +1520,7 @@ def text_code_likeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / F.lit(len(k))
         term = term.cast("long")
         kw_expr = term if kw_expr is None else kw_expr + term
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     s = d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -1560,7 +1572,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio instead of dying on division by zero (ADVICE r7).  Scale
     shape: one scan, one map-side partial aggregate keyed by the
     bounded language set."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     s = d.select(
         "lang",
         F.size(words_col_lower()).alias("n_tok"),
@@ -1637,7 +1649,7 @@ def text_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the text_bigram_topk convention — no per-shingle re-tokenize),
     then two doc-keyed partial aggregates; everything shuffles on
     doc_id, nothing global."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     w = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
     docs = d.select("doc_id", w.alias("w")).where(F.size("w") >= 2)
     n1 = F.greatest(F.size("w") - 1, F.lit(0))
@@ -1711,7 +1723,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is corpus-sized (the text_tfidf_topterms r8 lesson), so AQE decides
     broadcast vs shuffle from its runtime size; the final rollup is a
     map-side partial to <= #sources rows."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     tok = d.select(
         "source", F.explode(words_col_lower()).alias("token")
     ).localCheckpoint(eager=False)  # one tokenize pass, two consumers
@@ -1802,7 +1814,7 @@ def text_char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array for a 1-char doc — a bogus output row the oracle's
     # generate_series(1, 0) (empty) never emits (ADVICE r10).
     d = (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .where(F.length("text") >= 2)
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -1887,7 +1899,7 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bytes."""
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
     t1 = (
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= MATTR_W)
     )
@@ -1968,7 +1980,7 @@ def text_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode → (token, doc) groupBy (map-side partial) →
     token-keyed rollup → 1-row corpus-count fold crossed in; top-{BURSTINESS_TOP}
     by VMR is a TakeOrdered, never a global sort."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     toks = d.select(
         "doc_id",
         F.explode(
@@ -2056,7 +2068,7 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode → (batch, gram) DISTINCT (the one data-sized
     shuffle, map-side combinable) → gram-keyed min + two batch-keyed
     rollups whose cardinality is corpus/{NOVELTY_BATCH}."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     toks = d.select(
         F.expr(f"doc_id div {NOVELTY_BATCH}").alias("batch"),
         F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0).alias("w"),

@@ -80,6 +80,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_robust(spark, table_path(sf_dir, name))
 
 
+def split_scan(df: DataFrame) -> DataFrame:
+    """Adaptive scan-parallelism restore (optimization guide §2.5,
+    "input skew: one huge unsplittable file").  The fixture tables are
+    single-file parquet written with ONE row group, and a row group is
+    parquet's splitting unit — so however many cores exist, the scan
+    plans ONE task and every heavy per-row map stage downstream
+    (tokenize, shingle md5, hyperplane dots) runs single-threaded.
+    When a scan under-splits (fewer partitions than defaultParallelism),
+    insert one round-robin exchange so the map work spreads across
+    cores; on a real multi-file/multi-row-group table the condition is
+    false and the plan is unchanged, so nothing here is tuned to local
+    mode — the target derives from the session's parallelism.
+
+    Apply ONLY above scans feeding heavy per-row work: for cheap row
+    work the exchange costs more than it buys (measured at sf0.1:
+    minhash signature build 3.07 -> 1.79 s median with the split;
+    plain q1-style scan+aggregate 1.09 -> 2.88 s — a regression).
+    Round-robin + the default sort-before-repartition keeps the
+    row-to-partition assignment deterministic under task retry
+    (SPARK-23207), and no query in the registry is sensitive to
+    physical row placement (all outputs are order-hashed)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register fixture tables as temp views for the SQL API surface."""
     for name in tables or TABLES:

@@ -133,7 +133,10 @@ def test_retention_joins_on_user_key(spark, sf_dir):
 
 def test_minhash_signatures_shuffle_free_and_staged(spark, sf_dir):
     """The MinHash signature pipeline must be pure per-row expressions:
-    no Exchange, no Window, no explode of token rows — and the staged
+    no KEYED shuffle (the only allowed Exchange is split_scan's
+    round-robin scan-parallelism restore over the single-row-group
+    fixture file — r14, guide §2.5; it vanishes on real multi-split
+    tables), no Window, no explode of token rows — and the staged
     projections must not be inlined by CollapseProject (tokenize once
     per document: exactly one split(); hash once per shingle: exactly
     one md5() in the optimized expression tree)."""
@@ -145,7 +148,8 @@ def test_minhash_signatures_shuffle_free_and_staged(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
     physical = sig._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in physical
+    assert "Exchange hashpartitioning" not in physical
+    assert "Exchange rangepartitioning" not in physical
     assert "Window" not in physical
     assert "Generate" not in physical
     optimized = sig._jdf.queryExecution().optimizedPlan().toString()
