@@ -47,8 +47,20 @@ def _sampled_before() -> tuple[int, dict[str, int], frozenset[str]]:
     import glob
     import json
 
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    # sort by the PARSED round number (ADVICE r13): the lexicographic
+    # filename sort mis-orders once the counter reaches three digits
+    # ("r100" < "r99"), which would corrupt the LRS staleness tiers.
+    # Identical order to the old sort for r01..r99.
+    def _round_no(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else 0
+
+    files = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
+    )
     seen: dict[str, int] = {}
     errored: set[str] = set()
     n_valid = 0

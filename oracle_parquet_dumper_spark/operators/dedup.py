@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from oracle_parquet_dumper_spark.functions.vectors import cosine_rounded, cosine_rounded_sql
 from oracle_parquet_dumper_spark.plans.registry import query
-from oracle_parquet_dumper_spark.sources.tables import load_table
+from oracle_parquet_dumper_spark.sources.tables import load_table, split_scan
 
 N_MINHASH = 16
 OPH_BINS = 16  # one-permutation-hashing bin count (r12 eval + r13 sampled twin)
@@ -2896,7 +2896,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement; this registers the single-pass primitive."""
     from oracle_parquet_dumper_spark.operators.global_index import with_global_index
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # r14: the per-row normalization regex over full text is the heavy
+    # map work — split the under-split fixture scan adaptively (§2.5)
+    docs = split_scan(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias("norm"),
     )
@@ -2912,13 +2914,19 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         start=F.lit(0).cast("long"),
     )
-    keyed = with_global_index(
-        docs.withColumn("num8", enc),
-        value_col="num8",
-        tiebreak_cols=["norm", "doc_id"],
-        bucketer="quantile",
-        idx_col="idx",
-    ).select("doc_id", F.substring("norm", 1, SNM_PREFIX).alias("pre"), "idx")
+    # r14: the indexed relation feeds BOTH banded-join sides — checkpoint
+    # the narrow (doc_id, pre, idx) rows once instead of re-deriving the
+    # whole two-pass index machinery (and the normalization regex pass
+    # behind it) per side.
+    keyed = truncate_lineage(
+        with_global_index(
+            docs.withColumn("num8", enc),
+            value_col="num8",
+            tiebreak_cols=["norm", "doc_id"],
+            bucketer="quantile",
+            idx_col="idx",
+        ).select("doc_id", F.substring("norm", 1, SNM_PREFIX).alias("pre"), "idx")
+    )
     a = keyed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("pre").alias("pre_a"),
@@ -3005,7 +3013,9 @@ def dedup_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> Dat
     trade (Hernandez & Stolfo run 3 passes over independent keys)."""
     from oracle_parquet_dumper_spark.operators.global_index import with_global_index
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # r14: the per-row normalization regex over full text is the heavy
+    # map work — split the under-split fixture scan adaptively (§2.5)
+    docs = split_scan(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias("norm"),
     )
@@ -3068,9 +3078,16 @@ def dedup_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> Dat
             F.when(flip, F.col("pa")).otherwise(F.col("pb")).alias("pb"),
         )
 
-    p1 = normed(pass_pairs(indexed(docs, "norm")))
+    # r14: each pass's indexed relation feeds both banded-join sides —
+    # checkpoint the narrow keyed rows once per pass (the single-pass
+    # query's rewrite, applied to both sort keys)
+    p1 = normed(pass_pairs(truncate_lineage(indexed(docs, "norm"))))
     p2 = normed(
-        pass_pairs(indexed(docs.withColumn("rnorm", F.reverse("norm")), "rnorm"))
+        pass_pairs(
+            truncate_lineage(
+                indexed(docs.withColumn("rnorm", F.reverse("norm")), "rnorm")
+            )
+        )
     )
     cand = p1.unionAll(p2).distinct()
     return cand.select(

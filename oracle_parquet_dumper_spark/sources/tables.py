@@ -100,10 +100,28 @@ def split_scan(df: DataFrame) -> DataFrame:
     Round-robin + the default sort-before-repartition keeps the
     row-to-partition assignment deterministic under task retry
     (SPARK-23207), and no query in the registry is sensitive to
-    physical row placement (all outputs are order-hashed)."""
+    physical row placement (all outputs are order-hashed).
+
+    Bytes floor: below SPARK_GRAFT_SPLIT_SCAN_MIN_BYTES (default 4 MB —
+    Spark's own ``files.openCostInBytes`` constant, i.e. "inputs smaller
+    than this are not worth extra tasks") the split is skipped: the
+    added stages' scheduling latency exceeds the map win on tiny inputs
+    (measured at sf0.1, 0.59 MB documents: tfidf 0.58 -> 1.46 s WITH an
+    unconditional split), while one decade up the same call sites win
+    multiples (SCALING.md round-14 decade table)."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    min_bytes = int(os.environ.get("SPARK_GRAFT_SPLIT_SCAN_MIN_BYTES", str(4 << 20)))
+    try:
+        nbytes = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except OSError:
+        nbytes = 0
+    if nbytes >= min_bytes:
         return df.repartition(p)
     return df
 
