@@ -184,9 +184,20 @@ def main() -> None:
 
         first = read_all()
         rere = read_all()
+        # Write to the filesystem localCheckpoint blocks actually spill
+        # to: Spark's resolved local dir for this session (ADVICE r14 —
+        # a hardcoded /tmp misattributes the cost when spark.local.dir
+        # points elsewhere).
+        try:
+            sc = spark.sparkContext
+            local_dir = sc._jvm.org.apache.spark.util.Utils.getLocalDir(
+                sc._jsc.sc().conf()
+            )
+        except Exception:
+            local_dir = tempfile.gettempdir()
         blk = b"\x5a" * (1 << 22)
         t0 = time.perf_counter()
-        with tempfile.NamedTemporaryFile(dir="/tmp") as tf:
+        with tempfile.NamedTemporaryFile(dir=local_dir) as tf:
             for _ in range(32):  # 128 MB
                 tf.write(blk)
             tf.flush()
@@ -196,6 +207,7 @@ def main() -> None:
             "read_mb_s_first": round(first, 1),
             "read_mb_s_rere": round(rere, 1),
             "write_mb_s": round(w, 1),
+            "write_dir": local_dir,
         }
 
     env["io_probe"] = _io_probe()
@@ -249,18 +261,31 @@ def main() -> None:
         timings[name] = round(median, 4)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
-                "env": env,
-            }
-        )
-    )
+    contract = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+    }
+    # Artifact-contract hardening (VERDICT r14 "Next" #3): PERF_r14
+    # compared nothing because the previous round's one-line JSON — by
+    # then carrying a large env block — survived only truncated in the
+    # driver's tail window.  Keep the driver-parsed FINAL line minimal
+    # (metric/value/unit/queries/sf — every r13/r14 query key unchanged);
+    # the env/calibration/io_probe block prints as its own PRECEDING
+    # line, and the full combined record is also written to
+    # bench_out.json next to this script for artifact-grade retrieval.
+    print(json.dumps({"bench_env": env}))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+            "w",
+        ) as fh:
+            json.dump({**contract, "env": env}, fh, indent=1)
+    except OSError as e:
+        print(f"bench: bench_out.json write failed: {e}", file=sys.stderr)
+    print(json.dumps(contract))
 
 
 if __name__ == "__main__":

@@ -166,7 +166,7 @@ def banded_buckets(
     from oracle_parquet_dumper_spark.sources.tables import split_scan
 
     bands = (
-        split_scan(df)
+        split_scan(df, cpu_weight=32)
         .select(F.col(id_col), F.explode(band_structs(vec_col, planes, bits)).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
     )

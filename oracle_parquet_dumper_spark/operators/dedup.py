@@ -187,7 +187,7 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text", k: int = 3) -
     # cost and is embarrassingly parallel, but the single-row-group
     # fixture scan plans ONE task — restore scan parallelism adaptively
     # (no-op when the source is already split; see split_scan).
-    docs = split_scan(docs)
+    docs = split_scan(docs, cpu_weight=32)
     toks = F.filter(F.split(F.lower(text_col), " "), lambda t: F.length(t) > 0)
     t1 = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
     t2 = t1.select("doc_id", minhash_shingle_hashes_from_toks().alias("shm"))
@@ -371,16 +371,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
-    bands = minhash_band_rows(sig, keep_sig=True)
-    # One explicit exchange on the join key, load-bearing twice over:
-    # (a) the signature pipeline is per-row (zero shuffles), so without
-    # an exchange the self-join would recompute tokenize+md5 for BOTH
-    # sides — an identical Exchange subplan is instead computed once and
-    # read twice (ReusedExchange); (b) hash partitioning on exactly
-    # (band, bucket) satisfies the join's ClusteredDistribution, so the
-    # join itself adds no further exchange.  Net: ONE shuffle of the
-    # exploded band rows, signatures computed once.
-    bands = bands.repartition("band", "bucket")
+    # r15 (VERDICT r14 #4): the band relation is materialized ONCE with
+    # a lazy localCheckpoint and both join sides read it.  The r14 form
+    # (an explicit (band, bucket) repartition relied on for
+    # ReusedExchange) did not reliably reuse at runtime — the planner
+    # broadcasts one side at fixture scale and the broadcast build
+    # re-derived the whole tokenize+md5 signature pipeline.  Interleaved
+    # three-way A/B medians (reuse / ckpt / ckpt+repartition):
+    # 2.13 / 1.87 / 1.98 s at sf0.1, 2.98 / 2.49 / 2.84 s at sf1 — the
+    # checkpoint alone wins both; the join's own distribution (AQE picks
+    # broadcast or SMJ over the materialized narrow relation) beats
+    # paying an extra standing exchange.
+    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
 
     left = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -1241,7 +1243,7 @@ def pipeline_curation(
     # single-row-group fixture scan plans one task (guide §2.5).
     from oracle_parquet_dumper_spark.sources.tables import split_scan
 
-    d = split_scan(d)
+    d = split_scan(d, cpu_weight=32)
     base = d.select("doc_id", "lang", "text", words_col_d(d).alias("toks"))
     quality = base.where((F.length("text") > 0) & (F.size("toks") >= 3))
 
@@ -1755,8 +1757,9 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
-    bands = minhash_band_rows(sig)
-    bands = bands.repartition("band", "bucket")
+    # r15: band relation materialized once (see dedup_minhash_lsh —
+    # the repartition reuse did not fire at runtime)
+    bands = minhash_band_rows(sig).localCheckpoint(eager=False)
     pairs = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])
@@ -1960,9 +1963,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_dig = newb.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
     exact_hit = new_dig.join(corp_dig, "h").select("doc_id", "matched_id")
 
-    # tier 2: LSH bands of surviving batch docs vs corpus bands
-    rest = newb.join(exact_hit, "doc_id", "left_anti")
-    sig_new = minhash_signatures_df(rest)
+    # tier 2: LSH bands of the batch vs corpus bands.  r15: the near
+    # tier runs over ALL batch docs, not an anti-join remainder — the
+    # oracle's own shape.  A near-hit row for a doc that also has an
+    # exact hit is inert (the verdict CASE checks exact first and
+    # matched_id is coalesce(exact, near)), while the anti-join
+    # serialized the whole DAG behind the digest tier and re-derived
+    # exact_hit twice.  Interleaved A/B medians: 5.39 -> 3.85 s sf0.1,
+    # 4.16 -> 2.78 s sf1, hash-identical.
+    sig_new = minhash_signatures_df(newb)
     sig_corp = minhash_signatures_df(corpus)
     new_bands = minhash_band_rows(sig_new, keep_sig=True).select(
         F.col("doc_id").alias("n_id"), F.col("sig").alias("sig_n"), "band", "bucket"
@@ -2189,9 +2198,12 @@ def dedup_incremental_stored(
     new_dig = newb.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
     exact_hit = corp_dig.join(F.broadcast(new_dig), "h").select("doc_id", "matched_id")
 
-    # tier 2: broadcast surviving batch bands against the stored band index
-    rest = newb.join(exact_hit, "doc_id", "left_anti")
-    new_bands = minhash_band_rows(minhash_signatures_df(rest), keep_sig=True).select(
+    # tier 2: broadcast batch bands against the stored band index.
+    # r15: near tier over ALL batch docs (no anti-join) — same inert-row
+    # argument and A/B evidence as dedup_incremental; here it
+    # additionally unblocks the batch signature build from waiting on
+    # the stored-digest join.
+    new_bands = minhash_band_rows(minhash_signatures_df(newb), keep_sig=True).select(
         F.col("doc_id").alias("n_id"), F.col("sig").alias("sig_n"), "band", "bucket"
     )
     est = F.size(
@@ -2376,7 +2388,8 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
-    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
+    # r15: band relation materialized once (see dedup_minhash_lsh)
+    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
     left = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -2607,7 +2620,8 @@ def dedup_minhash_accuracy_eval_sampled(spark: SparkSession, sf_dir: str) -> Dat
     # at sf1), and a separate sig join re-derives it — measured +3 s at
     # sf1 before this fix.  Only the heavy shingle SETS are gated on the
     # sample; sigs are 16 longs per row.
-    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
+    # r15: band relation materialized once (see dedup_minhash_lsh)
+    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
     left = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -2730,7 +2744,8 @@ def dedup_minhash_oph_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
-    bands = minhash_band_rows(sig).repartition("band", "bucket")
+    # r15: band relation materialized once (see dedup_minhash_lsh)
+    bands = minhash_band_rows(sig).localCheckpoint(eager=False)
     left = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
     pairs = (
@@ -2898,7 +2913,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r14: the per-row normalization regex over full text is the heavy
     # map work — split the under-split fixture scan adaptively (§2.5)
-    docs = split_scan(load_table(spark, sf_dir, "documents")).select(
+    docs = split_scan(
+        load_table(spark, sf_dir, "documents"), cpu_weight=32
+    ).select(
         "doc_id",
         F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias("norm"),
     )
@@ -3015,7 +3032,9 @@ def dedup_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> Dat
 
     # r14: the per-row normalization regex over full text is the heavy
     # map work — split the under-split fixture scan adaptively (§2.5)
-    docs = split_scan(load_table(spark, sf_dir, "documents")).select(
+    docs = split_scan(
+        load_table(spark, sf_dir, "documents"), cpu_weight=32
+    ).select(
         "doc_id",
         F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias("norm"),
     )
@@ -3416,18 +3435,19 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = base.where(
         (F.col("bucket") < LEAK_TRAIN_LT) | (F.col("bucket") >= LEAK_TEST_GE)
     )
-    # r14: replace the joined-and-checkpointed band relation with the
-    # dedup_minhash_lsh exchange-reuse form — the split bucket is a pure
-    # hash of doc_id, so it is recomputed row-locally (the old doc_id
-    # join existed only to reuse base's column), and ONE explicit
-    # (band, bucket) repartition is computed once and read by both split
-    # sides (ReusedExchange; filters preserve the partitioning, so the
-    # pair join adds no exchange).  No checkpoint write at all.
+    # r14 kept: the split bucket is a pure hash of doc_id, recomputed
+    # row-locally (the old doc_id join existed only to reuse base's
+    # column).  r15 (VERDICT r14 #4): the r14 repartition exchange-reuse
+    # form did NOT reuse at runtime (executed plan: zero ReusedExchange;
+    # the broadcast join side re-derived the signature pipeline) — the
+    # band relation is localCheckpointed ONCE and both split sides
+    # filter it.  Interleaved A/B medians: 4.61 -> 4.44 s sf0.1 (wash),
+    # 4.34 -> 3.35 s sf1.
     sig = minhash_signatures_df(tt)
     bands = (
         minhash_band_rows(sig, keep_sig=True)
         .withColumn("split_bkt", split_bucket(F.col("doc_id")))
-        .repartition("band", "bucket")
+        .localCheckpoint(eager=False)
     )
     tr = bands.where(F.col("split_bkt") < LEAK_TRAIN_LT).select(
         F.col("doc_id").alias("train_id"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -3506,16 +3526,18 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to dedup_minhash_lsh (zero-shuffle
     signatures, ONE (band, bucket) exchange, row-local verification),
     plus a map-side-partial fold to <= 11 decile rows."""
-    # r14: replace the band-relation localCheckpoint with the
-    # dedup_minhash_lsh exchange-reuse form — ONE explicit (band,
-    # bucket) repartition computed once and read by both join sides
-    # (ReusedExchange), which also already satisfies the join's
-    # required distribution: no checkpoint write at all and one
-    # exchange instead of checkpoint + two join exchanges.  agree is
-    # computed BEFORE the pair-dedup exchange so the dedup shuffles one
-    # int per collision row instead of two 16-long signature arrays.
+    # r15 (VERDICT r14 #4): the r14 repartition exchange-reuse form did
+    # NOT reuse at runtime — the executed final plan shows the planner
+    # broadcasting one join side, whose build re-derives the whole
+    # signature pipeline (tokenize + shingle md5) a second time instead
+    # of reading the shared exchange.  Restored to ONE localCheckpoint
+    # of the band relation read by both sides (the dedup_minhash_lsh-
+    # era materialization): interleaved A/B medians 3.74 -> 2.57 s
+    # sf0.1, 5.18 -> 4.16 s sf1.  agree stays computed BEFORE the
+    # pair-dedup exchange (r14 win kept) so the dedup shuffles one int
+    # per collision row instead of two 16-long signature arrays.
     sig = minhash_signatures_df(load_table(spark, sf_dir, "documents"))
-    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
+    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
     a = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -3624,12 +3646,12 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural key — AQE sizes them), then a fold to the <=
     (#sources choose 2) matrix."""
     d = load_table(spark, sf_dir, "documents")
-    # r14: replace the band-relation localCheckpoint with the
-    # dedup_minhash_lsh exchange-reuse form (one repartition, read
-    # twice), and verify+threshold BEFORE the pair-dedup exchange so
-    # the dedup shuffles surviving id pairs only.
+    # r15 (VERDICT r14 #4): back to ONE localCheckpoint of the band
+    # relation (the r14 repartition form did not reuse its exchange at
+    # runtime — see dedup_threshold_sensitivity); verify+threshold
+    # BEFORE the pair-dedup exchange kept from r14.
     sig = minhash_signatures_df(d)
-    bands = minhash_band_rows(sig, keep_sig=True).repartition("band", "bucket")
+    bands = minhash_band_rows(sig, keep_sig=True).localCheckpoint(eager=False)
     a = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -3745,7 +3767,8 @@ def dedup_minhash_oph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
 
-    bands = minhash_band_rows(sig).repartition("band", "bucket")
+    # r15: band relation materialized once (see dedup_minhash_lsh)
+    bands = minhash_band_rows(sig).localCheckpoint(eager=False)
     left = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
     pairs = (

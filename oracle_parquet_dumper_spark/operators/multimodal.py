@@ -39,7 +39,7 @@ def _docs(spark: SparkSession, sf_dir: str):
     under-splits; no-op on real multi-split tables."""
     from oracle_parquet_dumper_spark.sources.tables import split_scan
 
-    return split_scan(load_table(spark, sf_dir, "documents"))
+    return split_scan(load_table(spark, sf_dir, "documents"), cpu_weight=32)
 
 # The pandas kernels below are shipped to Python workers by cloudpickle.
 # By default module-level functions pickle BY REFERENCE (workers would

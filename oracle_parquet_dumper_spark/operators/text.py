@@ -26,7 +26,7 @@ def _docs(spark: SparkSession, sf_dir: str):
     the scan under-splits and is a no-op on real multi-split tables."""
     from oracle_parquet_dumper_spark.sources.tables import split_scan
 
-    return split_scan(load_table(spark, sf_dir, "documents"))
+    return split_scan(load_table(spark, sf_dir, "documents"), cpu_weight=32)
 
 # BPE-ish word/number/punct tokenizer (shared by Spark + DuckDB sides).
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

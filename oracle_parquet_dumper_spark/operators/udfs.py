@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from oracle_parquet_dumper_spark.functions.rounding import round6 as _round6
 from oracle_parquet_dumper_spark.plans.registry import query
-from oracle_parquet_dumper_spark.sources.tables import load_table, split_scan
+from oracle_parquet_dumper_spark.sources.tables import load_table
 
 # Ship kernels by value — workers must not need this package importable
 # (see operators/multimodal.py).
@@ -79,12 +79,15 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions.  The %5 filter keeps ~1/5 of lineitem crossing the
     Arrow boundary — enough rows (~120k at sf0.1) that the ladder's
     per-row-overhead differences dominate fixed costs in the bench."""
-    # r14: the Python boundary is the heavy per-row work and the single-
-    # row-group fixture scan plans one task — one Python worker for the
-    # whole slice (guide §2.5); split adaptively after the filter.
-    li = split_scan(
-        load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
-    )
+    # r15: split_scan REMOVED (measured, VERDICT r14 #1).  The scalar
+    # kernel is cheap per-row work — the q1-class measured rejection,
+    # not the tokenize/md5 class: interleaved n=5 medians at sf0.1,
+    # nosplit 0.33-0.47 s vs 3-way 0.52-0.55 s vs r14's 32-way
+    # 0.59-0.67 s, on all three ladder variants.  At sf1+ the lineitem
+    # fixture has 49 row groups, so the scan is already parallel and
+    # split_scan was a no-op there — the split only ever fired where it
+    # hurt.
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -224,9 +227,10 @@ def udf_plain_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     def status_label(s: str) -> str:
         return {"O": "open", "F": "filled"}.get(s, "other")
 
-    o = split_scan(
-        load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
-    )  # r14: spread the Python-worker rows (guide §2.5)
+    # r15: split_scan removed — same measured cheap-row-work ruling as
+    # the scalar ladder (and this 27 kB slice sat under the 4 MB floor
+    # anyway, so the call was a no-op at every fixture SF)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
     return o.select("o_orderkey", status_label("o_orderstatus").alias("status_label"))
 
 
@@ -343,9 +347,10 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's length() counts codepoints like pc.utf8_length, strlen()
     counts bytes like pc.binary_length, substr() slices codepoints like
     pc.utf8_slice_codeunits."""
-    docs = split_scan(
-        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
-    )  # r14: spread the Arrow batches across workers (guide §2.5)
+    # r15: split_scan removed — same measured cheap-row-work ruling as
+    # the scalar ladder (pc.utf8_length/slice are light per byte; the
+    # 0.59 MB sf0.1 documents slice sat under the 4 MB floor anyway)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     return docs.select("doc_id", "text").mapInArrow(
         _doc_stats_arrow, "doc_id bigint, n_chars int, n_bytes int, head16 string"
     )
@@ -391,12 +396,15 @@ def udf_scalar_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python boundary.  Per-row arithmetic is IEEE-identical to the SQL
     mirror; l_quantity in the fixture is >= 1, so the scalar max()
     branch matches greatest() exactly."""
-    # r14: the Python boundary is the heavy per-row work and the single-
-    # row-group fixture scan plans one task — one Python worker for the
-    # whole slice (guide §2.5); split adaptively after the filter.
-    li = split_scan(
-        load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
-    )
+    # r15: split_scan REMOVED (measured, VERDICT r14 #1).  The scalar
+    # kernel is cheap per-row work — the q1-class measured rejection,
+    # not the tokenize/md5 class: interleaved n=5 medians at sf0.1,
+    # nosplit 0.33-0.47 s vs 3-way 0.52-0.55 s vs r14's 32-way
+    # 0.59-0.67 s, on all three ladder variants.  At sf1+ the lineitem
+    # fixture has 49 row groups, so the scan is already parallel and
+    # split_scan was a no-op there — the split only ever fired where it
+    # hurt.
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -437,12 +445,15 @@ def udf_scalar_plain_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny documented last-resort exemplar on a different table; this
     query exists so the LADDER comparison holds every variable but the
     transfer mechanism constant."""
-    # r14: the Python boundary is the heavy per-row work and the single-
-    # row-group fixture scan plans one task — one Python worker for the
-    # whole slice (guide §2.5); split adaptively after the filter.
-    li = split_scan(
-        load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
-    )
+    # r15: split_scan REMOVED (measured, VERDICT r14 #1).  The scalar
+    # kernel is cheap per-row work — the q1-class measured rejection,
+    # not the tokenize/md5 class: interleaved n=5 medians at sf0.1,
+    # nosplit 0.33-0.47 s vs 3-way 0.52-0.55 s vs r14's 32-way
+    # 0.59-0.67 s, on all three ladder variants.  At sf1+ the lineitem
+    # fixture has 49 row groups, so the scan is already parallel and
+    # split_scan was a no-op there — the split only ever fired where it
+    # hurt.
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",

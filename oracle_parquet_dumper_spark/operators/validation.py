@@ -959,9 +959,12 @@ def dq_drift_emd_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cntA, cntB) into one weight word (w = cntA * 2^31 + cntB; exact
     while each side stays below 2^31 rows — document/repack at
     larger scale), quantile-bucketed because price is heavy-tailed
-    user data (the skew-source rule).  The neighbor gap joins on the
-    dense index (equi-join on _gidx+1, shuffle-partitionable).  The
-    final fold is 1 row."""
+    user data (the skew-source rule).  The neighbor gap is a
+    within-bucket lead() on the index machinery's own window plus a
+    bounded (<= n_buckets rows) next-bucket-first fix-up — no
+    data-sized self-join (r15).  The final fold is 1 row."""
+    from pyspark.sql import Window as W
+
     from oracle_parquet_dumper_spark.operators.global_index import with_global_index
 
     d38 = "decimal(38,0)"
@@ -978,35 +981,63 @@ def dq_drift_emd_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w", F.col("ca") * EMD_PACK + F.col("cb"))
     )
-    # the index relation feeds BOTH sides of the neighbor-gap self-join
-    # — checkpoint once or Catalyst re-derives the whole two-pass
-    # machinery per reference (the triangle-count 109-exchange lesson)
-    idx = with_global_index(
-        v, "cents", [], weight_col="w", bucketer="quantile"
-    ).localCheckpoint(eager=False)
-    idx = idx.select(
-        "cents",
-        F.expr(f"_gcum div {EMD_PACK}").alias("cuma"),
-        F.expr(f"_gcum % {EMD_PACK}").alias("cumb"),
-        "_gidx",
-        F.expr(f"_gwtot div {EMD_PACK}").alias("na"),
-        F.expr(f"_gwtot % {EMD_PACK}").alias("nb"),
+    # r15 (VERDICT r14 "Next" #5): the neighbor gap (next distinct
+    # cents) no longer self-joins the index relation on _gidx — that
+    # join's probe side was the full value-domain relation, re-keyed by
+    # an index that exists only for this lookup (AQE broadcasts it at
+    # fixture scale; at 100 TB it degrades to a double-exchange
+    # sort-merge join of a data-sized relation).  Instead:
+    #   - WITHIN a bucket, lead(cents) rides the exact (partition _gb,
+    #     order cents) window the index machinery already established —
+    #     CollapseWindow folds it into the same WindowExec, zero new
+    #     exchanges (guide §2.4 "window keyed like the previous op");
+    #   - ACROSS buckets (the <= n_buckets last-rows whose lead is
+    #     null), the next value is the first cents of the next
+    #     non-empty bucket: a <= 64-row per-bucket MIN + a <= 64-row
+    #     lead + one bounded broadcast join back on _gb.  Monotone
+    #     bucketing guarantees every value of bucket g+1 exceeds every
+    #     value of bucket g, so this IS the global neighbor.
+    # Interleaved A/B medians: 1.83 -> 1.80 s sf0.1, 2.27 -> 2.16 s
+    # sf1 (flat at fixture scale — the win is the removed data-sized
+    # join at scale); hash-identical both SFs.
+    raw = with_global_index(
+        v, "cents", [], weight_col="w", bucketer="quantile", bucket_col="_gb"
+    ).withColumn(
+        "nxt_in", F.lead("cents").over(W.partitionBy("_gb").orderBy("cents"))
     )
-    nxt = idx.select(
-        (F.col("_gidx") - 1).alias("_gidx"), F.col("cents").alias("nxt")
+    # still checkpointed once: the bounded bucket-firsts fold below is a
+    # second consumer, and without the checkpoint Catalyst re-derives
+    # the whole two-pass machinery per reference (the triangle-count
+    # 109-exchange lesson)
+    idx = raw.localCheckpoint(eager=False)
+    firsts = idx.groupBy("_gb").agg(F.min("cents").alias("_bf"))
+    nxtb = firsts.select(
+        "_gb", F.lead("_bf").over(W.orderBy("_gb")).alias("_nxt_bf")
     )
-    terms = idx.join(nxt, "_gidx").select(
-        "na",
-        "nb",
-        (
-            F.abs(
-                F.col("cuma").cast(d38) * F.col("nb")
-                - F.col("cumb").cast(d38) * F.col("na")
-            )
-            * (F.col("nxt") - F.col("cents"))
+    terms = (
+        idx.join(F.broadcast(nxtb), "_gb", "left")
+        .select(
+            "cents",
+            F.expr(f"_gcum div {EMD_PACK}").alias("cuma"),
+            F.expr(f"_gcum % {EMD_PACK}").alias("cumb"),
+            F.expr(f"_gwtot div {EMD_PACK}").alias("na"),
+            F.expr(f"_gwtot % {EMD_PACK}").alias("nb"),
+            F.coalesce("nxt_in", "_nxt_bf").alias("nxt"),
         )
-        .cast(d38)
-        .alias("term"),
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "na",
+            "nb",
+            (
+                F.abs(
+                    F.col("cuma").cast(d38) * F.col("nb")
+                    - F.col("cumb").cast(d38) * F.col("na")
+                )
+                * (F.col("nxt") - F.col("cents"))
+            )
+            .cast(d38)
+            .alias("term"),
+        )
     )
     dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
     return (

@@ -306,8 +306,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     # the offsets window runs over the <= 64-row bucket counts only
     "sample_systematic_interval": (1, "bucket offsets, <= 64 rows"),
     # exact EMD: ungrouped WEIGHTED global index (cumulative CDF) —
-    # offsets + weight-totals windows, both over <= 64 bucket rows
-    "dq_drift_emd_numeric": (2, "bucket offsets + weight totals, <= 64 rows each"),
+    # offsets + weight-totals windows over <= 64 bucket rows, plus the
+    # r15 next-bucket-first lead over the <= 64-row bucket-firsts fold
+    "dq_drift_emd_numeric": (3, "bucket offsets + weight totals + next-bucket firsts, <= 64 rows each"),
 }
 
 # A FORCED F.broadcast()/hint("broadcast") overrides AQE's size

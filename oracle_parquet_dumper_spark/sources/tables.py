@@ -80,7 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_robust(spark, table_path(sf_dir, name))
 
 
-def split_scan(df: DataFrame) -> DataFrame:
+def split_scan(df: DataFrame, cpu_weight: int = 1) -> DataFrame:
     """Adaptive scan-parallelism restore (optimization guide §2.5,
     "input skew: one huge unsplittable file").  The fixture tables are
     single-file parquet written with ONE row group, and a row group is
@@ -92,6 +92,13 @@ def split_scan(df: DataFrame) -> DataFrame:
     cores; on a real multi-file/multi-row-group table the condition is
     false and the plan is unchanged, so nothing here is tuned to local
     mode — the target derives from the session's parallelism.
+
+    CONTRACT: ``df`` must be a scan/filter/project chain (no joins or
+    aggregates beneath) — this function touches ``df.rdd`` to count
+    partitions, and under AQE converting a DataFrame with shuffles
+    beneath it to an RDD eagerly EXECUTES the upstream query stages at
+    plan-build time (silent double execution).  Every current call site
+    is a filtered fixture scan; keep it that way.
 
     Apply ONLY above scans feeding heavy per-row work: for cheap row
     work the exchange costs more than it buys (measured at sf0.1:
@@ -108,22 +115,62 @@ def split_scan(df: DataFrame) -> DataFrame:
     added stages' scheduling latency exceeds the map win on tiny inputs
     (measured at sf0.1, 0.59 MB documents: tfidf 0.58 -> 1.46 s WITH an
     unconditional split), while one decade up the same call sites win
-    multiples (SCALING.md round-14 decade table)."""
+    multiples (SCALING.md round-14 decade table).  The floor tests RAW
+    input bytes — it was calibrated on raw file sizes in r14 and must
+    keep gating the same inputs whatever ``cpu_weight`` says.
+
+    Bytes-proportional target (r15, VERDICT r14 #1): above the floor
+    the split is sized ``min(p, max(2, nbytes*cpu_weight // min_bytes))``
+    instead of all-or-nothing ``p`` — Spark's own maxSplitBytes/openCost
+    packing logic, applied to the one-row-group case Spark cannot split
+    itself.  The r14 all-or-nothing form made the 10.8 MB sf0.1 lineitem
+    scan pay a 32-way shuffle + 32 Python worker spin-ups for ~120k
+    rows: the driver bench measured the UDF ladder 2.1-2.5x slower.
+
+    ``cpu_weight`` is the per-BYTE CPU cost of the downstream map work
+    relative to the light scalar-arithmetic work that calibrated the
+    4 MB floor (guide §1.2: per-task work feeds back into sizing).
+    Tokenize + k-gram md5 + 16 affine folds over every shingle is
+    ~1-2 orders of magnitude more CPU per input byte than one scalar
+    UDF call per row, and the r14 decade table shows those call sites
+    saturating 32 cores on a 6.2 MB input (minhash signature build
+    3.07 -> 1.79 s even on 0.59 MB pre-floor) — so the heavy document
+    pipelines pass ``cpu_weight=32``, which reproduces their measured
+    r14 sf1 behavior (any above-floor input still fans to full
+    parallelism), while light Python-boundary sites keep the default 1
+    and split proportionally."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
+    cur = df.rdd.getNumPartitions()
+    if cur >= p:
         return df
     min_bytes = int(os.environ.get("SPARK_GRAFT_SPLIT_SCAN_MIN_BYTES", str(4 << 20)))
+    paths = [
+        f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()
+    ]
     try:
-        nbytes = sum(
-            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-            for f in df.inputFiles()
-        )
+        nbytes = sum(os.path.getsize(f) for f in paths)
     except OSError:
         nbytes = 0
-    if nbytes >= min_bytes:
-        return df.repartition(p)
-    return df
+    if nbytes < min_bytes:
+        return df
+    # Effective scan parallelism is bounded by ROW GROUPS, not planned
+    # splits: Spark's maxSplitBytes packing happily plans 3 splits over
+    # a one-row-group file, but a row group lands whole in the split
+    # containing its start offset — the other planned tasks are empty.
+    # Footer-only reads, and only on the cur < p path (never at scale).
+    try:
+        import pyarrow.parquet as pq
+
+        row_groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in paths)
+    except Exception:
+        row_groups = cur
+    eff = min(cur, row_groups)
+    # ceil, matching Spark's own bin-packing convention
+    target = min(p, max(2, (nbytes * cpu_weight + min_bytes - 1) // min_bytes))
+    if target <= eff:
+        return df
+    return df.repartition(int(target))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

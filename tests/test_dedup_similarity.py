@@ -679,17 +679,19 @@ def test_dedup_incremental_stored_matches_recompute(spark, sf_dir, tmp_path):
     # the corpus side is a SCAN of the stored index: every
     # documents.parquet FileScan carries the BATCH filter
     # (doc_id % 7 = 0) — no corpus document is read, hashed or signed —
-    # and the remaining parquet scans are exactly the three stored-state
-    # reads (corpus_digests twice: anti-join + evidence; corpus_bands
-    # once).  Scan LOCATION paths truncate at 100 chars in plan
-    # strings, so the assertion keys on filters + counts, not paths.
+    # and the remaining parquet scans are exactly the two stored-state
+    # reads (corpus_digests once: evidence join; corpus_bands once —
+    # r15 dropped the anti-join, so the digest table is no longer read
+    # a second time).  Scan LOCATION paths truncate at 100 chars in
+    # plan strings, so the assertion keys on filters + counts, not
+    # paths.
     scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     doc_lines = [ln for ln in scan_lines if "documents.parquet" in ln]
     batch = re.compile(r"(?<!NOT \()\(doc_id#\d+L? % 7\) = 0")
     corpus = re.compile(r"NOT \(\(doc_id#\d+L? % 7\) = 0\)")
     assert doc_lines, "expected batch-side documents scans"
     assert all(batch.search(ln) and not corpus.search(ln) for ln in doc_lines), doc_lines
-    assert len(scan_lines) - len(doc_lines) == 3, scan_lines
+    assert len(scan_lines) - len(doc_lines) == 2, scan_lines
     # the recompute variant reads corpus documents (NOT(batch) scans) —
     # the stored variant must not.
     ref_plan = want._jdf.queryExecution().executedPlan().toString()

@@ -148,8 +148,13 @@ def test_minhash_signatures_shuffle_free_and_staged(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     sig = minhash_signatures_df(d)
     physical = sig._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in physical
-    assert "Exchange rangepartitioning" not in physical
+    # every Exchange (if any) must be the round-robin scan split — an
+    # allowlist, so a future SinglePartition/range/hash exchange fails
+    # instead of slipping past a blacklist (ADVICE r14)
+    import re as _re
+
+    for mode in _re.findall(r"Exchange (\w+)", physical):
+        assert mode.lower().startswith("roundrobin"), f"unexpected Exchange {mode}"
     assert "Window" not in physical
     assert "Generate" not in physical
     optimized = sig._jdf.queryExecution().optimizedPlan().toString()
@@ -159,17 +164,22 @@ def test_minhash_signatures_shuffle_free_and_staged(spark, sf_dir):
     assert optimized.count("md5(") == 1
 
 
-def test_minhash_lsh_single_reused_band_exchange(spark, sf_dir):
+def test_minhash_lsh_band_relation_materialized_once(spark, sf_dir):
     """dedup_minhash_lsh's self-join must read ONE materialized band
-    exchange from both sides (signatures computed once), with no extra
-    join-side exchanges: the explicit (band, bucket) repartition already
-    satisfies the join's required distribution."""
+    relation from both sides (signatures computed once).  r15: the
+    materialization is a lazy localCheckpoint — the r14 repartition
+    exchange-reuse form did not reuse at runtime (the planner broadcast
+    one side and the build re-derived tokenize+md5).  The final plan
+    must therefore contain NO parquet scan (both sides read the
+    checkpointed RDD; the one tokenize+md5 pass lives in the checkpoint
+    build) and no Window."""
     df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
-    df.collect()  # AQE applies exchange reuse at runtime — need the final plan
+    df.collect()  # need the AQE final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "Window" not in plan
-    assert "ReusedExchange" in plan
+    assert "FileScan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # both sides read the checkpoint
 
 
 def test_embedding_lsh_reused_band_exchange(spark, sf_dir):
