@@ -635,13 +635,12 @@ def dedup_embedding_cosine_narrow_demo(spark: SparkSession, sf_dir: str) -> Data
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
 
     e = load_table(spark, sf_dir, "embeddings")
+    # r15: no repartition above banded_buckets' internal checkpoint —
+    # the 16 sign-bit dots are evaluated once inside the checkpoint
+    # build either way, and the standing exchange of the exploded band
+    # relation measured slower than letting AQE plan the join (the
+    # dedup_embedding_cosine_lsh A/B: 1.51x at sf1)
     bands = banded_buckets(e, "vec_id", "embedding")
-    # Same load-bearing exchange as dedup_minhash_lsh: the 16 sign-bit
-    # dot products are per-row expressions, so without it the self-join
-    # evaluates them for BOTH sides; one (band, bucket) exchange is
-    # computed once, read twice (ReusedExchange), and already satisfies
-    # the join's required distribution.
-    bands = bands.repartition("band", "bucket")
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])
@@ -1273,13 +1272,13 @@ def pipeline_curation(
     # non-keepers.  Reuse the registered pair finder on a filtered view
     # by recomputing pairs here on `exact`.
     sig = minhash_sig_from_shm(exact)
-    bands = minhash_band_rows(sig)
-    # Same load-bearing exchange as dedup_minhash_lsh: signatures are now
-    # per-row expressions (no shuffle of their own), so without this the
-    # self-join would tokenize+hash the exact-deduped set twice; the
-    # (band, bucket) exchange is computed once, read twice, and already
-    # satisfies the join's required distribution.
-    bands = bands.repartition("band", "bucket")
+    # r15: band relation localCheckpointed once instead of the explicit
+    # repartition (the family fix measured on dedup_minhash_lsh — the
+    # repartition's exchange reuse did not fire at runtime).  Here bands
+    # derive from the parquet-materialized `exact`, so the stakes are
+    # the 16 affine folds per side: A/B 2.26 -> 2.11 s sf0.1,
+    # 4.38 -> 4.33 s sf1 (mild, never slower), hash-identical.
+    bands = minhash_band_rows(sig).localCheckpoint(eager=False)
     pairs = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])
@@ -1854,7 +1853,14 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_parquet_dumper_spark.functions.vectors import as_double, cosine_prenormed, norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    bands = banded_buckets_wide(e, "vec_id", "embedding").repartition("band", "bucket")
+    # r15: the explicit (band, bucket) repartition above banded_buckets'
+    # internal checkpoint is DROPPED — AQE plans the self-join over the
+    # materialized narrow relation itself (broadcast at fixture scale,
+    # its own exchanges past the threshold), and the standing exchange
+    # of the 8x-exploded band relation cost more than it saved.
+    # Interleaved A/B medians: 2.41 -> 2.37 s sf0.1 (wash),
+    # **6.51 -> 4.32 s sf1 (1.51x)** — tight runs both sides.
+    bands = banded_buckets_wide(e, "vec_id", "embedding")
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])

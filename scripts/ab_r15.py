@@ -367,6 +367,43 @@ def minhash_lsh_ckpt_rep(spark, sf_dir):
     )
 
 
+def embedding_cosine_norepartition(spark, sf_dir):
+    """Variant: drop the explicit (band, bucket) repartition above
+    banded_buckets_wide's internal checkpoint — let AQE pick the join
+    distribution over the materialized narrow relation (the winner in
+    the minhash three-way A/B)."""
+    from oracle_parquet_dumper_spark.functions.lsh import banded_buckets_wide
+    from oracle_parquet_dumper_spark.functions.vectors import (
+        as_double,
+        cosine_prenormed,
+        norm,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = banded_buckets_wide(e, "vec_id", "embedding")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    v = e.select(
+        "vec_id", as_double("embedding").alias("v"), norm("embedding").alias("nv")
+    )
+    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    pairs = cand.join(va, "a").join(vb, "b").select(
+        "a", "b", cosine_prenormed("va", "vb", "na", "nb").alias("cos")
+    )
+    return (
+        pairs.where(F.col("cos") >= 0.3)
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.max("cos").alias("best_cos"))
+    )
+
+
 def split_leakage_ckpt(spark, sf_dir):
     """Checkpoint-once variant of pipeline_split_leakage_audit."""
     from oracle_parquet_dumper_spark.operators.dedup import (
@@ -433,6 +470,105 @@ def split_leakage_ckpt(spark, sf_dir):
     )
 
 
+def pipeline_curation_bandckpt(spark, sf_dir):
+    """pipeline_curation with the pair join's band relation
+    localCheckpointed once instead of repartitioned (same family fix as
+    dedup_minhash_lsh; here bands derive from the parquet-materialized
+    exact relation, so the stakes are the 16 affine folds only)."""
+    from oracle_parquet_dumper_spark.operators.dedup import (
+        connected_components,
+        minhash_band_rows,
+        minhash_shingle_hashes_from_toks,
+        minhash_sig_from_shm,
+        truncate_lineage,
+        words_col_d,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table, split_scan
+
+    d = split_scan(load_table(spark, sf_dir, "documents"), cpu_weight=32)
+    base = d.select("doc_id", "lang", "text", words_col_d(d).alias("toks"))
+    quality = base.where((F.length("text") > 0) & (F.size("toks") >= 3))
+    wk = F.md5(F.col("text").cast("binary"))
+    keepers_exact = (
+        quality.groupBy(wk.alias("h")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    exact = truncate_lineage(
+        quality.join(keepers_exact, "doc_id", "left_semi").select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("long").alias("ntok"),
+            minhash_shingle_hashes_from_toks().alias("shm"),
+        ),
+        None,
+    )
+    sig = minhash_sig_from_shm(exact)
+    bands = minhash_band_rows(sig).localCheckpoint(eager=False)  # <- the change
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    comps = connected_components(pairs, checkpoint_dir=None)
+    drop = comps.groupBy("component").agg(F.min("node").alias("keeper"))
+    non_keepers = comps.join(drop, "component").where(
+        F.col("node") != F.col("keeper")
+    ).select(F.col("node").alias("doc_id"))
+    survivors = exact.join(non_keepers, "doc_id", "left_anti")
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("token_budget"),
+        )
+        .orderBy("lang")
+    )
+
+
+def stickiness_ckpt(spark, sf_dir):
+    """events_stickiness_dau_mau with the user-day relation
+    localCheckpointed once (it feeds obs, support AND dau — three
+    re-derivations of the events scan + distinct without it)."""
+    from oracle_parquet_dumper_spark.operators.events_analytics import (
+        MAU_WINDOW_DAYS,
+    )
+    from oracle_parquet_dumper_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    obs = ud.select("d").distinct()
+    support = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {MAU_WINDOW_DAYS - 1}),"
+                " i -> date_add(d, i))"
+            )
+        ).alias("day_at"),
+    )
+    mau = (
+        support.join(obs.withColumnRenamed("d", "day_at"), "day_at", "left_semi")
+        .groupBy("day_at")
+        .agg(F.count_distinct("user_id").cast("long").alias("mau"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        dau.join(mau, dau.d == mau.day_at)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("CAST((1000000 * dau) div mau AS BIGINT)").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
 # --------------------------------------------------------------------------
 # harness
 # --------------------------------------------------------------------------
@@ -486,6 +622,21 @@ def main():
             "reuse": plans.REGISTRY["dedup_minhash_lsh"].fn,
             "ckpt": minhash_lsh_ckpt,
             "ckpt_rep": minhash_lsh_ckpt_rep,
+        }
+    elif case == "stickiness":
+        variants = {
+            "cur": plans.REGISTRY["events_stickiness_dau_mau"].fn,
+            "ckpt": stickiness_ckpt,
+        }
+    elif case == "curation":
+        variants = {
+            "rep": plans.REGISTRY["pipeline_curation"].fn,
+            "bandckpt": pipeline_curation_bandckpt,
+        }
+    elif case == "embed":
+        variants = {
+            "rep": plans.REGISTRY["dedup_embedding_cosine_lsh"].fn,
+            "norep": embedding_cosine_norepartition,
         }
     elif case == "threshold":
         variants = {

@@ -182,17 +182,29 @@ def test_minhash_lsh_band_relation_materialized_once(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") >= 2  # both sides read the checkpoint
 
 
-def test_embedding_lsh_reused_band_exchange(spark, sf_dir):
+def test_embedding_lsh_band_relation_materialized_once(spark, sf_dir):
     """dedup_embedding_cosine_lsh's band self-join must read ONE
-    materialized band exchange from both sides — the 32 sign-bit dot
+    materialized band relation from both sides — the 32 sign-bit dot
     products (8-bit capacity-scaled banding) are per-row fold
-    expressions, so without reuse the join would evaluate all of them
-    twice."""
+    expressions, so without a materialization the join would evaluate
+    all of them twice.  r15: the materialization is banded_buckets'
+    internal localCheckpoint; the r14 repartition above it was dropped
+    (measured 1.51x at sf1 — the standing exchange of the exploded band
+    relation cost more than AQE's own join planning).  Both join sides
+    must read the checkpointed RDD; the only parquet scans left are the
+    vector re-attach."""
     df = REGISTRY["dedup_embedding_cosine_lsh"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan
+    # inspect the FINAL plan only (the toString appends the initial
+    # plan, which double-counts scans)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") >= 2
+    # the sign-bit dot folds live only in the checkpoint build: no
+    # FileScan of embeddings feeds the band join itself (the remaining
+    # scans are the cosine verification's vector re-attach)
+    assert final.count("FileScan parquet") <= 2
 
 
 def test_global_shuffle_no_full_data_single_partition_window(spark, sf_dir):
