@@ -569,6 +569,56 @@ def stickiness_ckpt(spark, sf_dir):
     )
 
 
+def pagerank_nockpt(spark, sf_dir):
+    """graph_pagerank WITHOUT the per-round ranks localCheckpoint: each
+    round's ranks has exactly ONE consumer (the next round's join), so
+    the whole 5-round recurrence is a single tree evaluated once — the
+    per-round truncation only pays 5 materializations + job barriers."""
+    from oracle_parquet_dumper_spark.operators.dedup import truncate_lineage
+    from oracle_parquet_dumper_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOP,
+        supplier_edges,
+    )
+    from pyspark.sql import Window as W
+
+    edges = supplier_edges(spark, sf_dir)
+    edges_deg = truncate_lineage(
+        edges.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src"))), None
+    )
+    n1 = truncate_lineage(edges_deg.agg(F.count_distinct("src").alias("nn")), None)
+    d_num = int(round(PR_DAMPING * 100))
+    ranks = (
+        edges_deg.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(n1))
+        .select(F.col("src").alias("node"), F.expr(f"{PR_SCALE} div nn").alias("r"))
+    )
+    for _ in range(PR_ITERS):
+        contribs = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"{(100 - d_num) * PR_SCALE} div (100 * nn) + ({d_num} * sc) div 100"
+                ).alias("r"),
+            )
+        )
+    ranks = ranks.select("node", (F.col("r") / F.lit(float(PR_SCALE))).alias("pr"))
+    return (
+        ranks.select(F.col("node").cast("long").alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(PR_TOP)
+    )
+
+
 # --------------------------------------------------------------------------
 # harness
 # --------------------------------------------------------------------------
@@ -622,6 +672,11 @@ def main():
             "reuse": plans.REGISTRY["dedup_minhash_lsh"].fn,
             "ckpt": minhash_lsh_ckpt,
             "ckpt_rep": minhash_lsh_ckpt_rep,
+        }
+    elif case == "pagerank":
+        variants = {
+            "cur": plans.REGISTRY["graph_pagerank"].fn,
+            "nockpt": pagerank_nockpt,
         }
     elif case == "stickiness":
         variants = {
